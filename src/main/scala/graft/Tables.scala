@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's read-only testdata tables (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]); the
+  * loader then rebuilds a microsecond TimestampType via `timestamp_micros(ns
+  * div 1000)` — the same floor-truncation DuckDB applies when it reads ns
+  * parquet, so oracle comparisons see identical values.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/region.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/nation.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/part.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** `events` with `ts` restored to TimestampType (µs), matching DuckDB. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+}
+
+/** Session configuration shared by Verify / Bench / tests / pipeline mains. */
+object Sessions {
+  /** Configs every graft session needs. Applied at builder time.
+    *
+    *  - ANSI off: the engine's coerce-cast semantics (null on bad input,
+    *    SURVEY.md §7.3) require non-ANSI `cast`/`to_timestamp`; Spark 4
+    *    defaults ANSI on, so pin it off explicitly.
+    *  - nanosAsLong: see [[Tables]].
+    *  - AQE on with a modest advisory partition size: queries here are
+    *    sub-GB at test SF but the plan shapes must survive 100 TB, where AQE
+    *    coalescing/skew-splitting does the runtime re-plan.
+    */
+  val tuning: Map[String, String] = Map(
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
+    "spark.sql.parquet.compression.codec" -> "snappy",
+    "spark.ui.enabled" -> "false")
+
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    tuning.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Standard local session for mains/tests. */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

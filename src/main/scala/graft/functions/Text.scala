@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline operators
+  * (charter E3 / T-series). All pure `functions._` compositions — codegen'd,
+  * no UDFs — and each has a straightforward DuckDB equivalent so the t2
+  * oracle can check them (list_filter/list_transform mirror filter/transform).
+  */
+object Text {
+
+  /** Lowercased alphanumeric tokens; empty tokens dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct token set. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** 3-token shingles (1-based element_at matches DuckDB list indexing).
+    * Empty array when fewer than 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** English stopword hit count over a token array (n-gram-free heuristic
+    * language ID signal; the list is small so the lambda stays codegen'd).
+    */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with", "as", "by", "at")
+
+  def stopwordHits(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(enStopwords)))
+
+  /** Sum of token lengths (exact int math). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Characters that are neither lowercase alnum nor space, after lowering —
+    * the "punctuation-ish" count used by the quality score.
+    */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9 ]", ""))
+
+  /** Whitespace-normalized md5 fingerprint (portable across engines). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, as higher-order
+  * function expressions (codegen-friendly, no UDF boxing).
+  *
+  * Precision contract: elements are cast to DOUBLE *before* multiplication so
+  * the arithmetic matches the DuckDB oracle (which sums
+  * `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)`) to the last ulp modulo summation
+  * order; results that feed hash-compares are rounded to 4 decimals.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (sqrt(normA) * sqrt(normB))
+
+  def cosine(a: Column, b: Column): Column = cosine(a, b, norm2(a), norm2(b))
+
+  /** Deterministic pseudo-random hyperplane component for LSH bucketing:
+    * plane(j)[i] derived from (i, j) by integer mixing — no RNG state, so
+    * buckets are reproducible across runs/engines. Values in {-3..3}.
+    */
+  def planeComponent(i: Column, j: Int): Column =
+    pmod(i * lit(2654435761L) + lit(j) * lit(40503L), lit(7)) - lit(3)
+
+  /** Sign bucket over `nPlanes` hyperplanes → integer bucket id in
+    * [0, 2^nPlanes). Embedding dims are indexed 1-based.
+    */
+  def lshBucket(emb: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(emb, transform(sequence(lit(1), size(emb)), i => planeComponent(i, j)),
+          (x, p) => x.cast("double") * p.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (charter requirement).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct.
+  * The decode / feature-extract step is STUBBED — this container has no
+  * image/audio codecs — with a deterministic fake ([[fakeDecode]]) so the
+  * Spark-side plumbing (schema, batch shape, partition-parallel decode via
+  * mapPartitions, feature schema) is real and tested end to end. Swapping in
+  * a real codec means replacing ONLY the body of [[fakeDecode]].
+  *
+  * Scale design: decode runs inside `mapPartitions` (per-partition, no
+  * shuffle, codec state reused across a partition's rows); feature columns
+  * come back as a typed struct so downstream ops stay columnar.
+  */
+object Multimodal {
+
+  /** Metadata carried next to every media payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("head_hex", StringType),
+    StructField("byte_mean", DoubleType)))
+
+  /** Wraps a text table into the multimodal shape: payload = UTF-8 bytes,
+    * metadata derived from the payload. Stands in for reading real media
+    * files (`spark.read.format("binaryFile")` at production time).
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Deterministic stand-in for a real decoder: byte length, first-8-bytes
+    * hex, mean byte value. Everything a real decoder needs from the harness
+    * (binary in, struct out, per-partition batching) is exercised.
+    */
+  def fakeDecode(payload: Array[Byte]): (Long, String, Double) = {
+    val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+    val mean = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+    (payload.length.toLong, head, mean)
+  }
+
+  /** Partition-parallel decode: binary payload → feature struct. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+ StructField("features", featureSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (n, hex, mean) = fakeDecode(payload)
+        Row.fromSeq(r.toSeq :+ Row(n, hex, mean))
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling stub: emits every `stride`-th fixed-size window of the
+    * payload as a "frame" (what a video decoder's keyframe sampler would
+    * produce), preserving the row-multiplying generator shape.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media.select(col("media_id"), col("payload"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest((length(col("payload")) / (frameBytes * stride)).cast("int") - 1, lit(0)))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Multimodal, Prepare, Similarity}
+
+/** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
+  * D/T/M-series): dedup, similarity search, text analysis, multimodal
+  * plumbing, JSON access, windowed aggregation. Oracle-checked where ANSI-SQL
+  * can express the op; engine-specific ops (MinHash/SimHash/LSH — they hinge
+  * on xxhash64) are registered without oracle → driver rows-only check.
+  */
+object ExtensionQueries {
+  import ParityQueries.QFn
+
+  private val stopList = Text.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val queries: Map[String, QFn] = Map(
+    // E1 exact dedup: deterministic keeper + dup count per (lang, source).
+    "e1_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), Seq("lang", "source"), "doc_id")
+        .orderBy("lang", "source")),
+
+    // E1b exact content dedup by md5 fingerprint (hash-group, 32-byte key).
+    "e1b_dedup_fingerprint" -> ((s, d) =>
+      Dedup.exactByFingerprint(Tables.documents(s, d), "text", "doc_id")
+        .select("fp", "doc_id", "n_dupes")
+        .orderBy("fp")),
+
+    // E2 exact brute-force cosine top-5 for a bounded query set.
+    "e2_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
+    // E2b LSH-bucketed ANN — the scale path (no oracle: bucket fn is ours).
+    "e2b_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
+    // E2c embedding-cosine near-dup pairs within LSH buckets (no oracle).
+    "e2c_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.5)
+        .orderBy("a", "b")),
+
+    // E3 word frequency top-20 (explode + count + top-k).
+    "e3_word_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(20)),
+
+    // E5 top error types from the parity errores relation.
+    "e5_topk_error_types" -> ((s, d) =>
+      ParityQueries.errores(s, d)
+        .groupBy("tipoError").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tipoError"))),
+
+    // E6 bitacora status distribution + share.
+    "e6_status_distribution" -> ((s, d) => {
+      val fl = ParityQueries.flagged(s, d)
+      val bit = Prepare.bitacora(
+        fl.filter(col("is_valid")),
+        Prepare.explodeErrors(fl.filter(!col("is_valid"))))
+      bit.groupBy("estatus").agg(count(lit(1)).as("n_files"))
+        .withColumn("pct", round(col("n_files") * lit(100.0) / sum(col("n_files")).over(Window.partitionBy()), 4))
+        .orderBy("estatus")
+    }),
+
+    // E8 JSON column access: extract props.k, aggregate per event type.
+    "e8_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // E9 tumbling 1-hour window aggregate (batch form of the streaming op).
+    "e9_hourly_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("n"), col("sum_value"))
+        .orderBy("hour_epoch")),
+
+    // T1 language-ID heuristic: stopword ratio → en / unk.
+    "t1_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("hits", Text.stopwordHits(col("toks")))
+        .withColumn("stop_ratio", round(col("hits").cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("lang_guess", when(col("stop_ratio") >= 0.05, "en").otherwise("unk"))
+        .select("doc_id", "n_tokens", "hits", "stop_ratio", "lang_guess")
+        .orderBy("doc_id")),
+
+    // T2 quality scoring: length/punct/stopword signals, composite score.
+    "t2_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("avg_token_len",
+          round(Text.totalTokenLen(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("punct_ratio",
+          round(Text.punctCount(col("text")).cast("double") / greatest(col("n_chars"), lit(1)).cast("double"), 4))
+        .withColumn("stop_ratio",
+          round(Text.stopwordHits(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("quality",
+          round(lit(0.5) * col("stop_ratio") + lit(0.5) * (lit(1.0) - col("punct_ratio")), 4))
+        .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "punct_ratio", "stop_ratio", "quality")
+        .orderBy("doc_id")),
+
+    // T3 token stats: counts + distinct + type-token ratio.
+    "t3_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            greatest(size(col("toks")), lit(1)).cast("double"), 4).as("ttr"))
+        .orderBy("doc_id")),
+
+    // T4 document fingerprint: md5 over whitespace-normalized text.
+    "t4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // D2 MinHash+LSH near-dup candidates w/ exact-Jaccard verify (no oracle:
+    // xxhash64-based). Low threshold so the synthetic corpus yields pairs.
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        numPerms = 32, bands = 16, threshold = 0.05)
+        .orderBy("a", "b")),
+
+    // D3 SimHash signatures (no oracle: xxhash64-based).
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhash32(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // D4 exact n-gram Jaccard pairs over a shingle inverted index — the
+    // oracle-checkable ground truth for the near-dup family.
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang", 0.05)
+        .orderBy("blk", "a", "b")),
+
+    // M1 multimodal plumbing: binary payload + metadata + decoded features.
+    "m1_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("meta.media_type").as("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("features.head_hex").as("head_hex"),
+          round(col("features.byte_mean"), 4).as("byte_mean"))
+        .orderBy("media_id")
+    }))
+
+  // ---- oracles --------------------------------------------------------------
+
+  private val v = VisitsView.cte
+  private val f = VisitsView.flaggedCte
+
+  /** DuckDB token array matching [[Text.tokens]]. */
+  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  /** 3-shingles matching [[Text.shingles3]] (1-based). */
+  private def shinglesSql(t: String) =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, CAST(len($t) AS INTEGER) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_dedup_exact" ->
+      """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "e1b_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "e2_cosine_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x * b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 32
+        |  GROUP BY a.vec_id, b.vec_id
+        |),
+        |cos AS (
+        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+        |)
+        |SELECT a_id, rn, b_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+
+    "e3_word_topk" ->
+      s"""SELECT word, COUNT(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS word FROM documents) t
+         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "e5_topk_error_types" -> (
+      s"WITH ${v},\n${f},\n${ParityQueries.erroresCte}\n" +
+      """SELECT "tipoError", COUNT(*) AS n FROM errores
+        |GROUP BY "tipoError" ORDER BY n DESC, "tipoError"""".stripMargin),
+
+    "e6_status_distribution" -> (
+      s"WITH ${v},\n${f},\n${ParityQueries.erroresCte},\n" +
+      """bit AS (
+        |  SELECT COALESCE(ok."nombreArchivo", err."nombreArchivo") AS "nombreArchivo",
+        |    COALESCE(ok.n, 0) AS oks, COALESCE(err.n, 0) AS errs,
+        |    CASE WHEN COALESCE(err.n, 0) > 0 THEN 'Completado con errores'
+        |         ELSE 'Completado' END AS estatus
+        |  FROM (SELECT "nombreArchivo", COUNT(*) AS n FROM flagged2 WHERE is_valid GROUP BY 1) ok
+        |  FULL OUTER JOIN (SELECT "nombreArchivo", COUNT(*) AS n FROM errores GROUP BY 1) err
+        |    ON ok."nombreArchivo" = err."nombreArchivo")
+        |SELECT estatus, COUNT(*) AS n_files,
+        |  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+        |FROM bit GROUP BY estatus ORDER BY estatus""".stripMargin),
+
+    "e8_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e9_hourly_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
+
+    "t1_langid" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS INTEGER) AS hits
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, hits,
+         |  ROUND(CAST(hits AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+         |  CASE WHEN ROUND(CAST(hits AS DOUBLE) / greatest(n_tokens, 1), 4) >= 0.05
+         |       THEN 'en' ELSE 'unk' END AS lang_guess
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) AS tok_len_sum,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  ROUND(tok_len_sum / greatest(n_tokens, 1), 4) AS avg_token_len,
+         |  ROUND(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+         |  ROUND(hits / greatest(n_tokens, 1), 4) AS stop_ratio,
+         |  ROUND(0.5 * ROUND(hits / greatest(n_tokens, 1), 4)
+         |      + 0.5 * (1.0 - ROUND(n_punct / greatest(n_chars, 1), 4)), 4) AS quality
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "t3_token_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+         |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS ttr
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, lang AS blk, $toksSql AS toks FROM documents),
+         |sets AS (SELECT doc_id, blk, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |inv AS (SELECT doc_id, blk, unnest(sh) AS shingle FROM sets),
+         |pairs AS (
+         |  SELECT x.blk, x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+         |  FROM inv x JOIN inv y ON x.blk = y.blk AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.blk, x.doc_id, y.doc_id),
+         |sized AS (
+         |  SELECT p.blk, p.a, p.b,
+         |    ROUND(CAST(p.n_common AS DOUBLE) /
+         |      (len(sa.sh) + len(sb.sh) - p.n_common), 4) AS jaccard
+         |  FROM pairs p JOIN sets sa ON sa.doc_id = p.a JOIN sets sb ON sb.doc_id = p.b)
+         |SELECT blk, a, b, jaccard FROM sized WHERE jaccard >= 0.05
+         |ORDER BY blk, a, b""".stripMargin,
+
+    "m1_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+        |  ROUND(list_aggregate(list_transform(range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1),
+        |      i -> CAST(ascii(substring(text, i, 1)) AS DOUBLE)), 'sum')
+        |    / octet_length(encode(text)), 4) AS byte_mean
+        |FROM documents ORDER BY media_id""".stripMargin)
+}
