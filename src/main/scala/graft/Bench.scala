@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: codegen compiler, parquet reader paths,
+    // shuffle machinery. Otherwise ~10s of one-time JVM warmup lands on
+    // whichever query happens to run first.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.events(spark, sfDir).groupBy("event_type").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Date
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Merge, Prepare, Validate}
+
+/** End-to-end batch assembly of the reference ETL (SURVEY.md §3, §7.1):
+  * glob scan → layout check (P16) → validity flags (P4-P6) → single-pass
+  * valid/invalid materialization (P7/P8) → `estadisticas` (P11-P15) /
+  * `visitantes` merge (A1+J1) / `errores` (G1+P1) / `bitacora` (A3).
+  *
+  * Reference lifecycle: flows/etl_flow.py:20-47 + flows/orchestrator_flow.py:16-56.
+  * The dispatcher's one-subflow-per-file fan-out becomes ONE Spark job over
+  * all files with per-file grouping (`groupBy(nombreArchivo)`) — same
+  * observable outputs, arbitrarily many files per run.
+  *
+  * Scale design (100 TB framing):
+  *  - ONE scan of the input CSVs: the flagged frame is materialized to
+  *    parquet partitioned by `is_valid`, so the valid/invalid split and every
+  *    downstream consumer read partition-pruned parquet instead of re-parsing
+  *    CSV (the reference parses once but holds everything in RAM; a naive
+  *    two-filter Spark plan would scan the CSV twice).
+  *  - `estadisticas`/`errores` are written partitioned by `nombreArchivo`
+  *    with dynamic partition overwrite → re-running a file replaces exactly
+  *    its own partitions. Idempotent reruns subsume the reference's
+  *    per-file transaction rollback (tasks/load.py:33-55).
+  *  - the `visitantes` upsert (J1) rewrites via full-outer join into a NEW
+  *    versioned directory and a pointer-file swap makes it current — readers
+  *    never observe a half-written table.
+  *  - `bitacora` is appended LAST: it is the ledger consumers audit
+  *    (README.md:166-174), so a file appears there only after its data
+  *    committed.
+  */
+object Pipeline {
+
+  /** One row per processed file, mirroring the reference's bitacora insert. */
+  final case class RunSummary(files: Long, okRows: Long, errRows: Long)
+
+  /** S1+S3: glob scan of `report_*.txt` under `inputDir`, all columns raw
+    * strings (validation precedes casts), rows tagged with their source file
+    * (replaces the reference's per-file dispatch identity).
+    */
+  def readReports(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("pathGlobFilter", "report_*.txt")
+      .schema(Layout.rawSchema)
+      .csv(inputDir)
+      .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
+
+  /** Resolve the current visitantes table version, if any. */
+  def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
+    if (Files.exists(ptr))
+      Some(spark.read.parquet(Paths.get(outDir, "visitantes", Files.readString(ptr).trim).toString))
+    else None
+  }
+
+  /** Full batch run. Returns per-run totals (the driver-visible contract the
+    * reference exposes through bitacora).
+    */
+  def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date): RunSummary = {
+    val raw = readReports(spark, inputDir)
+
+    // P16: missing columns are a hard failure; extra columns flow through.
+    val layout = Validate.checkLayout(raw.drop("nombreArchivo"))
+    require(layout.ok, s"layout check failed, missing columns: ${layout.missing.mkString(", ")}")
+
+    // P4-P8: flag + single-pass materialized split.
+    val staged = s"$outDir/_staged"
+    Validate.withValidityFlags(raw)
+      .write.mode("overwrite").partitionBy("is_valid").parquet(staged)
+    // Partition-column type inference never yields BooleanType — the
+    // `is_valid=true/false` directory names read back as STRING; restore the
+    // boolean the split predicate needs.
+    val flagged = spark.read.parquet(staged)
+      .withColumn("is_valid", col("is_valid").cast("boolean"))
+    val (ok, err) = Validate.split(flagged)
+
+    // estadisticas: P11→P2→P12-15, reference column order, per-file partitions.
+    val prepared = Prepare.dropFlags(Prepare.prepare(ok))
+    Prepare.estadisticas(prepared, col("nombreArchivo"))
+      .write.mode("overwrite").partitionBy("nombreArchivo")
+      .parquet(s"$outDir/estadisticas")
+
+    // errores: G1 explode + P1 projection, per-file partitions.
+    val exploded = Prepare.errores(Prepare.explodeErrors(err), col("nombreArchivo"))
+    exploded.write.mode("overwrite").partitionBy("nombreArchivo")
+      .parquet(s"$outDir/errores")
+
+    // visitantes: A1 delta + J1 merge into a new version, then pointer swap.
+    val delta = Prepare.visitantes(prepared)
+    val merged = currentVisitantes(spark, outDir)
+      .map(target => Merge.mergeVisitantes(target, delta, asOf))
+      .getOrElse(delta)
+      .select(Merge.allCols.map(col): _*)
+    val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
+    val nextVersion = f"v${(if (Files.exists(ptr)) Files.readString(ptr).trim.drop(1).toInt else 0) + 1}%06d"
+    merged.write.mode("overwrite").parquet(Paths.get(outDir, "visitantes", nextVersion).toString)
+    Files.createDirectories(ptr.getParent)
+    Files.writeString(ptr, nextVersion)
+
+    // bitacora: the per-file ledger, appended last.
+    val bit = Prepare.bitacora(ok, exploded).withColumn("fechaProceso", lit(asOf))
+    bit.write.mode("append").parquet(s"$outDir/bitacora")
+
+    val totals = bit.agg(
+      count(lit(1)), sum("registrosExitosos"), sum("registrosFallidos")).head()
+    RunSummary(totals.getLong(0),
+      if (totals.isNullAt(1)) 0L else totals.getLong(1),
+      if (totals.isNullAt(2)) 0L else totals.getLong(2))
+  }
+}

@@ -46,6 +46,9 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // Pipeline sinks overwrite per-file partitions idempotently; static mode
+    // would wipe sibling files' partitions on every rerun.
+    "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
     "spark.sql.parquet.compression.codec" -> "snappy",
     "spark.ui.enabled" -> "false")

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * Semantics per column, preserving the reference's *observable intent*
   * (the literal SQL is MySQL-invalid; bugs annotated in SURVEY.md §2.5):
   *  - fechaPrimeraVisita: keep T in both CASE branches as written
-  *    (utils/utils_load.py:52-56) → never overwrite an existing first visit.
-  *    We implement exactly that: `coalesce(T, S)`. (For a NEW email, S.)
+  *    (utils/utils_load.py:52-56) → a matched row NEVER takes S, even when T
+  *    is null (possible: min(fechaEnvio) is null when every valid row has a
+  *    null date). Implemented literally: `when(matched, T)`, else whichever
+  *    side exists.
   *  - fechaUltimaVisita: `GREATEST(T, S)` (utils/utils_load.py:58-62).
   *  - visitasTotales: `T + S` (utils/utils_load.py:64).
   *  - visitasAnioActual: `T+S` if `YEAR(T.fechaUltimaVisita) = YEAR(asOf)`
@@ -49,9 +51,11 @@ object Merge {
 
     joined.select(
       coalesce(col("t_email"), col("s_email")).as("email"),
-      // WHEN MATCHED the reference keeps T in both branches; unmatched rows
-      // take whichever side exists.
-      coalesce(col("t_fechaPrimeraVisita"), col("s_fechaPrimeraVisita")).as("fechaPrimeraVisita"),
+      // WHEN MATCHED the reference keeps T in both branches — even a null T
+      // survives; unmatched rows take whichever side exists.
+      when(matched, col("t_fechaPrimeraVisita"))
+        .otherwise(coalesce(col("t_fechaPrimeraVisita"), col("s_fechaPrimeraVisita")))
+        .as("fechaPrimeraVisita"),
       when(matched, greatest(col("t_fechaUltimaVisita"), col("s_fechaUltimaVisita")))
         .otherwise(coalesce(col("t_fechaUltimaVisita"), col("s_fechaUltimaVisita")))
         .as("fechaUltimaVisita"),

@@ -55,10 +55,13 @@ object Prepare {
   def dropFlags(df: DataFrame): DataFrame =
     df.drop(Validate.flagColumns(): _*)
 
-  /** `estadisticas`: prepared valid rows + `nombreArchivo` literal (P15). */
+  /** `estadisticas`: prepared valid rows + `nombreArchivo` literal (P15),
+    * columns in the reference's declared table order
+    * (database/schema.sql:19-39 = [[Layout.estadisticasSchema]]).
+    */
   def estadisticas(validPrepared: DataFrame, filename: Column): DataFrame =
     validPrepared.withColumn("nombreArchivo", filename)
-      .select(("nombreArchivo" +: Layout.columnsToMap.values.toSeq.sorted).map(col): _*)
+      .select(Layout.estadisticasSchema.fieldNames.map(col).toSeq: _*)
 
   /** A1 + E7: per-email visitor aggregate. The reference counts rows into all
     * three counters (utils/utils_transform.py:229-233) — per-file, every

@@ -113,8 +113,16 @@ object ExtensionQueries {
           round(Text.punctCount(col("text")).cast("double") / greatest(col("n_chars"), lit(1)).cast("double"), 4))
         .withColumn("stop_ratio",
           round(Text.stopwordHits(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        // quality = 0.5*stop + 0.5*(1-punct) hits exact half-way 5th decimals
+        // (e.g. 0.52565) where double rounding diverges between engines, so
+        // the combine happens in exact DECIMAL: the 4-decimal ratios cast
+        // losslessly to DECIMAL(9,4), and both Spark and DuckDB round
+        // decimals half-up identically.
         .withColumn("quality",
-          round(lit(0.5) * col("stop_ratio") + lit(0.5) * (lit(1.0) - col("punct_ratio")), 4))
+          round((col("stop_ratio").cast("decimal(9,4)")
+            + lit(1).cast("decimal(9,4)")
+            - col("punct_ratio").cast("decimal(9,4)"))
+            * lit(BigDecimal("0.5")), 4).cast("double"))
         .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "punct_ratio", "stop_ratio", "quality")
         .orderBy("doc_id")),
 
@@ -154,13 +162,15 @@ object ExtensionQueries {
         .orderBy("blk", "a", "b")),
 
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
+    // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
+    // IEEE division, bit-identical across engines; rounding a double is not.
     "m1_multimodal_features" -> ((s, d) => {
       val media = Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.decodeFeatures(media)
         .select(col("media_id"), col("meta.media_type").as("media_type"),
           col("meta.n_bytes").as("n_bytes"),
           col("features.head_hex").as("head_hex"),
-          round(col("features.byte_mean"), 4).as("byte_mean"))
+          col("features.byte_mean").as("byte_mean"))
         .orderBy("media_id")
     }))
 
@@ -269,8 +279,9 @@ object ExtensionQueries {
          |  ROUND(tok_len_sum / greatest(n_tokens, 1), 4) AS avg_token_len,
          |  ROUND(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
          |  ROUND(hits / greatest(n_tokens, 1), 4) AS stop_ratio,
-         |  ROUND(0.5 * ROUND(hits / greatest(n_tokens, 1), 4)
-         |      + 0.5 * (1.0 - ROUND(n_punct / greatest(n_chars, 1), 4)), 4) AS quality
+         |  CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |      + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |      * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
          |FROM feat ORDER BY doc_id""".stripMargin,
 
     "t3_token_stats" ->
@@ -301,13 +312,22 @@ object ExtensionQueries {
          |SELECT blk, a, b, jaccard FROM sized WHERE jaccard >= 0.05
          |ORDER BY blk, a, b""".stripMargin,
 
+    // Byte-true oracle: iterate the UTF-8 BLOB's bytes via its hex encoding
+    // (2 hex chars per byte), so multibyte text stays correct — the Spark
+    // side decodes real bytes, not characters.
     "m1_multimodal_features" ->
-      """SELECT doc_id AS media_id,
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    lower(hex(encode(text))) AS hx
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
         |  'text/plain' AS media_type,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
-        |  ROUND(list_aggregate(list_transform(range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1),
-        |      i -> CAST(ascii(substring(text, i, 1)) AS DOUBLE)), 'sum')
-        |    / octet_length(encode(text)), 4) AS byte_mean
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |  n_bytes,
+        |  substring(hx, 1, 16) AS head_hex,
+        |  CAST(COALESCE(list_aggregate(list_transform(range(0, CAST(n_bytes AS INTEGER)),
+        |      i -> (strpos('0123456789abcdef', substring(hx, 2*i+1, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1)), 'sum'), 0) AS DOUBLE)
+        |    / greatest(n_bytes, 1) AS byte_mean
+        |FROM h ORDER BY media_id""".stripMargin)
 }

@@ -211,7 +211,8 @@ object ParityQueries {
     "j1_visitantes_merge" -> withCtes(
       s"""SELECT
          |  COALESCE(t.email, s.email) AS email,
-         |  COALESCE(t."fechaPrimeraVisita", s."fechaPrimeraVisita") AS "fechaPrimeraVisita",
+         |  CASE WHEN t.email IS NOT NULL AND s.email IS NOT NULL THEN t."fechaPrimeraVisita"
+         |  ELSE COALESCE(t."fechaPrimeraVisita", s."fechaPrimeraVisita") END AS "fechaPrimeraVisita",
          |  CASE WHEN t.email IS NOT NULL AND s.email IS NOT NULL THEN
          |    greatest(t."fechaUltimaVisita", s."fechaUltimaVisita")
          |  ELSE COALESCE(t."fechaUltimaVisita", s."fechaUltimaVisita") END AS "fechaUltimaVisita",
