@@ -49,6 +49,13 @@ object Sessions {
     // Pipeline sinks overwrite per-file partitions idempotently; static mode
     // would wipe sibling files' partitions on every rerun.
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
+    // InferFiltersFromGenerate turns explode(f(x)) into Filter(size(f(x))>0)
+    // + Generate(f(x)); pushdown then alias-substitutes f into the filter, so
+    // expensive generator inputs (tokenize→shingle lambda chains) evaluate
+    // TWICE per row — measured 20x slowdown on the shingle inverted index.
+    // The rows it would skip (empty arrays) cost nothing here.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
     "spark.sql.parquet.compression.codec" -> "snappy",
     "spark.ui.enabled" -> "false")

@@ -30,13 +30,38 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
 
+  /** Re-spread a frame whose scan produced fewer partitions than cores.
+    * Text tokenization/shingling is CPU-bound, so partitioning must match
+    * compute parallelism, not input bytes: a 100 TB corpus arrives in
+    * thousands of splits, but a small dimension-sized file arrives in ONE —
+    * and without this every downstream lambda runs single-threaded. The
+    * shuffle moves only the raw rows once, before the row-multiplying work.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** (id, shingle array) with `toks` materialized in its own projection
+    * first. NEVER inline `shingles3(tokens(text))` in one expression: the
+    * lambda body references the token array many times (size, 3 element_at
+    * per shingle) and higher-order functions get no common-subexpression
+    * elimination, so the full tokenizer (lower+regex split+filter) re-runs
+    * per shingle element — measured 25x slower than the two-projection form.
+    * CollapseProject keeps the barrier because `toks` has multiple consumers.
+    */
+  private def shingleArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), Text.shingles3(col("toks")).as("sh"))
+
   /** MinHash signature columns: minhash_p = min over shingles of
     * xxhash64(shingle, p). One explode + one groupBy — signature computation
     * is a single shuffle keyed by doc id with map-side partial min.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, numPerms: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode_outer(Text.shingles3(Text.tokens(col(textCol)))).as("shingle"))
+    val sh = shingleArrays(df, idCol, textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("shingle"))
     val aggs = (0 until numPerms).map(p => min(xxhash64(col("shingle"), lit(p))).as(s"mh_$p"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -70,7 +95,7 @@ object Dedup {
                  numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numPerms)
     val cands = minhashLshCandidates(sigs, idCol, numPerms, bands)
-    val sets = df.select(col(idCol), Text.shingles3(Text.tokens(col(textCol))).as("sh"))
+    val sets = shingleArrays(df, idCol, textCol)
       .withColumn("sh", array_distinct(col("sh")))
     val verified = cands
       .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
@@ -86,7 +111,8 @@ object Dedup {
     * vote is positive. Computed with one explode + one groupBy.
     */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("tok"))
+    val tok = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums: Seq[org.apache.spark.sql.Column] = (0 until 32).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit_$j")
@@ -105,8 +131,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val sets = df.select(col(blockCol).as("blk"), col(idCol),
-      array_distinct(Text.shingles3(Text.tokens(col(textCol)))).as("sh"))
+    val sets = spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol)))
+      .select(col("blk"), col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col("blk"), col(idCol), array_distinct(Text.shingles3(col("toks"))).as("sh"))
     val inv = sets.select(col("blk"), col(idCol), explode(col("sh")).as("shingle"))
     val pairs = inv.select(col("blk"), col("shingle"), col(idCol).as("a"))
       .join(inv.select(col("blk"), col("shingle"), col(idCol).as("b")), Seq("blk", "shingle"))
