@@ -50,6 +50,26 @@ object Pipeline {
       .csv(inputDir)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
 
+  /** S1: driver-side file listing (metadata only — never a data scan). */
+  def listReports(spark: SparkSession, inputDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(inputDir, "report_*.txt")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Files already recorded in the bitacora ledger. The reference README
+    * claims "filter already-processed files" but never implements it
+    * (SURVEY.md §2.10) — here the ledger check makes reruns append-safe:
+    * a processed file can never double-count into the visitantes merge.
+    */
+  def processedFiles(spark: SparkSession, outDir: String): Set[String] = {
+    val bitDir = Paths.get(outDir, "bitacora")
+    if (!Files.exists(bitDir)) Set.empty
+    else spark.read.parquet(bitDir.toString)
+      .select("nombreArchivo").distinct().collect().map(_.getString(0)).toSet
+  }
+
   /** Resolve the current visitantes table version, if any. */
   def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
@@ -62,16 +82,30 @@ object Pipeline {
     * reference exposes through bitacora).
     */
   def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date): RunSummary = {
-    val raw = readReports(spark, inputDir)
+    val done = processedFiles(spark, outDir)
+    val todo = listReports(spark, inputDir)
+      .filterNot(p => done.contains(p.substring(p.lastIndexOf('/') + 1)))
+    if (todo.isEmpty) return RunSummary(0, 0, 0)
+
+    val raw = spark.read
+      .option("header", "true")
+      .schema(Layout.rawSchema)
+      .csv(todo: _*)
+      .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
 
     // P16: missing columns are a hard failure; extra columns flow through.
     val layout = Validate.checkLayout(raw.drop("nombreArchivo"))
     require(layout.ok, s"layout check failed, missing columns: ${layout.missing.mkString(", ")}")
 
-    // P4-P8: flag + single-pass materialized split.
+    // P4-P8: flag + single-pass materialized split. The scratch dir must be
+    // truncated WHOLE (static overwrite): under the session's dynamic
+    // partition-overwrite mode, a batch with no invalid rows would leave the
+    // previous run's is_valid=false partition in place and resurrect its
+    // rows into this batch.
     val staged = s"$outDir/_staged"
     Validate.withValidityFlags(raw)
-      .write.mode("overwrite").partitionBy("is_valid").parquet(staged)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("is_valid").parquet(staged)
     // Partition-column type inference never yields BooleanType — the
     // `is_valid=true/false` directory names read back as STRING; restore the
     // boolean the split predicate needs.

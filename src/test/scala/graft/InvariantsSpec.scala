@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Prepare, Validate}
+
+/** Property tests (SURVEY.md §5 item 4): partition invariants of the split,
+  * G1 explode cardinality, A1 count conservation — over ScalaCheck-generated
+  * batches mixing valid/invalid emails and dates. (The scalatest-scalacheck
+  * bridge isn't in the offline cache, so generators are sampled with fixed
+  * seeds directly — deterministic across runs.)
+  */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emailGen: Gen[String] = Gen.oneOf(
+    "a@x.com", "user.name@sub.domain.org", "u+tag@y.io",
+    "", "   ", "nope", "a@b", "@x.com", "a b@c.com")
+  private val dateGen: Gen[String] = Gen.oneOf(
+    "01/01/2024 10:00", "29/02/2023 23:59", "31/12/1999 00:00",
+    "", "banana", "32/01/2024 10:00", "01/01/2024 24:00", null)
+  private val rowGen: Gen[(String, String, String, String)] =
+    for { e <- emailGen; d1 <- dateGen; d2 <- dateGen; d3 <- dateGen } yield (e, d1, d2, d3)
+  private val batchGen: Gen[List[(String, String, String, String)]] =
+    Gen.listOfN(40, rowGen)
+
+  private def batches(n: Int): Seq[List[(String, String, String, String)]] =
+    (1 to n).map(i => batchGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("split is a partition and explode cardinality = Σ failed checks") {
+    for (rows <- batches(8)) {
+      val df = rows.toDF("email", "Fecha envio", "Fecha open", "Fecha click")
+      val flagged = Validate.withValidityFlags(df).cache()
+      try {
+        val (ok, err) = Validate.split(flagged)
+        assert(ok.count() + err.count() == flagged.count())
+
+        // expected failures computed independently on the driver
+        val expectedFailures = rows.map { case (e, d1, d2, d3) =>
+          val emailOk = e != null && e.trim.nonEmpty &&
+            e.trim.matches(operators.Layout.emailRegex)
+          val dateFails = Seq(d1, d2, d3).count(d =>
+            !(d == null || (d.trim.nonEmpty && d.trim.matches(operators.Layout.dateRegex))))
+          (if (emailOk) 0 else 1) + dateFails
+        }.sum
+        assert(Prepare.explodeErrors(err).count() == expectedFailures)
+      } finally flagged.unpersist()
+    }
+  }
+
+  test("A1 conservation: sum(visitasTotales) = valid row count") {
+    for (rows <- batches(4)) {
+      val df = rows.toDF("email", "Fecha envio", "Fecha open", "Fecha click")
+      val (ok, _) = Validate.split(Validate.withValidityFlags(df))
+      val okTyped = ok.withColumn("fechaEnvio",
+        to_timestamp(col("`Fecha envio`"), operators.Layout.datePattern))
+      val vis = Prepare.visitantes(okTyped)
+      val total = vis.agg(coalesce(sum("visitasTotales"), lit(0L))).head().getLong(0)
+      assert(total == ok.count())
+    }
+  }
+}

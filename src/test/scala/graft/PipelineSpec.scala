@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Golden end-to-end test of the batch pipeline (SURVEY.md §5 item 5):
+  * fixture CSVs with a known valid/invalid mix → all four output tables.
+  */
+class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var inDir: Path = _
+  private var outDir: Path = _
+
+  private val header = operators.Layout.validColumns.mkString(",")
+  private val reportA = Seq(
+    header,
+    "alice@example.com,x,-,-,01/02/2024 10:00,02/02/2024 11:30,3,0,02/02/2024 11:31,2,0,http://a,1.2.3.4,Chrome,Linux",
+    "bob@example.com,y,-,-,05/02/2024 09:15,,0,0,,0,0,-,-,-,-",
+    "notanemail,z,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-",
+    "carol@example.com,w,-,-,99/99/2024 10:00,,1,0,,0,0,-,-,-,-",
+    "alice@example.com,x,-,-,10/02/2024 08:00,,1,0,,0,0,-,-,-,-")
+  private val reportB = Seq(
+    header,
+    "dave@example.com,q,-,-,11/03/2024 14:00,,2,1,,1,0,http://d,5.6.7.8,Firefox,Mac",
+    "alice@example.com,x,-,-,12/03/2024 16:45,,1,0,,0,0,-,-,-,-")
+
+  override def beforeAll(): Unit = {
+    inDir = Files.createTempDirectory("graft_in")
+    outDir = Files.createTempDirectory("graft_out")
+    Files.write(inDir.resolve("report_a.txt"), reportA.mkString("\n").getBytes)
+  }
+
+  test("run 1: single file produces all four tables with expected contents") {
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-02-15"))
+    assert(s == Pipeline.RunSummary(1, 3, 2))
+
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString).get
+      .orderBy("email").collect()
+    assert(vis.map(_.getString(0)).toSeq == Seq("alice@example.com", "bob@example.com"))
+    assert(vis(0).getInt(3) == 2) // alice visitasTotales
+    assert(vis(0).getDate(1).toString == "2024-02-01" && vis(0).getDate(2).toString == "2024-02-10")
+
+    // nombreArchivo is a partition column → moves to the end on read; select by name.
+    val err = spark.read.parquet(s"$outDir/errores")
+      .select("email", "tipoError", "nombreArchivo").orderBy("email").collect()
+    assert(err.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("carol@example.com", "Fecha envio"), ("notanemail", "Email")))
+
+    val est = spark.read.parquet(s"$outDir/estadisticas")
+    assert(est.count() == 3)
+    assert(est.filter(col("email") === "bob@example.com").head().isNullAt(
+      est.columns.indexOf("opens"))) // "0" normalized to null before cast
+
+    val bit = spark.read.parquet(s"$outDir/bitacora").collect()
+    assert(bit.length == 1 && bit(0).getAs[String]("estatus") == "Completado con errores")
+  }
+
+  test("run 2: new file merges; already-processed file is skipped (ledger)") {
+    Files.write(inDir.resolve("report_b.txt"), reportB.mkString("\n").getBytes)
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-20"))
+    assert(s.files == 1 && s.okRows == 2 && s.errRows == 0) // only report_b processed
+
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString).get
+      .orderBy("email").collect()
+    assert(vis.map(_.getString(0)).toSeq ==
+      Seq("alice@example.com", "bob@example.com", "dave@example.com"))
+    val alice = vis(0)
+    assert(alice.getInt(3) == 3)                          // 2 + 1, no double count
+    assert(alice.getDate(1).toString == "2024-02-01")     // first visit kept
+    assert(alice.getDate(2).toString == "2024-03-12")     // last visit advanced
+    assert(alice.getInt(5) == 1)                          // month rollover reset
+
+    val bit = spark.read.parquet(s"$outDir/bitacora").orderBy("fechaProceso").collect()
+    assert(bit.length == 2)
+    assert(bit(1).getAs[String]("nombreArchivo") == "report_b.txt")
+  }
+
+  test("run 3: nothing new → no-op, visitantes unchanged") {
+    val before = Pipeline.currentVisitantes(spark, outDir.toString).get.collect().toSet
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-21"))
+    assert(s == Pipeline.RunSummary(0, 0, 0))
+    val after = Pipeline.currentVisitantes(spark, outDir.toString).get.collect().toSet
+    assert(before == after)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** D-series dedup family (charter): exact, fingerprint, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and walks away fast", "en"),  // near dup of 1
+    (4L, "completely different content about spark distributed engines here", "en"),
+    (5L, "der schnelle braune fuchs springt ueber den faulen hund gerade", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup: min id kept, dupes counted") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .orderBy("doc_id").select("doc_id", "n_dupes").as[(Long, Long)].collect()
+    assert(out.length == 4)
+    assert(out.head == (1L, 2L)) // docs 1+2 collapse
+  }
+
+  test("fingerprint dedup: whitespace/case variants collapse") {
+    val v = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(v, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "n_dupes").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH: exact dup pair found with jaccard 1.0; near dup found") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 32, 16, 0.05)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.3 && j < 1.0 })
+  }
+
+  test("simhash: identical texts share a signature, disjoint texts differ") {
+    val sig = Dedup.simhash32(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+    assert(sig.size == 5)
+  }
+
+  test("ngram jaccard: blocking prevents cross-language pairs, threshold filters") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.05)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(pairs.contains(("en", 1L, 2L, 1.0)))
+    assert(pairs.forall(_._1 == "en"))            // doc 5 alone in its block
+    assert(!pairs.exists(p => p._2 == 4L || p._3 == 4L)) // unrelated text below threshold
+  }
+
+  test("minhash signatures: deterministic across runs") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** M-series multimodal plumbing: binary payloads, typed metadata, decode
+  * stub, frame sampling shape.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "abc"), (2L, ""), (3L, "hello world!")).toDF("doc_id", "text")
+
+  test("asMedia: payload bytes + metadata struct") {
+    val m = Multimodal.asMedia(docs, "doc_id", "text").orderBy("media_id").collect()
+    assert(m(0).getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
+    val meta = m(0).getStruct(2)
+    assert(meta.getString(0) == "text/plain" && meta.getLong(3) == 3L)
+  }
+
+  test("decodeFeatures: head hex + byte mean via mapPartitions") {
+    val f = Multimodal.decodeFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+      .orderBy("media_id").select("features.*").collect()
+    assert(f(0).getString(1) == "616263") // 'abc'
+    assert(math.abs(f(0).getDouble(2) - (97 + 98 + 99) / 3.0) < 1e-9)
+    assert(f(1).getLong(0) == 0L && f(1).getString(1) == "" && f(1).getDouble(2) == 0.0)
+  }
+
+  test("sampleFrames: fixed windows, at least one frame per payload") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(docs, "doc_id", "text"), frameBytes = 4, stride = 1)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(3L) == 3L) // 12 bytes / 4 = 3 windows
+    val first = frames.filter($"media_id" === 3L && $"frame_idx" === 0)
+      .select("frame").as[Array[Byte]].head()
+    assert(new String(first, "UTF-8") == "hell")
+  }
+}
