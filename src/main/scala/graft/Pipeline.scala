@@ -92,7 +92,14 @@ object Pipeline {
       .schema(Layout.rawSchema)
       .csv(todo: _*)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
+    processBatch(spark, raw, outDir, asOf)
+  }
 
+  /** Transform + load for one batch of tagged raw rows — the shared core of
+    * the batch driver above and [[graft.streaming.StreamingPipeline]]'s
+    * foreachBatch sink.
+    */
+  def processBatch(spark: SparkSession, raw: DataFrame, outDir: String, asOf: Date): RunSummary = {
     // P16: missing columns are a hard failure; extra columns flow through.
     val layout = Validate.checkLayout(raw.drop("nombreArchivo"))
     require(layout.ok, s"layout check failed, missing columns: ${layout.missing.mkString(", ")}")

@@ -107,6 +107,43 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold).select("a", "b", "jaccard")
   }
 
+  /** Portable MinHash+LSH: hashes are `md5(shingle:p)` HEX STRINGS and the
+    * min is lexicographic, so an ANSI-SQL engine (the DuckDB oracle)
+    * reproduces candidates and pairs bit-for-bit — this variant is the
+    * correctness witness for the xxhash64 family above ([[minhashLsh]] stays
+    * the scale path: 8-byte longs shuffle ~4x lighter than 32-char hex).
+    */
+  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
+                         numPerms: Int = 16, bands: Int = 8, threshold: Double = 0.05): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rows = numPerms / bands
+    val sets = shingleArrays(df, idCol, textCol)
+      .withColumn("sh", array_distinct(col("sh")))
+    val sh = sets.select(col(idCol), explode(col("sh")).as("shingle"))
+    val aggs = (0 until numPerms).map(p =>
+      min(md5(concat(col("shingle"), lit(s":$p")))).as(s"mh_$p"))
+    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (b * rows until (b + 1) * rows).map(p => col(s"mh_$p")): _*)).as("sig"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.sig").as("sig"))
+    val cands = banded.select(col("band"), col("sig"), col(idCol).as("a"))
+      .join(banded.select(col("band"), col("sig"), col(idCol).as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** SimHash (32-bit): per token-hash bit, sum +1/-1 votes; bit set when the
     * vote is positive. Computed with one explode + one groupBy.
     */

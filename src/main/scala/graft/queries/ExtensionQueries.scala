@@ -45,8 +45,10 @@ object ExtensionQueries {
     }),
 
     // E2c embedding-cosine near-dup pairs within LSH buckets (no oracle).
+    // 4 planes / 0.4 threshold: the synthetic corpus's cosine ceiling is
+    // ~0.51, so 6-plane buckets (64) almost never co-locate its near-pairs.
     "e2c_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.5)
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4, nPlanes = 4)
         .orderBy("a", "b")),
 
     // E3 word frequency top-20 (explode + count + top-k).
@@ -150,6 +152,13 @@ object ExtensionQueries {
         numPerms = 32, bands = 16, threshold = 0.05)
         .orderBy("a", "b")),
 
+    // D2b portable MinHash+LSH (md5 hashes, lexicographic min) — the
+    // oracle-checked witness for the whole MinHash family.
+    "d2b_minhash_portable" -> ((s, d) =>
+      Dedup.minhashLshPortable(Tables.documents(s, d), "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+        .orderBy("a", "b")),
+
     // D3 SimHash signatures (no oracle: xxhash64-based).
     "d3_simhash" -> ((s, d) =>
       Dedup.simhash32(Tables.documents(s, d), "doc_id", "text")
@@ -251,6 +260,63 @@ object ExtensionQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
+
+    "d2b_minhash_portable" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+         |perms AS (SELECT CAST(p AS INTEGER) AS p FROM range(0, 16) t(p)),
+         |mins AS (
+         |  SELECT doc_id, p, MIN(md5(shingle || ':' || p)) AS mh
+         |  FROM inv CROSS JOIN perms GROUP BY doc_id, p),
+         |bands AS (
+         |  SELECT doc_id, p // 2 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS sig
+         |  FROM mins GROUP BY doc_id, p // 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT c.a, c.b,
+         |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+         |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)
+         |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
+
+    // e2b: the LSH bucket is deterministic integer arithmetic
+    // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the
+    // approximate path itself is oracle-checkable end to end.
+    "e2b_ann_lsh" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings),
+        |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
+        |proj AS (
+        |  SELECT f.vec_id, p.j,
+        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, q.bucket
+        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        |  WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id),
+        |dots AS (
+        |  SELECT cd.a_id, cd.b_id, cd.bucket, SUM(fa.x * fb.x) AS dot
+        |  FROM cand cd
+        |  JOIN flat fa ON fa.vec_id = cd.a_id
+        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
+        |  GROUP BY cd.a_id, cd.b_id, cd.bucket),
+        |cos AS (
+        |  SELECT a_id, b_id, bucket,
+        |    ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT a_id, rn, b_id, cosine, bucket FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
 
     "t1_langid" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -53,6 +53,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._3 == 4L)) // unrelated text below threshold
   }
 
+  test("portable minhash finds the same exact/near dup pairs as the xxhash path") {
+    val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text", 16, 8, 0.05)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.3 && j < 1.0 })
+  }
+
   test("minhash signatures: deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()

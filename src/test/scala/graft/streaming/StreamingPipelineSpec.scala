@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import graft.{Pipeline, SparkSpec}
+
+/** Streaming ETL: file-source drain via AvailableNow + checkpointed
+  * exactly-once file consumption; watermarked window aggregate.
+  */
+class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var inDir: Path = _
+  private var outDir: Path = _
+  private var ckDir: Path = _
+  private val header = graft.operators.Layout.validColumns.mkString(",")
+
+  override def beforeAll(): Unit = {
+    inDir = Files.createTempDirectory("st_in")
+    outDir = Files.createTempDirectory("st_out")
+    ckDir = Files.createTempDirectory("st_ck")
+  }
+
+  test("AvailableNow drains pending files through the shared ETL core") {
+    Files.write(inDir.resolve("report_s1.txt"),
+      (header + "\nalice@example.com,x,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-" +
+        "\nbadmail,x,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-").getBytes)
+    val q = StreamingPipeline.runAvailableNow(
+      spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf("2024-02-15"))
+    q.awaitTermination(120000)
+
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString).get.collect()
+    assert(vis.map(_.getString(0)).toSeq == Seq("alice@example.com"))
+    assert(spark.read.parquet(s"$outDir/errores").count() == 1)
+  }
+
+  test("restart with checkpoint: consumed files are not reprocessed, new ones are") {
+    Files.write(inDir.resolve("report_s2.txt"),
+      (header + "\ndave@example.com,q,-,-,11/03/2024 14:00,,2,1,,1,0,-,-,-,-").getBytes)
+    val q = StreamingPipeline.runAvailableNow(
+      spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf("2024-03-20"))
+    q.awaitTermination(120000)
+
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString).get
+      .orderBy("email").collect()
+    assert(vis.map(_.getString(0)).toSeq == Seq("alice@example.com", "dave@example.com"))
+    assert(vis(0).getInt(3) == 1) // alice NOT double-counted on restart
+    val bit = spark.read.parquet(s"$outDir/bitacora")
+    assert(bit.filter(col("nombreArchivo") === "report_s1.txt").count() == 1)
+  }
+
+  test("watermarked hourly window emits finalized buckets in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val out = StreamingPipeline.hourlyWindow(
+      mem.toDF().toDF("ts", "value"), watermark = "30 minutes")
+
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    // two events in hour 10, one in hour 11, then advance watermark far ahead
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), 2.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 8.0)) // watermark push
+    q.processAllAvailable()
+    val rows = spark.table("hourly").orderBy("hour_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+    assert(rows.contains((h10, 2L, 3.0)))
+    assert(rows.contains((h11, 1L, 4.0)))
+  }
+}
