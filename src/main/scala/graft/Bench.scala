@@ -9,23 +9,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session before timing: codegen compiler, parquet reader paths,
-    // shuffle machinery, AND the interpreted higher-order-function evaluators
-    // (lambda filter/transform/aggregate) whose first-encounter JIT cost is
-    // tens of seconds — otherwise it lands on whichever query runs first.
-    // Warmup uses tiny row counts (limit 64) so it exercises code paths, not
-    // data volume.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      Tables.events(spark, sfDir).groupBy("event_type").count().collect()
-      val docs64 = Tables.documents(spark, sfDir).limit(64)
-      operators.Dedup.minhashLsh(docs64, "doc_id", "text", 32, 16, 0.05).count()
-      operators.Dedup.ngramJaccardPairs(docs64, "doc_id", "text", "lang", 0.05).count()
-      operators.Dedup.simhash32(docs64, "doc_id", "text").count()
-      val emb64 = Tables.embeddings(spark, sfDir).limit(64)
-      operators.Similarity.bruteForceTopK(emb64, emb64, 3).count()
-      queries.ExtensionQueries.queries("t2_quality_score")(spark, sfDir).limit(64).count()
-    } catch { case _: Throwable => () }
+    // JMH-style warmup epoch: run the full query set once untimed, then time
+    // the second epoch. First-encounter costs (whole-stage codegen compiles,
+    // JIT of interpreted higher-order-function evaluators, regex/timestamp
+    // parser paths, parquet reader init) are tens of seconds and otherwise
+    // land arbitrarily on whichever queries run first, drowning the actual
+    // per-query signal the benchmark exists to measure.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

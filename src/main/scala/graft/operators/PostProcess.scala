@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
+
+/** S7 — archive/cleanup post-steps (SURVEY.md §2.1).
+  *
+  * Reference: move processed file to backup + delete from SFTP
+  * (utils/utils_postprocessing.py:8-24, tasks/post_processing.py:7-19) and
+  * daily zip of the backup dir (utils/utils_postprocessing.py:27-50,
+  * tasks/post_processing.py:22-26). These are driver-side filesystem ops,
+  * not dataflow — they stay out of the Spark plan on purpose. The SFTP
+  * deletion collapses into the move (our source is a filesystem the engine
+  * can move from directly; divergence documented in SURVEY.md S2/S7).
+  */
+object PostProcess {
+
+  /** Move processed inputs into `backupDir` (created if absent). Returns the
+    * backup paths. Idempotent: an existing same-name backup is replaced.
+    */
+  def moveToBackup(files: Seq[Path], backupDir: Path): Seq[Path] = {
+    Files.createDirectories(backupDir)
+    files.map { f =>
+      val dest = backupDir.resolve(f.getFileName)
+      Files.move(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest
+    }
+  }
+
+  /** Zip every regular file currently in `backupDir` into
+    * `<backupDir>/<stamp>.zip` (deterministic entry order) and delete the
+    * originals — the reference's daily compress step. Returns the zip path,
+    * or None when the dir has nothing to compress.
+    */
+  def zipBackup(backupDir: Path, stamp: String): Option[Path] = {
+    if (!Files.isDirectory(backupDir)) return None
+    val files = Files.list(backupDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".zip"))
+      .toSeq.sortBy(_.getFileName.toString)
+    if (files.isEmpty) return None
+    val zipPath = backupDir.resolve(s"$stamp.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath.toFile))
+    try {
+      files.foreach { f =>
+        zos.putNextEntry(new ZipEntry(f.getFileName.toString))
+        val in = new BufferedInputStream(new FileInputStream(f.toFile))
+        try in.transferTo(zos) finally in.close()
+        zos.closeEntry()
+      }
+    } finally zos.close()
+    files.foreach(Files.delete)
+    Some(zipPath)
+  }
+
+  /** Full post-processing pass: archive the just-processed inputs, then
+    * compress the backup dir under the given day stamp (`ddMMyy` in the
+    * reference — utils/utils_postprocessing.py:42).
+    */
+  def archiveAndCompress(processed: Seq[String], backupDir: String, stamp: String): Option[Path] = {
+    moveToBackup(processed.map(Paths.get(_)), Paths.get(backupDir))
+    zipBackup(Paths.get(backupDir), stamp)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S7 archive/zip post-steps — pure filesystem, no Spark session needed. */
+class PostProcessSpec extends AnyFunSuite {
+
+  test("moveToBackup relocates files and replaces same-name leftovers") {
+    val src = Files.createTempDirectory("pp_src")
+    val bak = src.resolve("backup")
+    val f = src.resolve("report_1.txt"); Files.writeString(f, "v1")
+    PostProcess.moveToBackup(Seq(f), bak)
+    assert(!Files.exists(f) && Files.readString(bak.resolve("report_1.txt")) == "v1")
+
+    val f2 = src.resolve("report_1.txt"); Files.writeString(f2, "v2")
+    PostProcess.moveToBackup(Seq(f2), bak)
+    assert(Files.readString(bak.resolve("report_1.txt")) == "v2") // idempotent replace
+  }
+
+  test("zipBackup compresses all files, deletes originals, skips existing zips") {
+    val bak = Files.createTempDirectory("pp_bak")
+    Files.writeString(bak.resolve("report_a.txt"), "aaa")
+    Files.writeString(bak.resolve("report_b.txt"), "bbb")
+    val zip1 = PostProcess.zipBackup(bak, "150224").get
+    assert(zip1.getFileName.toString == "150224.zip")
+    val entries = new ZipFile(zip1.toFile).entries().asScala.map(_.getName).toSeq
+    assert(entries == Seq("report_a.txt", "report_b.txt"))
+    assert(!Files.exists(bak.resolve("report_a.txt")))
+
+    // next day: only new files zip; yesterday's archive untouched
+    Files.writeString(bak.resolve("report_c.txt"), "ccc")
+    val zip2 = PostProcess.zipBackup(bak, "160224").get
+    val e2 = new ZipFile(zip2.toFile).entries().asScala.map(_.getName).toSeq
+    assert(e2 == Seq("report_c.txt") && Files.exists(zip1))
+  }
+
+  test("zipBackup on empty/missing dir → None") {
+    assert(PostProcess.zipBackup(Files.createTempDirectory("pp_empty"), "x").isEmpty)
+    assert(PostProcess.zipBackup(Paths.get("/nonexistent_dir_xyz"), "x").isEmpty)
+  }
+}
