@@ -70,6 +70,25 @@ object Pipeline {
       .select("nombreArchivo").distinct().collect().map(_.getString(0)).toSet
   }
 
+  /** P16 for real files: the schema-enforced CSV read can never fail the
+    * column check (it imposes our schema positionally), so a wrong-layout
+    * file would silently parse into garbage. Instead the HEADER LINE of each
+    * file is read driver-side (one metadata-sized read per file, no Spark
+    * job) and validated against the expected 15 columns — missing columns
+    * quarantine the file (reference: hard per-file failure,
+    * utils/utils_transform.py:85-96); extra columns only warn (:97-101).
+    */
+  def checkHeader(spark: SparkSession, file: String): Validate.LayoutCheck = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val header =
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    val cols = Option(header).map(_.split(",", -1).map(_.trim).toSeq).getOrElse(Seq.empty)
+    Validate.checkLayout2(cols)
+  }
+
   /** Resolve the current visitantes table version, if any. */
   def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
@@ -83,16 +102,33 @@ object Pipeline {
     */
   def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date): RunSummary = {
     val done = processedFiles(spark, outDir)
-    val todo = listReports(spark, inputDir)
+    val pending = listReports(spark, inputDir)
       .filterNot(p => done.contains(p.substring(p.lastIndexOf('/') + 1)))
-    if (todo.isEmpty) return RunSummary(0, 0, 0)
+    if (pending.isEmpty) return RunSummary(0, 0, 0)
+
+    // Per-file layout gate: quarantined files get a 'Fallido' ledger row
+    // (recorded → never retried; the reference's retry-then-quarantine ladder
+    // collapses to quarantine-first since our batch is idempotent).
+    val (todo, quarantined) = pending.partition(f => checkHeader(spark, f).ok)
+    if (quarantined.nonEmpty) {
+      import spark.implicits._
+      quarantined.map(p => p.substring(p.lastIndexOf('/') + 1))
+        .toDF("nombreArchivo")
+        .withColumn("registrosExitosos", lit(0L))
+        .withColumn("registrosFallidos", lit(0L))
+        .withColumn("estatus", lit("Fallido"))
+        .withColumn("fechaProceso", lit(asOf))
+        .write.mode("append").parquet(s"$outDir/bitacora")
+    }
+    if (todo.isEmpty) return RunSummary(quarantined.size.toLong, 0, 0)
 
     val raw = spark.read
       .option("header", "true")
       .schema(Layout.rawSchema)
       .csv(todo: _*)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
-    processBatch(spark, raw, outDir, asOf)
+    val s = processBatch(spark, raw, outDir, asOf)
+    s.copy(files = s.files + quarantined.size)
   }
 
   /** Transform + load for one batch of tagged raw rows — the shared core of

@@ -48,4 +48,24 @@ object Text {
   /** Whitespace-normalized md5 fingerprint (portable across engines). */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " "))
+
+  /** GPT-2-style BPE pre-tokenizer pattern, simplified to constructs shared
+    * by Java regex and RE2 (no lookarounds): contraction suffixes, space+word,
+    * space+number, space+punct-run, whitespace-run. Counting its matches
+    * approximates BPE piece counts without a merges table.
+    */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish piece count over raw text. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(bpePattern))
+
+  /** Char-trigram language scores (n-gram heuristic language ID): counts of
+    * high-frequency English vs German trigrams. Portable: plain alternation
+    * of fixed-length literals, identical leftmost non-overlapping counts in
+    * Java regex and RE2.
+    */
+  val enTrigrams = "(the|and|ing|ion|ent|for|her)"
+  val deTrigrams = "(der|und|sch|ein|ich|den)"
 }

@@ -20,10 +20,14 @@ object Validate {
     def ok: Boolean = missing.isEmpty
   }
 
-  def checkLayout(df: DataFrame, expected: Seq[String] = Layout.validColumns): LayoutCheck = {
-    val actual = df.columns.toSeq
+  def checkLayout(df: DataFrame, expected: Seq[String] = Layout.validColumns): LayoutCheck =
+    checkLayout2(df.columns.toSeq, expected)
+
+  /** Same set-diff over already-extracted column names (e.g. a CSV header
+    * line read driver-side — [[graft.Pipeline.checkHeader]]).
+    */
+  def checkLayout2(actual: Seq[String], expected: Seq[String] = Layout.validColumns): LayoutCheck =
     LayoutCheck(expected.diff(actual), actual.diff(expected))
-  }
 
   /** P4: non-null ∧ non-blank ∧ email-regex (utils/utils_transform.py:112-116). */
   def validEmail(c: Column): Column =

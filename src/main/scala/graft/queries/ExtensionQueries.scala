@@ -103,6 +103,27 @@ object ExtensionQueries {
         .select("doc_id", "n_tokens", "hits", "stop_ratio", "lang_guess")
         .orderBy("doc_id")),
 
+    // T1b language ID by char-trigram profile (n-gram heuristic — the
+    // stopword-free twin of t1 for text with unreliable tokenization).
+    "t1b_langid_ngram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("en_hits", regexp_count(lower(col("text")), lit(Text.enTrigrams)))
+        .withColumn("de_hits", regexp_count(lower(col("text")), lit(Text.deTrigrams)))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("de_hits"), "en").otherwise("de"))
+        .select("doc_id", "en_hits", "de_hits", "lang_guess")
+        .orderBy("doc_id")),
+
+    // T5 BPE-ish token counting (charter): GPT-2 pre-tokenizer piece counts.
+    "t5_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.bpeTokenCount(col("text")).as("n_pieces"),
+          length(col("text")).as("n_chars"))
+        .withColumn("chars_per_piece",
+          round(col("n_chars").cast("double") / greatest(col("n_pieces"), lit(1)), 4))
+        .orderBy("doc_id")),
+
     // T2 quality scoring: length/punct/stopword signals, composite score.
     "t2_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
@@ -330,6 +351,23 @@ object ExtensionQueries {
          |  CASE WHEN ROUND(CAST(hits AS DOUBLE) / greatest(n_tokens, 1), 4) >= 0.05
          |       THEN 'en' ELSE 'unk' END AS lang_guess
          |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "t1b_langid_ngram" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '(the|and|ing|ion|ent|for|her)')) AS INTEGER) AS en_hits,
+        |  CAST(len(regexp_extract_all(lower(text), '(der|und|sch|ein|ich|den)')) AS INTEGER) AS de_hits,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '(the|and|ing|ion|ent|for|her)'))
+        |         >= len(regexp_extract_all(lower(text), '(der|und|sch|ein|ich|den)'))
+        |       THEN 'en' ELSE 'de' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INTEGER) AS n_pieces,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  ROUND(CAST(length(text) AS DOUBLE) /
+        |    greatest(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')), 1), 4) AS chars_per_piece
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t2_quality_score" ->
       s"""WITH tok AS (SELECT doc_id, text, $toksSql AS toks FROM documents),

@@ -84,4 +84,20 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val after = Pipeline.currentVisitantes(spark, outDir.toString).get.collect().toSet
     assert(before == after)
   }
+
+  test("run 4: wrong-header file is quarantined (Fallido ledger row), never retried") {
+    Files.write(inDir.resolve("report_c.txt"),
+      "email,wrong,columns\nx@y.com,1,2".getBytes)
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-22"))
+    assert(s == Pipeline.RunSummary(1, 0, 0)) // counted, zero rows processed
+    val bit = spark.read.parquet(s"$outDir/bitacora")
+      .filter(col("nombreArchivo") === "report_c.txt").collect()
+    assert(bit.length == 1 && bit(0).getAs[String]("estatus") == "Fallido")
+    // estadisticas untouched by the garbage file
+    assert(spark.read.parquet(s"$outDir/estadisticas")
+      .filter(col("email") === "x@y.com").isEmpty)
+    // next run: quarantined file stays skipped
+    val s2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-23"))
+    assert(s2 == Pipeline.RunSummary(0, 0, 0))
+  }
 }
