@@ -58,6 +58,9 @@ object Sessions {
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
     "spark.sql.parquet.compression.codec" -> "snappy",
+    // managed (bucketed) tables land in tmp, not the repo working dir
+    "spark.sql.warehouse.dir" ->
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse",
     "spark.ui.enabled" -> "false")
 
   def tune(b: SparkSession.Builder): SparkSession.Builder =

@@ -55,6 +55,47 @@ object Similarity {
       .select("a_id", "rn", "b_id", "cosine", "bucket")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (the first `nCells`
+    * corpus vectors stand in for k-means centroids — swap in trained
+    * centroids at production time) assigns every vector to its
+    * nearest-centroid cell; a query probes its `nProbe` nearest cells and
+    * scores only those inverted lists. Same output shape as
+    * [[bruteForceTopK]]; recall is traded via nProbe, and candidate work is
+    * |corpus|·nCells/nProbe-proportional rather than |corpus|² — the other
+    * canonical 100 TB path next to [[lshTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
+
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.join(broadcast(cents))
+        .withColumn("csim", Vectors.cosine(col("embedding"), col("cvec")))
+        .withColumn("crn", row_number().over(cw))
+        .filter(col("crn") <= keep)
+        .drop("cvec", "csim", "crn")
+
+    val corpusCells = assign(corpus.select(col("vec_id"), col("embedding")), 1)
+      .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .withColumn("norm_b", Vectors.norm2(col("eb")))
+    val queryCells = assign(queries.select(col("vec_id"), col("embedding")), nProbe)
+      .select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .withColumn("norm_a", Vectors.norm2(col("ea")))
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
+    // a (query, corpus) pair can meet in several probed cells — dedup first
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
+    scored.select("a_id", "b_id", "cosine").distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("a_id", "rn", "b_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same LSH
     * bucket with cosine ≥ threshold. Bucketing bounds the pair blowup.
     */

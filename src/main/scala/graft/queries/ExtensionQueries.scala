@@ -44,6 +44,14 @@ object ExtensionQueries {
         .orderBy("a_id", "rn")
     }),
 
+    // E2d IVF-bucketed ANN — deterministic coarse quantizer, nProbe recall
+    // knob (no oracle: rows-only; e2b oracle-checks the ANN family).
+    "e2d_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
     // E2c embedding-cosine near-dup pairs within LSH buckets (no oracle).
     // 4 planes / 0.4 threshold: the synthetic corpus's cosine ceiling is
     // ~0.51, so 6-plane buckets (64) almost never co-locate its near-pairs.

@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b, c) => assert(bf.get((a, b)).forall(_ == c)) }
   }
 
+  test("ivfTopK: probed cells find the true nearest neighbor, scores match brute force") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 4)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toMap2
+    val ivf = Similarity.ivfTopK(vecs, vecs, k = 4, nCells = 3, nProbe = 2)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (a, b, c) => assert(bf.get((a, b)).forall(_ == c)) }
+    // vector 1's nearest (vector 0) is found through its probed cells
+    val n1 = Similarity.ivfTopK(vecs.filter($"vec_id" === 1L), vecs, 1, nCells = 3, nProbe = 3)
+      .select("b_id").as[Long].head()
+    assert(n1 == 0L)
+  }
+
   test("cosineNearDupPairs finds the near-identical pair") {
     val pairs = Similarity.cosineNearDupPairs(vecs, 0.9, nPlanes = 2)
       .select("a", "b").as[(Long, Long)].collect().toSet
