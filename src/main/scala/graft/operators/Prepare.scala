@@ -119,4 +119,22 @@ object Prepare {
       .withColumn("estatus",
         when(col("registrosFallidos") > 0, "Completado con errores").otherwise("Completado"))
   }
+
+  /** A3 in one pass over the flagged frame — no split, no explode, no
+    * self-join: `registrosFallidos` sums each invalid row's failed-check
+    * count directly (equal by construction to counting G1's exploded rows).
+    * One scan + one shuffle; the shape the reference lifecycle wants at
+    * 100 TB when the split isn't already materialized.
+    */
+  def bitacoraFromFlags(flagged: DataFrame, fileCol: String = "nombreArchivo",
+                        errorTags: Seq[(String, String)] = defaultErrorTags): DataFrame = {
+    val failedChecks = errorTags
+      .map { case (flag, _) => when(!col(s"`$flag`"), 1L).otherwise(0L) }
+      .reduce(_ + _)
+    flagged.groupBy(col(fileCol)).agg(
+      sum(when(col("is_valid"), 1L).otherwise(0L)).as("registrosExitosos"),
+      sum(when(!col("is_valid"), failedChecks).otherwise(0L)).as("registrosFallidos"))
+      .withColumn("estatus",
+        when(col("registrosFallidos") > 0, "Completado con errores").otherwise("Completado"))
+  }
 }

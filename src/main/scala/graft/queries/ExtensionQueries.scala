@@ -72,16 +72,12 @@ object ExtensionQueries {
         .groupBy("tipoError").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tipoError"))),
 
-    // E6 bitacora status distribution + share.
-    "e6_status_distribution" -> ((s, d) => {
-      val fl = ParityQueries.flagged(s, d)
-      val bit = Prepare.bitacora(
-        fl.filter(col("is_valid")),
-        Prepare.explodeErrors(fl.filter(!col("is_valid"))))
-      bit.groupBy("estatus").agg(count(lit(1)).as("n_files"))
+    // E6 bitacora status distribution + share (single-pass bitacora).
+    "e6_status_distribution" -> ((s, d) =>
+      Prepare.bitacoraFromFlags(ParityQueries.flagged(s, d))
+        .groupBy("estatus").agg(count(lit(1)).as("n_files"))
         .withColumn("pct", round(col("n_files") * lit(100.0) / sum(col("n_files")).over(Window.partitionBy()), 4))
-        .orderBy("estatus")
-    }),
+        .orderBy("estatus")),
 
     // E8 JSON column access: extract props.k, aggregate per event type.
     "e8_json_extract" -> ((s, d) =>

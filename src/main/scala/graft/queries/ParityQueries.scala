@@ -133,12 +133,8 @@ object ParityQueries {
         round(sum(when(col("is_valid"), 1L).otherwise(0L)) * lit(100.0) / count(lit(1)), 4)
           .as("pct_valid"))),
 
-    "a3_bitacora" -> ((s, d) => {
-      val fl = flagged(s, d)
-      Prepare.bitacora(
-        fl.filter(col("is_valid")),
-        Prepare.explodeErrors(fl.filter(!col("is_valid")))).orderBy("nombreArchivo")
-    }),
+    "a3_bitacora" -> ((s, d) =>
+      Prepare.bitacoraFromFlags(flagged(s, d)).orderBy("nombreArchivo")),
 
     "j1_visitantes_merge" -> ((s, d) => {
       val p = prepared(s, d)

@@ -75,6 +75,26 @@ class PrepareSpec extends SparkSpec {
     assert(tags.filter(_._1 == "ok@x.com").map(_._2) == Seq("Fecha click"))
   }
 
+  test("A3 single-pass bitacora equals the split+explode formulation") {
+    val raw = Seq(
+      ("f1", "bad", "99/99/2024 10:00", "01/01/2024 10:00"), // 2 failed checks
+      ("f1", "ok@x.com", "01/01/2024 10:00", null),
+      ("f2", "fine@y.io", null, null),
+      ("f3", "no", "x", "y")                                 // 3 failed checks
+    ).toDF("nombreArchivo", "email", "Fecha envio", "Fecha open")
+    val fl = Validate.withValidityFlags(raw, dateCols = Seq("Fecha envio", "Fecha open"))
+    val tags = Prepare.defaultErrorTags.filter(t => fl.columns.contains(t._1))
+    val onePass = Prepare.bitacoraFromFlags(fl, errorTags = tags)
+      .orderBy("nombreArchivo").collect()
+    val twoPass = Prepare.bitacora(
+      fl.filter(col("is_valid")),
+      Prepare.explodeErrors(fl.filter(!col("is_valid")), tags))
+      .orderBy("nombreArchivo").collect()
+    assert(onePass.toSeq == twoPass.toSeq)
+    assert(onePass.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("f1", 1L, 2L), ("f2", 1L, 0L), ("f3", 0L, 3L)))
+  }
+
   test("A3 bitacora: per-file counts and un-inverted status") {
     val ok = Seq(("f1", 1), ("f1", 2), ("f2", 3)).toDF("nombreArchivo", "x")
     val err = Seq(("f1", 1)).toDF("nombreArchivo", "x")
