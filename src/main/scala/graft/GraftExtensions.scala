@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotF32
+
+/** Session extensions: registers the engine's native expressions
+  * (SparkSessionExtensions is the supported injection point — activated via
+  * `spark.sql.extensions=graft.GraftExtensions` in [[Sessions.tuning]], so
+  * every engine session, including `spark-submit`-launched ones, gets them
+  * without code changes).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_f32 requires exactly 2 arguments, got ${children.size}")
+        DotF32(children.head, children(1))
+      }))
+  }
+}

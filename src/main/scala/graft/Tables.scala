@@ -42,6 +42,7 @@ object Sessions {
     *    coalescing/skew-splitting does the runtime re-plan.
     */
   val tuning: Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
