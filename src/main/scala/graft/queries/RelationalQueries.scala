@@ -119,6 +119,34 @@ object RelationalQueries {
         .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // Set op: customers that DO order (INTERSECT — dedups both sides).
+    "set2_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus) —
+    // subtotal rows come free from one pass (partial aggregation covers all
+    // grouping sets; no per-level rescan).
+    "r1_rollup_volume" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // Pivot: event counts per user bucket x event_type as columns — the
+    // wide-format reshape; equals conditional aggregation, which is exactly
+    // what the oracle spells out.
+    "v1_pivot_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_bucket")),
+
     // Exact distinct per group (expensive two-shuffle shape, kept exact).
     "a4_count_distinct" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
@@ -221,6 +249,29 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+
+    "r1_rollup_volume" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "v1_pivot_events" ->
+      """SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
 
     "a4_count_distinct" ->
       """SELECT event_type,

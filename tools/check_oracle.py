@@ -31,6 +31,9 @@ def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # a requested query with no oracle entry must be loud, not silently green
+    for q in only - set(oracles):
+        print(f"{q}: NO ORACLE ENTRY (rows-only in the real gate)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
