@@ -161,6 +161,32 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // Correlated scalar subquery (TPC-H Q17 shape) — exercises Catalyst's
+    // decorrelation into an aggregate+join plan. Quantities are small
+    // integers stored as doubles, so AVG is exact and the comparison is
+    // deterministic across engines.
+    "s1_scalar_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_s1")
+      s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          |  COUNT(*) AS n
+          |FROM l_s1 l1
+          |WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+          |                    FROM l_s1 l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }),
+
+    // Sessionization: native session_window (30 min gap) per user. The
+    // oracle reproduces the half-open gap semantics (a gap of exactly 30
+    // minutes starts a NEW session) with gaps-and-islands window functions.
+    "e9b_session_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_timestamp(min(col("ts"))).as("session_start"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
+        .select("user_id", "session_start", "n_events", "duration_sec")
+        .orderBy("user_id", "session_start")),
+
     // Skew-safe two-stage (salted) aggregation; result identical to the plain
     // groupBy, which is exactly what the oracle checks. Salt is deterministic.
     "x1_salted_agg" -> ((s, d) =>
@@ -278,6 +304,35 @@ object RelationalQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s1_scalar_subquery" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "e9b_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  -- FLOOR: Spark's unix_timestamp truncates sub-second timestamps,
+        |  -- DuckDB's CAST(double AS BIGINT) rounds
+        |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+        |    - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "x1_salted_agg" ->
       """SELECT event_type,
