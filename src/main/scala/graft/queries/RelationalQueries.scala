@@ -154,6 +154,20 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    // Ordered-statistics aggregate: exact interpolated percentiles. Exact
+    // (not approx_percentile) so the result is order-independent and both
+    // engines share the linear-interpolation definition; quantities are
+    // small integers stored as doubles, so interpolation is bit-stable.
+    "a5_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // HLL++ approximate distinct — the 100 TB path (single shuffle, sketch
     // mergeable). No SQL oracle: estimate is engine-specific (rows-only check).
     "e4_approx_distinct" -> ((s, d) =>
@@ -298,6 +312,14 @@ object RelationalQueries {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "a5_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a4_count_distinct" ->
       """SELECT event_type,
