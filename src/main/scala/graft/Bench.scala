@@ -19,19 +19,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Timed epochs in name order (Map hash order varies with the query set,
-    // which would shuffle noise across rounds). Two timed epochs, min per
+    // which would shuffle noise across rounds). Three timed epochs, min per
     // query: this host shows transient multi-second scheduler stalls that
     // land on a random query per run (observed identical-binary totals of
-    // 34s..227s); the per-query minimum is the standard estimator for the
-    // actual cost under that kind of one-sided noise.
+    // 34s..227s), and C2 JIT of hot loops can still finish during the first
+    // timed epoch; the per-query minimum is the standard estimator for the
+    // actual cost under that kind of one-sided noise (round 2's d4 recorded
+    // 10.9s in BENCH against a reproducible 2.3s steady state).
     def epoch(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val (e1, e2) = (epoch(), epoch())
-    val results = e1.map { case (k, v) => k -> math.min(v, e2(k)) }
+    val epochs = Seq.fill(3)(epoch())
+    val results = epochs.head.keys.map(k => k -> epochs.map(_(k)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -89,6 +89,20 @@ object Pipeline {
     Validate.checkLayout2(cols)
   }
 
+  /** Ledger rows for wrong-layout files: recorded as 'Fallido' so they never
+    * re-enter processing. Shared by the batch driver and the streaming gate.
+    */
+  def quarantine(spark: SparkSession, outDir: String, basenames: Seq[String], asOf: Date): Unit =
+    if (basenames.nonEmpty) {
+      import spark.implicits._
+      basenames.toDF("nombreArchivo")
+        .withColumn("registrosExitosos", lit(0L))
+        .withColumn("registrosFallidos", lit(0L))
+        .withColumn("estatus", lit("Fallido"))
+        .withColumn("fechaProceso", lit(asOf))
+        .write.mode("append").parquet(s"$outDir/bitacora")
+    }
+
   /** Resolve the current visitantes table version, if any. */
   def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
@@ -110,16 +124,7 @@ object Pipeline {
     // (recorded → never retried; the reference's retry-then-quarantine ladder
     // collapses to quarantine-first since our batch is idempotent).
     val (todo, quarantined) = pending.partition(f => checkHeader(spark, f).ok)
-    if (quarantined.nonEmpty) {
-      import spark.implicits._
-      quarantined.map(p => p.substring(p.lastIndexOf('/') + 1))
-        .toDF("nombreArchivo")
-        .withColumn("registrosExitosos", lit(0L))
-        .withColumn("registrosFallidos", lit(0L))
-        .withColumn("estatus", lit("Fallido"))
-        .withColumn("fechaProceso", lit(asOf))
-        .write.mode("append").parquet(s"$outDir/bitacora")
-    }
+    quarantine(spark, outDir, quarantined.map(p => p.substring(p.lastIndexOf('/') + 1)), asOf)
     if (todo.isEmpty) return RunSummary(quarantined.size.toLong, 0, 0)
 
     val raw = spark.read
@@ -127,18 +132,35 @@ object Pipeline {
       .schema(Layout.rawSchema)
       .csv(todo: _*)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
-    val s = processBatch(spark, raw, outDir, asOf)
+    val s = processBatch(spark, raw, outDir, asOf,
+      expectedFiles = todo.map(p => p.substring(p.lastIndexOf('/') + 1)))
     s.copy(files = s.files + quarantined.size)
   }
 
   /** Transform + load for one batch of tagged raw rows — the shared core of
     * the batch driver above and [[graft.streaming.StreamingPipeline]]'s
     * foreachBatch sink.
+    *
+    * `expectedFiles`: basenames the caller believes are in this batch. A
+    * header-only (zero-row) file contributes no rows, so the data-derived
+    * bitacora would skip it and the ledger's "processed file never re-enters"
+    * guarantee would break — it would be re-listed and re-read every run.
+    * Expected files absent from the data-derived ledger get an explicit
+    * (0, 0, 'Completado') row.
     */
-  def processBatch(spark: SparkSession, raw: DataFrame, outDir: String, asOf: Date): RunSummary = {
+  def processBatch(spark: SparkSession, raw: DataFrame, outDir: String, asOf: Date,
+                   expectedFiles: Seq[String] = Seq.empty): RunSummary = {
     // P16: missing columns are a hard failure; extra columns flow through.
     val layout = Validate.checkLayout(raw.drop("nombreArchivo"))
     require(layout.ok, s"layout check failed, missing columns: ${layout.missing.mkString(", ")}")
+
+    // All-empty batch (every expected file was header-only): a partitioned
+    // write of zero rows leaves no readable parquet behind, so skip the
+    // transform entirely and just ledger the files.
+    if (raw.isEmpty) {
+      emptyFileLedger(spark, outDir, expectedFiles, asOf)
+      return RunSummary(expectedFiles.size.toLong, 0, 0)
+    }
 
     // P4-P8: flag + single-pass materialized split. The scratch dir must be
     // truncated WHOLE (static overwrite): under the session's dynamic
@@ -179,14 +201,33 @@ object Pipeline {
     Files.createDirectories(ptr.getParent)
     Files.writeString(ptr, nextVersion)
 
-    // bitacora: the per-file ledger, appended last.
+    // bitacora: the per-file ledger, appended last. Files the caller expected
+    // but that produced zero rows (header-only inputs) still get a ledger row
+    // — otherwise they are never marked processed and re-enter every run.
     val bit = Prepare.bitacora(ok, exploded).withColumn("fechaProceso", lit(asOf))
     bit.write.mode("append").parquet(s"$outDir/bitacora")
+    val seen = bit.select("nombreArchivo").collect().map(_.getString(0)).toSet
+    emptyFileLedger(spark, outDir, expectedFiles.filterNot(seen), asOf)
 
     val totals = bit.agg(
       count(lit(1)), sum("registrosExitosos"), sum("registrosFallidos")).head()
-    RunSummary(totals.getLong(0),
+    RunSummary(totals.getLong(0) + expectedFiles.count(!seen(_)),
       if (totals.isNullAt(1)) 0L else totals.getLong(1),
       if (totals.isNullAt(2)) 0L else totals.getLong(2))
   }
+
+  /** 'Completado' (0/0) ledger rows for expected files that contributed no
+    * data rows — see [[processBatch]]'s `expectedFiles` contract.
+    */
+  private def emptyFileLedger(spark: SparkSession, outDir: String,
+                              basenames: Seq[String], asOf: Date): Unit =
+    if (basenames.nonEmpty) {
+      import spark.implicits._
+      basenames.toDF("nombreArchivo")
+        .withColumn("registrosExitosos", lit(0L))
+        .withColumn("registrosFallidos", lit(0L))
+        .withColumn("estatus", lit("Completado"))
+        .withColumn("fechaProceso", lit(asOf))
+        .write.mode("append").parquet(s"$outDir/bitacora")
+    }
 }

@@ -20,11 +20,17 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic contract: identical to the HOF version — each float widens to
   * double before multiply, accumulation left-to-right — so results are
-  * bit-identical and the DuckDB oracles keep matching. Shorter array bounds
-  * the loop (zip_with semantics with null-free inputs); null array → null.
+  * bit-identical for well-formed inputs (equal-length, null-free arrays),
+  * and the DuckDB oracles keep matching. Malformed inputs also agree with
+  * the HOF: unequal lengths (zip_with null-pads the shorter side) or a null
+  * element (null poisons `aggregate`'s sum) → NULL, as does a null array.
   * Registered as SQL function `dot_f32` by [[graft.GraftExtensions]].
   */
 case class DotF32(left: Expression, right: Expression) extends BinaryExpression {
+
+  // The result can be null even for non-null inputs (length mismatch /
+  // null element), independent of child nullability.
+  override def nullable: Boolean = true
 
   // ExpectsInputTypes.inputTypes needs the private[sql] AbstractDataType —
   // enforce the contract in checkInputDataTypes instead.
@@ -44,10 +50,12 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -60,12 +68,17 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -19,8 +19,17 @@ object Bucketing {
     * forgets the table — the next overwrite then fails with
     * LOCATION_ALREADY_EXISTS. If the catalog does NOT know the table but its
     * managed location exists, the location is a dead orphan and is removed.
+    *
+    * The warehouseDir/<name> location heuristic is only valid for simple
+    * (unqualified, default-database) names — a qualified `db.tbl` lives under
+    * `db.db/tbl` and the naive mapping could delete an unrelated directory,
+    * so qualified names are rejected. Single-writer assumption: the orphan
+    * check races with any concurrent writer of the same table name; callers
+    * own serialization per table.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed requires an unqualified table name in the default database, got '$table'")
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(

@@ -171,9 +171,16 @@ object Dedup {
     val sets = spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol)))
       .select(col("blk"), col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col("blk"), col(idCol), array_distinct(Text.shingles3(col("toks"))).as("sh"))
-    val inv = sets.select(col("blk"), col(idCol), explode(col("sh")).as("shingle"))
-    val pairs = inv.select(col("blk"), col("shingle"), col(idCol).as("a"))
-      .join(inv.select(col("blk"), col("shingle"), col(idCol).as("b")), Seq("blk", "shingle"))
+    // The inverted index joins on xxhash64(shingle), not the shingle string:
+    // the join/shuffle key drops from ~25 B of text to 8 B with identical
+    // match counts (a cross-shingle 64-bit collision inside one block would
+    // be needed to change n_common; at 2^-64 per pair that is not a realistic
+    // event at any corpus size this engine targets). Distinctness per doc is
+    // established on the string set BEFORE hashing, so counts are exact.
+    val inv = sets.select(col("blk"), col(idCol),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val pairs = inv.select(col("blk"), col("h"), col(idCol).as("a"))
+      .join(inv.select(col("blk"), col("h"), col(idCol).as("b")), Seq("blk", "h"))
       .filter(col("a") < col("b"))
       .groupBy(col("blk"), col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"))

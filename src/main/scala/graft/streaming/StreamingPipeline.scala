@@ -37,6 +37,13 @@ object StreamingPipeline {
 
   /** Drain all currently-available files through the ETL, then stop.
     * `checkpointDir` carries processed-file state across restarts.
+    *
+    * P16 layout gate: the schema-enforced stream read cannot itself fail
+    * layout (columns are imposed positionally), so each micro-batch's file
+    * set is recovered via `input_file_name()` and the same driver-side
+    * header check as [[Pipeline.runBatch]] runs per file — wrong-layout
+    * files are quarantined with a 'Fallido' ledger row and their (garbage)
+    * rows excluded, instead of silently parsing into the outputs.
     */
   def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
                       checkpointDir: String, asOf: Date): StreamingQuery =
@@ -44,7 +51,18 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { Pipeline.processBatch(spark, batch, outDir, asOf); () }
+        val files = batch.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val (good, bad) = files.partition(f => Pipeline.checkHeader(spark, f).ok)
+        def basenames(ps: Seq[String]) = ps.map(p => p.substring(p.lastIndexOf('/') + 1))
+        Pipeline.quarantine(spark, outDir, basenames(bad), asOf)
+        if (good.nonEmpty) {
+          val goodBatch =
+            if (bad.isEmpty) batch else batch.filter(input_file_name().isin(good: _*))
+          Pipeline.processBatch(spark, goodBatch, outDir, asOf,
+            expectedFiles = basenames(good))
+        }
+        ()
       }
       .start()
 

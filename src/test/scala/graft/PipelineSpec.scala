@@ -100,4 +100,17 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val s2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-23"))
     assert(s2 == Pipeline.RunSummary(0, 0, 0))
   }
+
+  test("run 5: header-only (zero-row) file gets a ledger row and never re-enters") {
+    Files.write(inDir.resolve("report_d.txt"), (header + "\n").getBytes)
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-24"))
+    assert(s == Pipeline.RunSummary(1, 0, 0))
+    val bit = spark.read.parquet(s"$outDir/bitacora")
+      .filter(col("nombreArchivo") === "report_d.txt").collect()
+    assert(bit.length == 1 && bit(0).getAs[String]("estatus") == "Completado")
+    assert(bit(0).getAs[Long]("registrosExitosos") == 0L)
+    // the ledger row marks it processed: the next run does not re-read it
+    val s2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-25"))
+    assert(s2 == Pipeline.RunSummary(0, 0, 0))
+  }
 }

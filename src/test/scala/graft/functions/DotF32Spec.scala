@@ -31,16 +31,25 @@ class DotF32Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
-  test("null array → null; empty arrays → 0.0; shorter side bounds the loop") {
+  test("malformed inputs agree with the HOF: null array / length mismatch / null element → null") {
     val df = Seq(
-      (Some(Array(1f, 2f)), Some(Array(3f, 4f, 5f))), // len mismatch: 1*3+2*4
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f, 5f))), // zip_with null-pads → HOF null
       (None, Some(Array(1f))),
       (Some(Array.empty[Float]), Some(Array.empty[Float]))
     ).toDF("a", "b")
     val out = df.select(Vectors.dot($"a", $"b")).collect()
-    assert(out(0).getDouble(0) == 11.0)
+    assert(out(0).isNullAt(0))
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0) == 0.0)
+
+    // null ELEMENT poisons the sum to null on both paths (the HOF behaves
+    // the same: null*x → null, aggregate's + propagates it)
+    val withNullElem = spark.sql(
+      "SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d")
+    assert(withNullElem.head().isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(withNullElem.head().isNullAt(0))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   test("dot_f32 is callable from SQL and stays inside whole-stage codegen") {
