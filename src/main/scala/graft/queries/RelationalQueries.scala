@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Temporal
 
 /** General relational surface over the TPC-H-ish tables: aggregation shapes,
   * join strategies (broadcast for dims, semi/anti/outer), window functions,
@@ -201,6 +202,46 @@ object RelationalQueries {
         .select("user_id", "session_start", "n_events", "duration_sec")
         .orderBy("user_id", "session_start")),
 
+    // As-of join: attribute each purchase to the user's most recent click
+    // at-or-before it (backward inclusive). Right side pre-deduped to one
+    // row per (user_id, ts) for determinism. Oracle: DuckDB ASOF LEFT JOIN.
+    "aj1_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+      Temporal.joinAsOf(buys, clicks, Seq("user_id"), "ts", "click_ts",
+          payload = Seq("click_id", "click_ts"))
+        .select(col("buy_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("buy_epoch"),
+          col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy("buy_id")
+    }),
+
+    // Range (interval) join via band bucketing: returned lineitems shipped
+    // in the 7 days up to an urgent order's date — an equi-join on 8-day
+    // bands + residual filter, never a nested-loop plan. Oracle: the plain
+    // theta join BETWEEN, same pairs.
+    "rj1_range_join" -> ((s, d) => {
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (unix_date(col("o_orderdate").cast("date")) - 7).cast("long").as("lo_day"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("hi_day"))
+      val points = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"))
+      Temporal.bandRangeJoin(points, "ship_day", intervals, "lo_day", "hi_day", bandWidth = 8L)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("order_month")
+    }),
+
     // Skew-safe two-stage (salted) aggregation; result identical to the plain
     // groupBy, which is exactly what the oracle checks. Salt is deterministic.
     "x1_salted_agg" -> ((s, d) =>
@@ -355,6 +396,32 @@ object RelationalQueries {
         |    - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "aj1_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |buys AS (
+        |  SELECT event_id AS buy_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT b.buy_id, b.user_id,
+        |  CAST(FLOOR(epoch(b.ts)) AS BIGINT) AS buy_epoch,
+        |  c.click_id,
+        |  CAST(FLOOR(epoch(c.click_ts)) AS BIGINT) AS click_epoch
+        |FROM buys b ASOF LEFT JOIN clicks c
+        |  ON b.user_id = c.user_id AND c.click_ts <= b.ts
+        |ORDER BY buy_id""".stripMargin,
+
+    "rj1_range_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  COUNT(*) AS n_pairs
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate - INTERVAL 7 DAY
+        | AND l_shipdate <= o_orderdate
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
 
     "x1_salted_agg" ->
       """SELECT event_type,
