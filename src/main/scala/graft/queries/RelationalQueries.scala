@@ -136,6 +136,65 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Multi-dimensional aggregate: full CUBE over (lang, source) with an
+    // explicit grouping_id so subtotal rows disambiguate from real NULL keys.
+    // Like rollup, one pass: partial aggregation expands all grouping sets.
+    "r2_cube_docs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select("gid", "lang", "source", "n")
+        .orderBy(col("gid"), asc_nulls_first("lang"), asc_nulls_first("source"))),
+
+    // Arbitrary GROUPING SETS (neither rollup nor cube): per-returnflag and
+    // per-linestatus marginals plus the grand total, one scan.
+    "gs1_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_gs1")
+      s.sql(
+        """SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM l_gs1
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Offset windows: per-user lag/lead over event time — inter-event gaps
+    // in both directions (stream-adjacent sessionization building block).
+    "w3_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("gap_prev_s", col("epoch") - lag(col("epoch"), 1).over(w))
+        .withColumn("gap_next_s", lead(col("epoch"), 1).over(w) - col("epoch"))
+        .select("user_id", "event_id", "epoch", "gap_prev_s", "gap_next_s")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Distribution window: value quartile within each event type (ntile over
+    // a total order, so bucket boundaries are deterministic), then the
+    // per-bucket value range as the aggregate readout.
+    "w4_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo_value"),
+          round(max(col("value")), 2).as("hi_value"))
+        .orderBy("event_type", "quartile")
+    }),
+
+    // Set op: UNION ALL (bag semantics — the dedup-free complement of
+    // set1/set2) with per-source provenance counts.
+    "set3_union_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"), lit("customer").as("src"))
+        .unionByName(
+          Tables.orders(s, d).select(col("o_custkey").as("custkey"), lit("orders").as("src")))
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("src")).as("n_sources"))
+        .orderBy("custkey")),
+
     // Pivot: event counts per user bucket x event_type as columns — the
     // wide-format reshape; equals conditional aggregation, which is exactly
     // what the oracle spells out.
@@ -396,6 +455,52 @@ object RelationalQueries {
         |    - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "r2_cube_docs" ->
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, lang, source, COUNT(*) AS n
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+
+    "gs1_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "w3_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w AS gap_prev_s,
+        |  LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w
+        |    - CAST(FLOOR(epoch(ts)) AS BIGINT) AS gap_next_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w4_ntile" ->
+      """SELECT event_type, quartile, COUNT(*) AS n,
+        |  ROUND(MIN(value), 2) AS lo_value,
+        |  ROUND(MAX(value), 2) AS hi_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+        |  FROM events) t
+        |GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin,
+
+    "set3_union_all" ->
+      """SELECT custkey, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+        |FROM (
+        |  SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey, 'orders' AS src FROM orders) u
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
 
     "aj1_asof_join" ->
       """WITH clicks AS (
