@@ -250,8 +250,10 @@ object RelationalQueries {
     }),
 
     // Sessionization: native session_window (30 min gap) per user. The
-    // oracle reproduces the half-open gap semantics (a gap of exactly 30
-    // minutes starts a NEW session) with gaps-and-islands window functions.
+    // oracle reproduces session_window's gap semantics — an event exactly
+    // 30 minutes after the previous one still MERGES (verified in
+    // StreamingPipelineSpec); only a strictly larger gap starts a new
+    // session — with gaps-and-islands window functions.
     "e9b_session_windows" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -439,7 +441,7 @@ object RelationalQueries {
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= INTERVAL 30 MINUTE
+        |              > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (

@@ -1,11 +1,20 @@
 package graft.streaming
 
 import java.sql.Date
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.Pipeline
 import graft.operators.Layout
+
+/** One finalized user session (same shape/epoch-second semantics as the
+  * batch `e9b_session_windows` query, so batch and stream agree row-for-row
+  * on session-complete data).
+  */
+final case class SessionOut(user_id: Long, session_start: Long, n_events: Long, duration_sec: Long)
+
+/** Open-session state carried between micro-batches (milliseconds). */
+final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
 /** Structured Streaming form of the ETL (SURVEY.md §2.10).
   *
@@ -65,6 +74,78 @@ object StreamingPipeline {
         ()
       }
       .start()
+
+  /** Streaming sessionization with CUSTOM state — the charter's
+    * `flatMapGroupsWithState` surface (`session_window` covers the declarative
+    * case; this is the escape hatch for session logic Spark's built-in can't
+    * express, e.g. per-session caps or value-dependent gaps).
+    *
+    * State per user = the single open session (start, last, count) —
+    * bounded, watermark-expired, O(1) per user regardless of history, so a
+    * 100 TB/day stream holds |active users| rows of state, not events.
+    * Sessions close either when a new event arrives ≥ `gapSec` after the
+    * last, or when the event-time timeout fires (watermark passed
+    * last + gap). Boundary matches batch `session_window`, which MERGES an
+    * event landing exactly `gapSec` after the previous one (verified in
+    * StreamingPipelineSpec; sessions close only when the gap strictly
+    * exceeds `gapSec`). Epoch seconds floor-truncate, matching
+    * `unix_timestamp`.
+    *
+    * Ordering contract: events are sorted within each micro-batch; a
+    * cross-batch straggler (allowed by the watermark) merges into the open
+    * session conservatively (min/max extend) rather than re-splitting
+    * already-closed sessions — the standard state-streaming tradeoff.
+    */
+  def sessionizeStream(events: DataFrame, gapSec: Long = 1800,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSec * 1000L
+
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, state) =>
+          def close(s: OpenSession) =
+            SessionOut(uid, s.startMs / 1000, s.n, s.lastMs / 1000 - s.startMs / 1000)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            it.map(_._2.getTime).toArray.sorted.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              // +1: an event exactly gapSec after `last` still merges, so the
+              // session may only time out once the watermark strictly passes
+              // last + gap
+              val deadline = s.lastMs + gapMs + 1
+              if (deadline <= state.getCurrentWatermarkMs()) {
+                // already expired per the watermark — emit now, keep no state
+                closed += close(s)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(deadline)
+              }
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming E9: watermarked tumbling-window aggregate over an event
     * stream — the streaming twin of the batch `e9_hourly_window` query.

@@ -78,4 +78,49 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.contains((h10, 2L, 3.0)))
     assert(rows.contains((h11, 1L, 4.0)))
   }
+
+  test("flatMapGroupsWithState sessionizer matches batch session_window on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+
+    // user 1: two sessions (09:00-09:20, then 10:00 — a 40 min gap); the
+    // second session's events SPAN micro-batches. user 2: 09:59 lands
+    // exactly 30 min after 09:29 — session_window MERGES the exact-gap
+    // boundary (one session), and the stream must agree.
+    val b1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 09:20:00")),
+      (2L, Timestamp.valueOf("2024-01-01 09:29:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    val b2 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")),
+      (2L, Timestamp.valueOf("2024-01-01 09:59:00")))
+    val sentinel = Seq((99L, Timestamp.valueOf("2024-01-02 12:00:00")))
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = StreamingPipeline.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts"), gapSec = 1800, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(sentinel: _*); q.processAllAvailable()
+    // one more empty-ish batch so event-time timeouts fire against the
+    // sentinel-advanced watermark
+    mem.addData((99L, Timestamp.valueOf("2024-01-02 12:00:01"))); q.processAllAvailable()
+    val got = spark.table("sess")
+      .filter($"user_id" < 99).as[SessionOut].collect().toSet
+    q.stop()
+
+    val want = (b1 ++ b2).toDF("user_id", "ts")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min($"ts")).as("session_start"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("duration_sec"))
+      .select($"user_id", $"session_start", $"n_events", $"duration_sec")
+      .as[SessionOut].collect().toSet
+    assert(got == want)
+    assert(got.size == 3) // 2 sessions for user 1; user 2's exact-gap pair merges
+  }
 }
