@@ -55,6 +55,20 @@ object Dedup {
       .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), Text.shingles3(col("toks")).as("sh"))
 
+  /** Materialize an expensive subtree that the downstream DAG consumes more
+    * than once. Spark has no cross-branch common-subexpression elimination:
+    * the LSH pipelines reference the shingle sets from the signature branch
+    * AND both sides of the verification join, so the tokenize→shingle lambda
+    * chain would run 3x per query. `localCheckpoint` computes it once and
+    * rereads the materialized partitions (freed when the RDD is GC'd) —
+    * unlike `persist`, it does not register with the cache manager, so
+    * repeated benchmark epochs can't silently hit a stale cross-query cache.
+    * At cluster scale the same role is played by `checkpoint` to reliable
+    * storage or an explicit staging write (as `Pipeline.processBatch` does
+    * with the flagged frame).
+    */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** MinHash signature columns: minhash_p = min over shingles of
     * xxhash64(shingle, p). One explode + one groupBy — signature computation
     * is a single shuffle keyed by doc id with map-side partial min.
@@ -93,10 +107,15 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numPerms: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numPerms)
+    // One materialized shingle-set pass feeds signatures AND verification
+    // (min over the distinct set equals min over the raw bag, so signatures
+    // are unchanged by deriving them from `sets`).
+    val sets = materialize(shingleArrays(df, idCol, textCol)
+      .withColumn("sh", array_distinct(col("sh"))))
+    val sh = sets.select(col(idCol), explode_outer(col("sh")).as("shingle"))
+    val aggs = (0 until numPerms).map(p => min(xxhash64(col("shingle"), lit(p))).as(s"mh_$p"))
+    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val cands = minhashLshCandidates(sigs, idCol, numPerms, bands)
-    val sets = shingleArrays(df, idCol, textCol)
-      .withColumn("sh", array_distinct(col("sh")))
     val verified = cands
       .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
       .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
@@ -117,8 +136,8 @@ object Dedup {
                          numPerms: Int = 16, bands: Int = 8, threshold: Double = 0.05): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rows = numPerms / bands
-    val sets = shingleArrays(df, idCol, textCol)
-      .withColumn("sh", array_distinct(col("sh")))
+    val sets = materialize(shingleArrays(df, idCol, textCol)
+      .withColumn("sh", array_distinct(col("sh"))))
     val sh = sets.select(col(idCol), explode(col("sh")).as("shingle"))
     val aggs = (0 until numPerms).map(p =>
       min(md5(concat(col("shingle"), lit(s":$p")))).as(s"mh_$p"))
@@ -168,9 +187,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
-    val sets = spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol)))
-      .select(col("blk"), col(idCol), Text.tokens(col(textCol)).as("toks"))
-      .select(col("blk"), col(idCol), array_distinct(Text.shingles3(col("toks"))).as("sh"))
+    val sets = materialize(
+      spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol)))
+        .select(col("blk"), col(idCol), Text.tokens(col(textCol)).as("toks"))
+        .select(col("blk"), col(idCol), array_distinct(Text.shingles3(col("toks"))).as("sh")))
     // The inverted index joins on xxhash64(shingle), not the shingle string:
     // the join/shuffle key drops from ~25 B of text to 8 B with identical
     // match counts (a cross-shingle 64-bit collision inside one block would
