@@ -164,6 +164,52 @@ object ExtensionQueries {
             greatest(size(col("toks")), lit(1)).cast("double"), 4).as("ttr"))
         .orderBy("doc_id")),
 
+    // T6 TF-IDF: top-3 terms per document (smoothed idf, tf·idf ranking with
+    // word tiebreak). Ties in score only occur at equal (tf, df), where both
+    // engines compute bit-identical doubles — so the rank is deterministic.
+    "t6_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), col("word"))
+      tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"), round(col("score"), 4).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    // A5b approximate percentiles (Greenwald-Khanna sketch) — the mergeable
+    // single-shuffle scale path next to a5's exact sort-based percentiles.
+    // No oracle: the approximation is engine-specific (rows-only check).
+    "a5b_approx_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // SMP1 stratified sample: per-stratum Bernoulli sampling with a fixed
+    // seed — the standard training-data downsampling op. Selection hashes
+    // are engine-specific (rows-only check).
+    "smp1_stratified_sample" -> ((s, d) =>
+      Tables.events(s, d)
+        .stat.sampleBy("event_type",
+          Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+            "signup" -> 0.1, "error" -> 0.05), 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("event_type")),
+
     // T4 document fingerprint: md5 over whitespace-normalized text.
     "t4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -403,6 +449,19 @@ object ExtensionQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT doc_id, rn, word, tfidf FROM (
+         |  SELECT doc_id, word,
+         |    ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, word) AS rn
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd) t
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, lang AS blk, $toksSql AS toks FROM documents),
