@@ -296,10 +296,13 @@ object RelationalQueries {
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
           unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"))
+      // per-order partial first: n_orders without a distinct-aggregate
+      // Expand (orders with >=1 pair == rows of the partial), n_pairs by sum
       Temporal.bandRangeJoin(points, "ship_day", intervals, "lo_day", "hi_day", bandWidth = 8L)
-        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
-        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_pairs"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("pairs_per_order"))
+        .groupBy("order_month")
+        .agg(count(lit(1)).as("n_orders"), sum(col("pairs_per_order")).as("n_pairs"))
         .orderBy("order_month")
     }),
 
