@@ -96,6 +96,22 @@ object ExtensionQueries {
         .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("n"), col("sum_value"))
         .orderBy("hour_epoch")),
 
+    // E9c gap-filled resample: purchases per hour on a DENSE hourly grid
+    // (sequence over the observed span + left join, zero-filled) — the
+    // time-series regularization every downstream window/forecast op needs.
+    // The grid generates from one aggregated row, so it costs no shuffle of
+    // the fact table beyond the hourly rollup itself.
+    "e9c_hourly_gapfill" -> ((s, d) => {
+      val buys = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600))).as("hour_epoch"))
+      val hourly = buys.groupBy("hour_epoch").agg(count(lit(1)).as("n"))
+      val grid = hourly.agg(min("hour_epoch").as("lo"), max("hour_epoch").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600))).as("hour_epoch"))
+      grid.join(hourly, Seq("hour_epoch"), "left")
+        .select(col("hour_epoch"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_epoch")
+    }),
+
     // T1 language-ID heuristic: stopword ratio → en / unk.
     "t1_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -388,6 +404,19 @@ object ExtensionQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
         |  FROM cos) t
         |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+
+    "e9c_hourly_gapfill" ->
+      """WITH buys AS (
+        |  SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch
+        |  FROM events WHERE event_type = 'purchase'),
+        |hourly AS (SELECT hour_epoch, COUNT(*) AS n FROM buys GROUP BY 1),
+        |grid AS (
+        |  SELECT unnest(generate_series((SELECT MIN(hour_epoch) FROM hourly),
+        |                                (SELECT MAX(hour_epoch) FROM hourly),
+        |                                3600)) AS hour_epoch)
+        |SELECT g.hour_epoch, COALESCE(h.n, 0) AS n
+        |FROM grid g LEFT JOIN hourly h USING (hour_epoch)
+        |ORDER BY hour_epoch""".stripMargin,
 
     "t1_langid" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -185,6 +185,20 @@ object RelationalQueries {
         .orderBy("event_type", "quartile")
     }),
 
+    // RANGE-frame window: per-user trailing-1-hour event count/value sum —
+    // frame membership is value-based (epoch seconds), so tied timestamps
+    // are all peers and the result is order-insensitive by construction.
+    "w5_rolling_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch"))
+        .rangeBetween(-3599, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec2(col("value"))).over(w).cast("double"))
+        .select("user_id", "event_id", "epoch", "n_1h", "sum_1h")
+        .orderBy("user_id", "event_id")
+    }),
+
     // Set op: UNION ALL (bag semantics — the dedup-free complement of
     // set1/set2) with per-source provenance counts.
     "set3_union_all" -> ((s, d) =>
@@ -497,6 +511,16 @@ object RelationalQueries {
         |  FROM events) t
         |GROUP BY event_type, quartile
         |ORDER BY event_type, quartile""".stripMargin,
+
+    "w5_rolling_range" ->
+      """SELECT user_id, event_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "set3_union_all" ->
       """SELECT custkey, COUNT(*) AS n_rows,
