@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotF32
+import graft.functions.{DotF32, VectorizeDotProduct}
 
-/** Session extensions: registers the engine's native expressions
-  * (SparkSessionExtensions is the supported injection point — activated via
-  * `spark.sql.extensions=graft.GraftExtensions` in [[Sessions.tuning]], so
-  * every engine session, including `spark-submit`-launched ones, gets them
-  * without code changes).
+/** Session extensions: registers the engine's native expressions and
+  * optimizer rules (SparkSessionExtensions is the supported injection
+  * point — activated via `spark.sql.extensions=graft.GraftExtensions` in
+  * [[Sessions.tuning]], so every engine session, including
+  * `spark-submit`-launched ones, gets them without code changes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_f32 requires exactly 2 arguments, got ${children.size}")
         DotF32(children.head, children(1))
       }))
+    // HOF-form dot products (user-written or Vectors.dotHof) compile down
+    // to the native expression automatically.
+    ext.injectOptimizerRule(_ => VectorizeDotProduct)
   }
 }

@@ -19,6 +19,17 @@ object RelationalQueries {
 
   private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
   private def dec4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  private val eventTypes = Seq("click", "purchase", "view", "signup", "error")
+
+  /** The v1 pivot's wide frame (shared by the pivot and unpivot queries). */
+  private def pivotWide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy("user_bucket")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   private def revenue = dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
 
@@ -212,14 +223,15 @@ object RelationalQueries {
     // Pivot: event counts per user bucket x event_type as columns — the
     // wide-format reshape; equals conditional aggregation, which is exactly
     // what the oracle spells out.
-    "v1_pivot_events" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
-        .groupBy("user_bucket")
-        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-        .orderBy("user_bucket")),
+    "v1_pivot_events" -> ((s, d) => pivotWide(s, d).orderBy("user_bucket")),
+
+    // Unpivot (melt): the wide pivot back to long form — zero-filled combos
+    // become explicit n=0 rows, which is exactly what distinguishes the
+    // roundtrip from a plain groupBy (the oracle spells out the stack).
+    "v2_unpivot_events" -> ((s, d) =>
+      pivotWide(s, d)
+        .unpivot(Array(col("user_bucket")), eventTypes.map(col).toArray, "event_type", "n")
+        .orderBy("user_bucket", "event_type")),
 
     // Exact distinct per group (expensive two-shuffle shape, kept exact).
     "a4_count_distinct" -> ((s, d) =>
@@ -431,6 +443,23 @@ object RelationalQueries {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "v2_unpivot_events" ->
+      """WITH wide AS (
+        |  SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |  FROM events GROUP BY 1)
+        |SELECT user_bucket, event_type, n FROM (
+        |  SELECT user_bucket, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_bucket, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT user_bucket, 'view', view FROM wide
+        |  UNION ALL SELECT user_bucket, 'signup', signup FROM wide
+        |  UNION ALL SELECT user_bucket, 'error', error FROM wide) t
+        |ORDER BY user_bucket, event_type""".stripMargin,
 
     "a5_percentiles" ->
       """SELECT l_returnflag,

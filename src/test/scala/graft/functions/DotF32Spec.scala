@@ -52,6 +52,28 @@ class DotF32Spec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("VectorizeDotProduct rewrites the HOF dot to dot_f32; near-miss shapes survive") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the HOF form optimizes into the native expression...
+    val hofPlan = emb.select(Vectors.dotHof(col("embedding"), col("embedding")))
+      .queryExecution.optimizedPlan.toString
+    assert(hofPlan.contains("dot_f32"), s"not rewritten:\n$hofPlan")
+    // ...with identical results
+    val viaRule = emb.select(Vectors.dotHof(col("embedding"), col("embedding")).as("d")).collect()
+    val native = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d")).collect()
+    assert(viaRule.map(_.getDouble(0)).toSeq == native.map(_.getDouble(0)).toSeq)
+
+    // near-miss: double arrays keep the HOF (DotF32 requires array<float>)
+    val dbl = emb.select(col("embedding").cast("array<double>").as("e"))
+    val dblPlan = dbl.select(Vectors.dotHof(col("e"), col("e")))
+      .queryExecution.optimizedPlan.toString
+    assert(!dblPlan.contains("dot_f32"), s"must not rewrite double arrays:\n$dblPlan")
+    // near-miss: lshBucket's zip_with against an integer plane array
+    val lshPlan = emb.select(Vectors.lshBucket(col("embedding"), 4))
+      .queryExecution.optimizedPlan.toString
+    assert(!lshPlan.contains("dot_f32"), s"must not rewrite lshBucket:\n$lshPlan")
+  }
+
   test("dot_f32 is callable from SQL and stays inside whole-stage codegen") {
     vecs.createOrReplaceTempView("dotf32_v")
     val viaSql = spark.sql(
