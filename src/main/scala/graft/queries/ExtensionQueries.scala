@@ -185,9 +185,12 @@ object ExtensionQueries {
     // engines compute bit-identical doubles — so the rank is deterministic.
     "t6_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // tf feeds both the document-frequency aggregate and the score join;
+      // materialize it once (no cross-branch CSE — see Dedup.materialize)
       val tf = docs
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))

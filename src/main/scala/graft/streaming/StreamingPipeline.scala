@@ -147,6 +147,17 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exactly-once event dedup: drops re-deliveries of the same
+    * `idCols` within the watermark horizon (state expires with the
+    * watermark, so memory is bounded by the horizon's id cardinality, not
+    * the stream's). The streaming twin of `Dedup.exact` for at-least-once
+    * sources.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming E9: watermarked tumbling-window aggregate over an event
     * stream — the streaming twin of the batch `e9_hourly_window` query.
     * Late rows beyond the watermark are dropped; state is bounded.

@@ -123,4 +123,26 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(got == want)
     assert(got.size == 3) // 2 sessions for user 1; user 2's exact-gap pair merges
   }
+
+  test("dedupStream drops same-id re-deliveries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val out = StreamingPipeline.dedupStream(
+      mem.toDF().toDF("event_id", "ts"), Seq("event_id"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"))) // in-batch dup
+    q.processAllAvailable()
+    mem.addData((2L, Timestamp.valueOf("2024-01-01 10:30:00")), // cross-batch dup
+      (3L, Timestamp.valueOf("2024-01-01 10:31:00")))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+  }
 }
