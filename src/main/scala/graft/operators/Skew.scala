@@ -41,4 +41,22 @@ object Skew {
       .agg(combines(partials.head._1)(col(partials.head._1)).as(partials.head._1),
         partials.tail.map { case (n, _) => combines(n)(col(n)).as(n) }: _*)
   }
+
+  /** Salted equi-join for a probe side skewed on the join keys: each probe
+    * row gets a deterministic salt in [0, buckets), the build side is
+    * replicated across ALL salts, and the join key becomes (keys, salt) — a
+    * hot key's rows now land on `buckets` reducers instead of one. Result is
+    * exactly the plain inner join (every probe row meets every matching
+    * build row in exactly one salt partition).
+    *
+    * Use when AQE's skew-join splitting can't apply — streaming joins, or a
+    * build side replicated cheaply enough that `buckets`x duplication beats
+    * one straggler task. Cost: |right| · buckets build rows.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFrom: Column, buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -25,4 +25,25 @@ class SkewSpec extends SparkSpec {
       .orderBy("event_type").collect()
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("saltedJoin == plain inner join on skewed keys, and shuffles on (key, salt)") {
+    import spark.implicits._
+    // 90% of probe rows share one hot key
+    val probe = Seq.tabulate(2000) { i =>
+      (i.toLong, if (i % 10 == 0) i.toLong % 7 else 999L)
+    }.toDF("row_id", "k")
+    val build = Seq.tabulate(1000)(i => (i.toLong, s"dim_$i")).toDF("k", "label")
+
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), saltFrom = $"row_id", buckets = 8)
+    val got = salted.select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = probe.join(build, "k").select("row_id", "k", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // the physical join key includes the salt: the hot key spreads over
+    // `buckets` reducers instead of one
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt not in the plan:\n$plan")
+  }
 }
