@@ -313,9 +313,11 @@ object RelationalQueries {
     // bands + residual filter, never a nested-loop plan. Oracle: the plain
     // theta join BETWEEN, same pairs.
     "rj1_range_join" -> ((s, d) => {
+      // order_month is computed on the (small) interval side, not per pair
       val intervals = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
-        .select(col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
           (unix_date(col("o_orderdate").cast("date")) - 7).cast("long").as("lo_day"),
           unix_date(col("o_orderdate").cast("date")).cast("long").as("hi_day"))
       val points = Tables.lineitem(s, d)
@@ -325,7 +327,7 @@ object RelationalQueries {
       // per-order partial first: n_orders without a distinct-aggregate
       // Expand (orders with >=1 pair == rows of the partial), n_pairs by sum
       Temporal.bandRangeJoin(points, "ship_day", intervals, "lo_day", "hi_day", bandWidth = 8L)
-        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .groupBy(col("o_orderkey"), col("order_month"))
         .agg(count(lit(1)).as("pairs_per_order"))
         .groupBy("order_month")
         .agg(count(lit(1)).as("n_orders"), sum(col("pairs_per_order")).as("n_pairs"))
