@@ -180,6 +180,42 @@ object Dedup {
     voted.select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: all (a < b) with Hamming distance ≤
+    * `maxDist` between 32-bit signatures, found by PIGEONHOLE BLOCKING —
+    * the signature splits into `maxDist + 1` disjoint bands, and any pair
+    * within distance `maxDist` must agree exactly on at least one band
+    * (fewer flipped bits than bands), so candidates come from an equi-join
+    * on (band index, band bits), never an all-pairs scan. The classic
+    * web-dedup layout: candidate volume is bounded by band-bucket
+    * collisions, verification is one xor+popcount per candidate.
+    *
+    * maxDist must satisfy 32 % (maxDist+1) == 0 (equal-width bands).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    require(32 % bands == 0, s"maxDist+1 must divide 32, got $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    // tiny frame (one row per doc) consumed by both self-join sides
+    val sigs = simhash32(df, idCol, textCol).localCheckpoint()
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("simhash"), col("bd.band").as("band"), col("bd.key").as("key"))
+    banded.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("sig_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("sig_b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard similarity for all pairs that
     * share at least one shingle, within a blocking key (e.g. language) —
     * the shingle inverted index IS the join, so complexity is bounded by

@@ -254,6 +254,12 @@ object ExtensionQueries {
       Dedup.simhash32(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // D3b SimHash near-dup pairs via pigeonhole banding (Hamming ≤ 3).
+    // No oracle: xxhash64-based, like d3 (rows-only check).
+    "d3b_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy("a", "b")),
+
     // D4 exact n-gram Jaccard pairs over a shingle inverted index — the
     // oracle-checkable ground truth for the near-dup family.
     "d4_ngram_jaccard" -> ((s, d) =>

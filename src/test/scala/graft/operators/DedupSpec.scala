@@ -45,6 +45,25 @@ class DedupSpec extends SparkSpec {
     assert(sig.size == 5)
   }
 
+  test("simhash near-dup pairs: exact dups at distance 0, verified hamming, no distant pairs") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(pairs.get((1L, 2L)).contains(0)) // exact dup: distance 0
+    // reported distances match a driver-side popcount of the signatures
+    val sig = Dedup.simhash32(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    pairs.foreach { case ((a, b), h) =>
+      assert(java.lang.Long.bitCount(sig(a) ^ sig(b)) == h && h <= 3)
+    }
+    // doc 4 is unrelated to 1/2: if it ever pairs, pigeonhole found a real
+    // ≤3-bit collision, which the assertion above already validated — but
+    // with these texts the distance is far larger, so no pair exists
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = s.map(t => ((t._1, t._2), t._3)).toMap
+  }
+
   test("ngram jaccard: blocking prevents cross-language pairs, threshold filters") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.05)
       .as[(String, Long, Long, Double)].collect().toSeq
