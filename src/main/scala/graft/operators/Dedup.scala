@@ -216,6 +216,85 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Edit-distance near-duplicate pairs within a blocking key. Candidates
+    * come from a two-bucket length-band equi-join — every doc lands in
+    * length buckets floor(len/W) and floor(len/W)+1, so any pair with
+    * |len_a − len_b| ≤ W shares at least one (block, bucket) key — never an
+    * all-pairs scan. Verification is a THRESHOLD-BOUNDED levenshtein
+    * (banded O(maxDist·len) DP instead of the full O(len²) table), computed
+    * only after candidate (a,b) ids are deduped, so document text crosses
+    * the shuffle exactly once per side of the verify join.
+    *
+    * Contract: a pair is reported iff |len_a − len_b| ≤ lenWindow AND
+    * dist ≤ maxDist. Since dist ≥ |len_a − len_b| always, the result is
+    * complete for dist ≤ maxDist whenever lenWindow ≥ maxDist; a smaller
+    * window (as in the registered query) is the deliberate cheap gate that
+    * also caps candidate volume — part of the operator's semantics, mirrored
+    * verbatim by the oracle.
+    */
+  def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, lenWindow: Int, maxDist: Int): DataFrame = {
+    val base = materialize(
+      spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol).as("txt")))
+        .withColumn("len", length(col("txt")))
+        .withColumn("bk", floor(col("len") / lenWindow)))
+    // candidates on (blk, bucket, id, len) only — text stays out of this join
+    val emitted = base
+      .select(col("blk"), explode(array(col("bk"), col("bk") + 1)).as("bk"),
+        col(idCol), col("len"))
+    val cands = emitted.select(col("blk"), col("bk"), col(idCol).as("a"), col("len").as("la"))
+      .join(emitted.select(col("blk"), col("bk"), col(idCol).as("b"), col("len").as("lb")),
+        Seq("blk", "bk"))
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= lenWindow)
+      .select("blk", "a", "b").distinct()
+    val texts = base.select(col(idCol), col("txt"))
+    cands
+      .join(texts.select(col(idCol).as("a"), col("txt").as("ta")), "a")
+      .join(texts.select(col(idCol).as("b"), col("txt").as("tb")), "b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist").between(0, maxDist)) // bounded form returns -1 above maxDist
+      .select("blk", "a", "b", "dist")
+  }
+
+  /** Connected components over an undirected pair graph (the canonical-doc
+    * selection step of a near-dup pipeline: cluster the pair graph, keep one
+    * doc per component). Iterative min-label propagation: each round every
+    * node takes the min of its own label and its neighbors' labels — one
+    * equi-join + one groupBy-min per round, converging in O(graph diameter)
+    * rounds (near-dup clusters are shallow, so typically 2-4). Per-round
+    * `localCheckpoint` truncates lineage so the loop's plan stays flat, and
+    * the monotone label sum doubles as the convergence test (strictly
+    * decreases until fixpoint — no extra join to diff generations).
+    * Output: (id, comp) for every node that appears in `pairs`, where comp
+    * is the component's minimum id.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp").cast("long")), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var done = edges.isEmpty
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard similarity for all pairs that
     * share at least one shingle, within a blocking key (e.g. language) —
     * the shingle inverted index IS the join, so complexity is bounded by

@@ -266,6 +266,26 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang", 0.05)
         .orderBy("blk", "a", "b")),
 
+    // D5 edit-distance near-dup: two-bucket length-band blocking per lang,
+    // bounded levenshtein verify (banded DP, O(maxDist·len) per pair).
+    "d5_levenshtein_neardup" -> ((s, d) =>
+      Dedup.editDistanceNearDup(Tables.documents(s, d), "doc_id", "text",
+        "lang", lenWindow = 16, maxDist = 40)
+        .orderBy("blk", "a", "b")),
+
+    // D6 near-dup clustering: connected components over the portable
+    // MinHash pair graph (min-label propagation), one summary row per
+    // component — the keeper-selection step of the dedup pipeline.
+    // Oracle: DuckDB recursive CTE over the identical pair set.
+    "d6_neardup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPortable(Tables.documents(s, d), "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      Dedup.connectedComponents(pairs, "a", "b")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy("comp")
+    }),
+
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
     // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
     // IEEE division, bit-identical across engines; rounding a double is not.
@@ -289,6 +309,29 @@ object ExtensionQueries {
   /** 3-shingles matching [[Text.shingles3]] (1-based). */
   private def shinglesSql(t: String) =
     s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, CAST(len($t) AS INTEGER) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
+
+  /** CTE chain reproducing [[Dedup.minhashLshPortable]]'s verified pair set
+    * (ends at `verified(a, b, jaccard)`); shared by the d2b and d6 oracles.
+    */
+  private val minhashPairsCtes: String =
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       |perms AS (SELECT CAST(p AS INTEGER) AS p FROM range(0, 16) t(p)),
+       |mins AS (
+       |  SELECT doc_id, p, MIN(md5(shingle || ':' || p)) AS mh
+       |  FROM inv CROSS JOIN perms GROUP BY doc_id, p),
+       |bands AS (
+       |  SELECT doc_id, p // 2 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS sig
+       |  FROM mins GROUP BY doc_id, p // 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT c.a, c.b,
+       |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+       |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "e1_dedup_exact" ->
@@ -358,25 +401,31 @@ object ExtensionQueries {
         |FROM events GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
 
     "d2b_minhash_portable" ->
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
-         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
-         |perms AS (SELECT CAST(p AS INTEGER) AS p FROM range(0, 16) t(p)),
-         |mins AS (
-         |  SELECT doc_id, p, MIN(md5(shingle || ':' || p)) AS mh
-         |  FROM inv CROSS JOIN perms GROUP BY doc_id, p),
-         |bands AS (
-         |  SELECT doc_id, p // 2 AS band, md5(string_agg(mh, '|' ORDER BY p)) AS sig
-         |  FROM mins GROUP BY doc_id, p // 2),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |verified AS (
-         |  SELECT c.a, c.b,
-         |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
-         |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)
+      s"""WITH $minhashPairsCtes
          |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
+
+    "d5_levenshtein_neardup" ->
+      """SELECT blk, a, b, dist FROM (
+        |  SELECT x.lang AS blk, x.doc_id AS a, y.doc_id AS b,
+        |    levenshtein(x.text, y.text) AS dist
+        |  FROM documents x JOIN documents y
+        |    ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |   AND abs(x.n_chars - y.n_chars) <= 16) t
+        |WHERE dist <= 40 ORDER BY blk, a, b""".stripMargin,
+
+    "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+         |SELECT comp, COUNT(*) AS n_members, MAX(id) AS max_id
+         |FROM labels GROUP BY comp ORDER BY comp""".stripMargin,
 
     // e2b: the LSH bucket is deterministic integer arithmetic
     // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the

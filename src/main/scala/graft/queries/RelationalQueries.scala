@@ -334,6 +334,74 @@ object RelationalQueries {
         .orderBy("order_month")
     }),
 
+    // Null-aware anti join: NOT IN plans a distinct join family from j3's
+    // NOT EXISTS (a single null in the subquery empties the result, so the
+    // join must track null presence on the build side).
+    "j5_null_aware_anti" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_j5")
+      Tables.orders(s, d).createOrReplaceTempView("o_j5")
+      s.sql(
+        """SELECT c_custkey, c_name FROM c_j5
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM o_j5 WHERE o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // TPC-H Q18 shape: HAVING on an aggregate, then join the surviving keys
+    // back to the fact — the aggregate side is tiny after the filter, so the
+    // join back is broadcast-able at any scale.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Numeric binning histogram: fixed-width buckets over order totals —
+    // single-pass groupBy on a computed key, the building block for any
+    // distribution readout. Bucket boundaries use one IEEE division + floor,
+    // bit-identical across engines.
+    "h1_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / lit(20000.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // Moment-based statistics (stddev, correlation) from EXACT decimal
+    // power sums — the mergeable formulation: partial aggregation combines
+    // by addition, so the result is order-insensitive under any partitioning
+    // (Welford-style stddev_samp/corr builtins are not reproducible across
+    // engines/partitionings). The final algebra runs in double with an
+    // identical expression tree on both sides, so every IEEE op rounds
+    // identically.
+    "a6_moment_stats" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_a6")
+      s.sql(
+        """WITH m AS (
+          |  SELECT l_returnflag,
+          |    COUNT(*) AS n,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          |  FROM l_a6 GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          |  sx / n AS mean_qty,
+          |  SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+          |  (sxy - sx * sy / n)
+          |    / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+          |FROM m ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Skew-safe two-stage (salted) aggregation; result identical to the plain
     // groupBy, which is exactly what the oracle checks. Salt is deterministic.
     "x1_salted_agg" -> ((s, d) =>
@@ -587,6 +655,44 @@ object RelationalQueries {
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
         |  AND l_returnflag = 'R'
         |GROUP BY 1 ORDER BY order_month""".stripMargin,
+
+    "j5_null_aware_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "h1_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "a6_moment_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (sxy - sx * sy / n)
+        |    / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "x1_salted_agg" ->
       """SELECT event_type,

@@ -84,4 +84,47 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("edit-distance near-dup: exact dup at 0, one-word swap counted, far texts dropped") {
+    val pairs = Dedup.editDistanceNearDup(docs, "doc_id", "text", "lang",
+      lenWindow = 16, maxDist = 10)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(pairs.contains(("en", 1L, 2L, 0)))             // exact dup
+    assert(pairs.exists { case (_, a, b, d) => a == 1L && b == 3L && d > 0 && d <= 10 })
+    assert(!pairs.exists(p => p._2 == 4L || p._3 == 4L))  // unrelated text: dist > 10
+    assert(pairs.forall(_._1 == "en"))                    // doc 5 blocked by lang
+  }
+
+  test("edit-distance near-dup: straddling a bucket boundary still pairs") {
+    // lengths 20 and 24 with W=4 land in adjacent buckets (5 and 6) — the
+    // two-bucket emission must still generate the candidate
+    val v = Seq((1L, "aaaaaaaaaaaaaaaaaaaa", "x"), (2L, "aaaaaaaaaaaaaaaaaaaabbbb", "x"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.editDistanceNearDup(v, "doc_id", "text", "lang", 4, 4)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq(("x", 1L, 2L, 4)))
+  }
+
+  test("connected components: chain and triangle collapse to min label; pairs once") {
+    // components: {1,2,3} (chain via pairs), {7,8,9} (triangle), {4,6} —
+    // chain 1-2, 2-3 needs propagation across two hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L), (7L, 9L), (4L, 6L))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 4L -> 4L, 6L -> 4L))
+  }
+
+  test("connected components: long path converges (diameter > 2)") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L) && comp.size == 8)
+  }
+
+  test("connected components: empty pair set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
+  }
 }
