@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotF32, VectorizeDotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{DotF32, LevBounded, VectorizeDotProduct}
 
 /** Session extensions: registers the engine's native expressions and
   * optimizer rules (SparkSessionExtensions is the supported injection
@@ -20,6 +21,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"dot_f32 requires exactly 2 arguments, got ${children.size}")
         DotF32(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lev_bounded"),
+      new ExpressionInfo(classOf[LevBounded].getName, "lev_bounded"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"lev_bounded requires exactly 3 arguments, got ${children.size}")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lev_bounded threshold must be an INT literal, got $other")
+        }
+        LevBounded(children.head, children(1), k)
       }))
     // HOF-form dot products (user-written or Vectors.dotHof) compile down
     // to the native expression automatically.

@@ -17,6 +17,14 @@ object Text {
   /** Distinct token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Threshold-bounded Levenshtein distance (−1 when > k): the native
+    * [[LevBounded]] expression with its ASCII byte fast path, registered as
+    * SQL `lev_bounded` by [[graft.GraftExtensions]]. Result-identical to
+    * `levenshtein(a, b, k)` for every input (LevBoundedSpec).
+    */
+  def levBounded(a: Column, b: Column, k: Int): Column =
+    call_function("lev_bounded", a, b, lit(k))
+
   /** 3-token shingles (1-based element_at matches DuckDB list indexing).
     * Empty array when fewer than 3 tokens.
     */

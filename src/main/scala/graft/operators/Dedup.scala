@@ -248,12 +248,17 @@ object Dedup {
       .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= lenWindow)
       .select("blk", "a", "b").distinct()
     val texts = base.select(col(idCol), col("txt"))
-    cands
+    // The DP projection is materialized BEFORE the sentinel filter: predicate
+    // pushdown alias-substitutes `dist` into the join condition otherwise,
+    // evaluating the DP up to 3x per candidate (measured in the plan — same
+    // family as the generator double-eval in SURVEY/memory). The scored
+    // frame is (blk, a, b, dist) — tiny — so the barrier costs nothing.
+    val scored = materialize(cands
       .join(texts.select(col(idCol).as("a"), col("txt").as("ta")), "a")
       .join(texts.select(col(idCol).as("b"), col("txt").as("tb")), "b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
-      .filter(col("dist").between(0, maxDist)) // bounded form returns -1 above maxDist
-      .select("blk", "a", "b", "dist")
+      .select(col("blk"), col("a"), col("b"),
+        Text.levBounded(col("ta"), col("tb"), maxDist).as("dist")))
+    scored.filter(col("dist").between(0, maxDist)) // bounded form returns -1 above maxDist
   }
 
   /** Connected components over an undirected pair graph (the canonical-doc

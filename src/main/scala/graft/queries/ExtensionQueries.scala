@@ -286,6 +286,38 @@ object ExtensionQueries {
         .orderBy("comp")
     }),
 
+    // C1 end-to-end curation pipeline — the charter's operators composed the
+    // way a training-data pipeline actually runs them: length gate → quality
+    // score (t2's decimal-exact composite) → near-dup keeper selection
+    // (MinHash pairs → connected components → drop non-canonical members).
+    // Every stage is a shuffle-bounded op from this library; the whole chain
+    // is one DAG, so Catalyst prunes documents columns across all of it.
+    "c1_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.5)
+      val drops = Dedup.connectedComponents(pairs, "a", "b")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      docs
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("punct_ratio",
+          round(Text.punctCount(col("text")).cast("double") / greatest(col("n_chars"), lit(1)).cast("double"), 4))
+        .withColumn("stop_ratio",
+          round(Text.stopwordHits(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("quality",
+          round((col("stop_ratio").cast("decimal(9,4)")
+            + lit(1).cast("decimal(9,4)")
+            - col("punct_ratio").cast("decimal(9,4)"))
+            * lit(BigDecimal("0.5")), 4).cast("double"))
+        .join(drops, Seq("doc_id"), "left_anti")
+        .filter(col("n_chars").between(100, 10000) && col("quality") >= 0.53)
+        .select("doc_id", "lang", "n_chars", "quality")
+        .orderBy("doc_id")
+    }),
+
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
     // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
     // IEEE division, bit-identical across engines; rounding a double is not.
@@ -412,6 +444,36 @@ object ExtensionQueries {
         |    ON x.lang = y.lang AND x.doc_id < y.doc_id
         |   AND abs(x.n_chars - y.n_chars) <= 16) t
         |WHERE dist <= 40 ORDER BY blk, a, b""".stripMargin,
+
+    "c1_curation_pipeline" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> comp),
+         |feat AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(length(d.text) AS INTEGER) AS n_chars,
+         |    CAST(len(t.toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(t.toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM documents d JOIN tok t USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
+         |  FROM feat)
+         |SELECT doc_id, lang, n_chars, quality FROM scored
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |  AND n_chars BETWEEN 100 AND 10000 AND quality >= 0.53
+         |ORDER BY doc_id""".stripMargin,
 
     "d6_neardup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
