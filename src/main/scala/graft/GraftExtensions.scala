@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotF32, LevBounded, VectorizeDotProduct}
+import graft.functions.{DotF32, LevBounded, TopKStruct, VectorizeDotProduct}
 
 /** Session extensions: registers the engine's native expressions and
   * optimizer rules (SparkSessionExtensions is the supported injection
@@ -34,6 +34,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"lev_bounded threshold must be an INT literal, got $other")
         }
         LevBounded(children.head, children(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_struct"),
+      new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"topk_struct requires exactly 3 arguments (key, payload, k), got ${children.size}")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_struct k must be an INT literal, got $other")
+        }
+        TopKStruct(children.head, children(1), k)
       }))
     // HOF-form dot products (user-written or Vectors.dotHof) compile down
     // to the native expression automatically.

@@ -87,6 +87,24 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Top-3 per customer via the native one-pass bounded-heap aggregate
+    // (functions.TopKStruct): identical result to w1's window form, but the
+    // shuffle carries at most k rows per (group, partition) instead of the
+    // whole fact table — the 100 TB path for group-wise top-k. Descending
+    // price / ascending orderkey encode as (price, -orderkey) largest-first.
+    "w1b_topk_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(call_function("topk_struct",
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_ok")),
+          struct(col("o_orderkey"), col("o_totalprice")),
+          lit(3)).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"))
+        .orderBy("o_custkey", "rn")),
+
     // Running per-user sum over event time (prefix sums are order-fixed, so
     // double addition sequences match DuckDB bit-for-bit).
     "w2_running_sum" -> ((s, d) => {
@@ -452,6 +470,15 @@ object RelationalQueries {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "w1_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    // same relation as w1 — the aggregate form must reproduce the window form
+    "w1b_topk_agg" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
