@@ -170,4 +170,21 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("n"), col("sum_value"))
+
+  /** Streaming top-k per tumbling window via the native bounded-heap
+    * aggregate ([[graft.functions.TopKStruct]]): per-window state is the
+    * k-element heap buffer, not the window's rows — so streaming top-k
+    * carries O(k) state per open window regardless of event volume. Emits
+    * (hour_epoch, [ids in rank order]) when the watermark closes a window.
+    */
+  def hourlyTopK(events: DataFrame, k: Int, idCol: String = "id",
+                 tsCol: String = "ts", valueCol: String = "value",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(call_function("topk_struct",
+        struct(col(valueCol), (-col(idCol)).as("neg_id")),
+        col(idCol), lit(k)).as("top_ids"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("top_ids"))
 }

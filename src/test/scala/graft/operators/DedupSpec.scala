@@ -127,4 +127,38 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
   }
+
+  test("edit-distance blocking is COMPLETE when lenWindow >= maxDist (random corpus)") {
+    // property: against a brute-force all-pairs reference, the blocked
+    // operator must report exactly the pairs with dist <= maxDist, because
+    // dist >= |len diff| and the two-bucket emission covers |len diff| <= W
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcd"
+    def doc(): String =
+      Seq.fill(6 + rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (1L to 60L).map { i =>
+      val base = doc()
+      // half the docs are mutations of an earlier doc -> plenty of near pairs
+      (i, if (i % 2 == 0 && i > 1) base.patch(rnd.nextInt(base.length), "xy", rnd.nextInt(3)) else base, "x")
+    }
+    val maxDist = 8
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistanceNearDup(df, "doc_id", "text", "lang",
+      lenWindow = maxDist, maxDist = maxDist)
+      .select("a", "b", "dist").as[(Long, Long, Int)].collect().toSet
+    def lev(s: String, t: String): Int = {
+      val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      dp(s.length)(t.length)
+    }
+    val expect = (for {
+      (a, ta, _) <- corpus; (b, tb, _) <- corpus if a < b
+      d = lev(ta, tb) if d <= maxDist
+    } yield (a, b, d)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
 }

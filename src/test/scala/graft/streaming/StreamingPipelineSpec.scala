@@ -145,4 +145,30 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     q.stop()
     assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
   }
+
+  test("streaming windowed top-k: bounded heap state across micro-batches, rank order out") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingPipeline.hourlyTopK(
+      mem.toDF().toDF("id", "ts", "value"), k = 2, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("topk")
+      .outputMode("append").start()
+    // hour-10 events split across two micro-batches: the window's heap
+    // buffer must survive state-store serialization between them
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00"), 5.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 9.0))
+    q.processAllAvailable()
+    mem.addData((3L, Timestamp.valueOf("2024-01-01 10:20:00"), 7.0),
+      (4L, Timestamp.valueOf("2024-01-01 10:25:00"), 1.0))
+    q.processAllAvailable()
+    mem.addData((99L, Timestamp.valueOf("2024-01-01 15:00:00"), 0.0)) // close hour 10
+    q.processAllAvailable()
+    val rows = spark.table("topk").orderBy("hour_epoch")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    q.stop()
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(rows.toSeq == Seq((h10, List(2L, 3L)))) // top-2 by value, rank order
+  }
 }
