@@ -278,8 +278,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // init fused with the first propagation round: label(id) = min(id, min
+    // neighbor) — every node appears as dst because edges are symmetric
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp"))
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp").cast("long")), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
