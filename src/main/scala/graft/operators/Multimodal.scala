@@ -80,4 +80,23 @@ object Multimodal {
         explode(sequence(lit(0), greatest((length(col("payload")) / (frameBytes * stride)).cast("int") - 1, lit(0)))))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
+
+  /** Overlapped chunking (the audio feature-extraction shape): windows of
+    * `chunkBytes` starting every `hopBytes` (hop < chunk ⇒ overlap), the
+    * final window truncated at the payload end. One generator expression —
+    * chunk count per row is ceil(n_bytes / hop) with no shuffle; a real
+    * spectrogram/embedding step would map over `chunk` downstream.
+    */
+  def chunkPayload(media: DataFrame, chunkBytes: Int, hopBytes: Int): DataFrame = {
+    require(chunkBytes > 0 && hopBytes > 0, "chunkBytes and hopBytes must be positive")
+    media.select(col("media_id"), col("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), ceil(col("n_bytes").cast("double") / hopBytes).cast("long") - 1)))
+      .withColumn("chunk",
+        expr(s"substring(payload, chunk_idx * $hopBytes + 1, $chunkBytes)"))
+      .withColumn("chunk_bytes", length(col("chunk")).cast("long"))
+      .select("media_id", "chunk_idx", "chunk", "chunk_bytes")
+  }
 }

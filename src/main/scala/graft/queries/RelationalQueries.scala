@@ -420,6 +420,23 @@ object RelationalQueries {
           |FROM m ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Skew-safe salted equi-join (Skew.saltedJoin): probe rows salt on a
+    // deterministic hash, the build side replicates across salts, and the
+    // result is exactly the plain inner join — which is what the oracle
+    // checks. The shape AQE skew-split can't cover (streaming / replicated
+    // build cheaper than a straggler).
+    "x2_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(ev, cust, Seq("user_id"),
+          saltFrom = col("event_id"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Skew-safe two-stage (salted) aggregation; result identical to the plain
     // groupBy, which is exactly what the oracle checks. Salt is deterministic.
     "x1_salted_agg" -> ((s, d) =>
@@ -720,6 +737,12 @@ object RelationalQueries {
         |  (sxy - sx * sy / n)
         |    / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "x2_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "x1_salted_agg" ->
       """SELECT event_type,

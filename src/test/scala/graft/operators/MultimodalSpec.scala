@@ -35,4 +35,16 @@ class MultimodalSpec extends SparkSpec {
       .select("frame").as[Array[Byte]].head()
     assert(new String(first, "UTF-8") == "hell")
   }
+
+  test("chunkPayload: overlapping windows, truncated tail, empty payloads skipped") {
+    // media 3: "hello world!" (12 bytes), chunk 6 / hop 4 -> offsets 0,4,8
+    val chunks = Multimodal.chunkPayload(
+      Multimodal.asMedia(docs, "doc_id", "text"), chunkBytes = 6, hopBytes = 4)
+      .orderBy("media_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]]("chunk"), "UTF-8"), r.getLong(3)))
+    val m3 = chunks.filter(_._1 == 3L).toSeq
+    assert(m3 == Seq((3L, 0L, "hello ", 6L), (3L, 1L, "o worl", 6L), (3L, 2L, "rld!", 4L)))
+    assert(!chunks.exists(_._1 == 2L)) // doc 2 is the empty payload
+  }
 }
