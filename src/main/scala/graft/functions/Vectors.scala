@@ -57,4 +57,26 @@ object Vectors {
     }
     bits.reduce(_ + _)
   }
+
+  /** [[lshBucket]] with a STATIC embedding width: the hyperplanes become
+    * literal `array<float>` columns (components are −3..3, exact in float)
+    * and each projection is one native [[DotF32]] — no per-row interpreted
+    * plane construction, no lambda evaluation. Bit-identical buckets to
+    * [[lshBucket]] for `dims`-length inputs (same products, same
+    * accumulation order — VectorsSpec); an input of any OTHER length gets a
+    * NULL bucket (dot_f32's length guard) instead of lshBucket's adaptive
+    * projection, so `dims` must match the data.
+    */
+  def lshBucketFast(emb: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = Array.tabulate(dims) { idx =>
+        (Math.floorMod((idx + 1) * 2654435761L + j.toLong * 40503L, 7L) - 3L).toFloat
+      }
+      when(dot(emb, typedLit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    // explicit width guard: a null dot would otherwise fall through `when`'s
+    // otherwise-branch as bit 0 and silently collide all mismatched rows
+    // into bucket 0 — null buckets drop out of equi-joins instead
+    when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
+  }
 }

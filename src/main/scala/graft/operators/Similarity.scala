@@ -39,12 +39,13 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6): DataFrame = {
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 6,
+              dims: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      .withColumn("bucket", Vectors.lshBucket(col("ea"), nPlanes))
+      .withColumn("bucket", Vectors.lshBucketFast(col("ea"), nPlanes, dims))
       .withColumn("norm_a", Vectors.norm2(col("ea")))
     val c = corpus.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      .withColumn("bucket", Vectors.lshBucket(col("eb"), nPlanes))
+      .withColumn("bucket", Vectors.lshBucketFast(col("eb"), nPlanes, dims))
       .withColumn("norm_b", Vectors.norm2(col("eb")))
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
@@ -99,9 +100,10 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same LSH
     * bucket with cosine ≥ threshold. Bucketing bounds the pair blowup.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,
+                         dims: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", Vectors.lshBucket(col("embedding"), nPlanes))
+      .withColumn("bucket", Vectors.lshBucketFast(col("embedding"), nPlanes, dims))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
     val a = c.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = c.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))

@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(vecs, vecs, 4)
       .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toMap2
     // nPlanes=2: coarse buckets so the 3-dim toy vectors share buckets.
-    val lsh = Similarity.lshTopK(vecs, vecs, 4, nPlanes = 2)
+    val lsh = Similarity.lshTopK(vecs, vecs, 4, nPlanes = 2, dims = 3)
       .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (a, b, c) => assert(bf.get((a, b)).forall(_ == c)) }
@@ -62,7 +62,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineNearDupPairs finds the near-identical pair") {
-    val pairs = Similarity.cosineNearDupPairs(vecs, 0.9, nPlanes = 2)
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.9, nPlanes = 2, dims = 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
