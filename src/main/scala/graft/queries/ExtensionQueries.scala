@@ -87,6 +87,20 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")),
 
+    // E8b JSON → MAP type: parse props into map<string,string>, explode the
+    // entries (generic key set — no hardcoded field names on the engine
+    // side), aggregate per key. Covers the map-type machinery (from_json,
+    // explode of map entries) next to e8's path extraction.
+    "e8b_json_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))).as(Seq("key", "val")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("val")).as("n_vals"),
+          sum(col("val").cast("long")).as("sum_val"))
+        .orderBy("key")),
+
     // E9 tumbling 1-hour window aggregate (batch form of the streaming op).
     "e9_hourly_window" -> ((s, d) =>
       Tables.events(s, d)
@@ -425,6 +439,13 @@ object ExtensionQueries {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e8b_json_map" ->
+      """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT json_extract_string(props, '$.' || key)) AS BIGINT) AS n_vals,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
 
     "e9_hourly_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -171,6 +171,31 @@ object StreamingPipeline {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join (the streaming twin of the batch as-of
+    * attribution aj1): each purchase joins the same user's clicks from the
+    * trailing `windowSec` seconds. Both sides are watermarked, and the join
+    * condition bounds click_ts to [buy_ts − window, buy_ts], so Spark can
+    * expire buffered state once the watermark passes the bound — state stays
+    * proportional to the window, not the stream.
+    *
+    * Inputs: buys(user_id, buy_id, buy_ts), clicks(user_id, click_id,
+    * click_ts). Emits one row per (buy, matching click) pair.
+    */
+  def attributionJoin(buys: DataFrame, clicks: DataFrame,
+                      windowSec: Long = 3600,
+                      watermark: String = "1 hour"): DataFrame = {
+    val b = buys.withWatermark("buy_ts", watermark)
+    val c = clicks.withColumnRenamed("user_id", "c_user")
+      .withWatermark("click_ts", watermark)
+    b.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("buy_ts") - expr(s"INTERVAL $windowSec SECOND") &&
+        col("click_ts") <= col("buy_ts"))
+      .select(col("buy_id"), col("user_id"), col("click_id"),
+        unix_timestamp(col("buy_ts")).as("buy_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"))
+  }
+
   /** Streaming top-k per tumbling window via the native bounded-heap
     * aggregate ([[graft.functions.TopKStruct]]): per-window state is the
     * k-element heap buffer, not the window's rows — so streaming top-k

@@ -171,4 +171,32 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
     assert(rows.toSeq == Seq((h10, List(2L, 3L)))) // top-2 by value, rank order
   }
+
+  test("stream-stream interval join pairs buys with trailing-window clicks across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingPipeline.attributionJoin(
+      buys.toDF().toDF("user_id", "buy_id", "buy_ts"),
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      windowSec = 3600)
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // click arrives in an EARLIER batch than the buy it attributes
+    clicks.addData((1L, 100L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, 101L, Timestamp.valueOf("2024-01-01 08:00:00")), // outside the 1h window
+      (2L, 200L, Timestamp.valueOf("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    buys.addData((1L, 1L, Timestamp.valueOf("2024-01-01 10:30:00")),
+      (2L, 2L, Timestamp.valueOf("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    val got = spark.table("attr").select("buy_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // buy 1 matches click 100 (30 min before) but NOT 101 (2.5 h before);
+    // buy 2 matches click 200
+    assert(got == Set((1L, 100L), (2L, 200L)))
+  }
 }
