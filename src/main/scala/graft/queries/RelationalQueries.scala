@@ -326,6 +326,25 @@ object RelationalQueries {
         .orderBy("buy_id")
     }),
 
+    // Forward as-of join: each purchase attributed to the user's NEXT click
+    // at-or-after it — joinAsOf's forward direction (same single-shuffle
+    // union+window plan, reversed ordering). Oracle: correlated MIN subquery.
+    "aj2_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+      Temporal.joinAsOf(buys, clicks, Seq("user_id"), "ts", "click_ts",
+          payload = Seq("click_id", "click_ts"), direction = "forward")
+        .select(col("buy_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("buy_epoch"),
+          col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy("buy_id")
+    }),
+
     // Range (interval) join via band bucketing: returned lineitems shipped
     // in the 7 days up to an urgent order's date — an equi-join on 8-day
     // bands + residual filter, never a nested-loop plan. Oracle: the plain
@@ -687,6 +706,25 @@ object RelationalQueries {
         |  CAST(FLOOR(epoch(c.click_ts)) AS BIGINT) AS click_epoch
         |FROM buys b ASOF LEFT JOIN clicks c
         |  ON b.user_id = c.user_id AND c.click_ts <= b.ts
+        |ORDER BY buy_id""".stripMargin,
+
+    "aj2_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |buys AS (
+        |  SELECT event_id AS buy_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |nxt AS (
+        |  SELECT b.buy_id, b.user_id,
+        |    CAST(FLOOR(epoch(b.ts)) AS BIGINT) AS buy_epoch,
+        |    (SELECT MIN(c.click_ts) FROM clicks c
+        |     WHERE c.user_id = b.user_id AND c.click_ts >= b.ts) AS click_ts
+        |  FROM buys b)
+        |SELECT n.buy_id, n.user_id, n.buy_epoch, c.click_id,
+        |  CAST(FLOOR(epoch(n.click_ts)) AS BIGINT) AS click_epoch
+        |FROM nxt n LEFT JOIN clicks c
+        |  ON c.user_id = n.user_id AND c.click_ts = n.click_ts
         |ORDER BY buy_id""".stripMargin,
 
     "rj1_range_join" ->
