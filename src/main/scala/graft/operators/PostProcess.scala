@@ -62,4 +62,34 @@ object PostProcess {
     moveToBackup(processed.map(Paths.get(_)), Paths.get(backupDir))
     zipBackup(Paths.get(backupDir), stamp)
   }
+
+  /** Small-file compaction for an append-accumulating parquet directory —
+    * the ops counterpart of the per-file micro-batch design: every processed
+    * file appends its own parquet parts, and at 100 TB a scan over millions
+    * of KB-sized files is seek-bound long before it is byte-bound. Rewrites
+    * `dir` into ~`targetBytes`-sized files (one shuffle-free coalesce when
+    * shrinking), swapping the rewritten directory in place of the original.
+    * Returns (files before, files after). Single-writer assumption: callers
+    * serialize compaction against concurrent writers of the same dir.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val d = Paths.get(dir)
+    val parts = Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    val before = parts.size
+    val totalBytes = parts.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (nOut >= before) return (before, before) // already at/under target
+    val tmp = d.resolveSibling(d.getFileName.toString + ".compact.tmp")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: remove originals, move rewritten parts in
+    Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+    val after = Files.list(d).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    (before, after)
+  }
 }

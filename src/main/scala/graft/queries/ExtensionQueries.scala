@@ -52,6 +52,23 @@ object ExtensionQueries {
         .orderBy("a_id", "rn")
     }),
 
+    // E2e ANN quality readout: recall@5 of the LSH path against the exact
+    // brute-force top-5 — the metric that justifies trading scan width for
+    // buckets at scale. Pure composition of two oracle-covered results, so
+    // the recall itself is oracle-checked too.
+    "e2e_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"))
+      val approx = Similarity.lshTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("a_id", "b_id"), "left")
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("n_hit")).cast("double") / sum(col("n_true")), 4).as("recall_at_5"))
+    }),
+
     // E2c embedding-cosine near-dup pairs within LSH buckets (no oracle).
     // 4 planes / 0.4 threshold: the synthetic corpus's cosine ceiling is
     // ~0.51, so 6-plane buckets (64) almost never co-locate its near-pairs.
@@ -359,6 +376,65 @@ object ExtensionQueries {
   /** CTE chain reproducing [[Dedup.minhashLshPortable]]'s verified pair set
     * (ends at `verified(a, b, jaccard)`); shared by the d2b and d6 oracles.
     */
+  /** e2's exact brute-force top-5 oracle (also a CTE input for e2e). */
+  private val e2Sql: String =
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |),
+        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x * b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 32
+        |  GROUP BY a.vec_id, b.vec_id
+        |),
+        |cos AS (
+        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
+        |)
+        |SELECT a_id, rn, b_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin
+
+  /** e2b's LSH-bucketed oracle (integer-arithmetic hyperplanes; CTE input
+    * for e2e as well).
+    */
+  private val e2bSql: String =
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings),
+        |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
+        |proj AS (
+        |  SELECT f.vec_id, p.j,
+        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, q.bucket
+        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        |  WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id),
+        |dots AS (
+        |  SELECT cd.a_id, cd.b_id, cd.bucket, SUM(fa.x * fb.x) AS dot
+        |  FROM cand cd
+        |  JOIN flat fa ON fa.vec_id = cd.a_id
+        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
+        |  GROUP BY cd.a_id, cd.b_id, cd.bucket),
+        |cos AS (
+        |  SELECT a_id, b_id, bucket,
+        |    ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT a_id, rn, b_id, cosine, bucket FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin
+
   private val minhashPairsCtes: String =
     s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
@@ -389,27 +465,19 @@ object ExtensionQueries {
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "e2_cosine_topk" ->
-      """WITH flat AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings
-        |),
-        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
-        |dots AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x * b.x) AS dot
-        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |  WHERE a.vec_id < 32
-        |  GROUP BY a.vec_id, b.vec_id
-        |),
-        |cos AS (
-        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
-        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id
-        |)
-        |SELECT a_id, rn, b_id, cosine FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
-        |  FROM cos) t
-        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+    "e2_cosine_topk" -> e2Sql,
+
+    "e2e_ann_recall" ->
+      s"""WITH exact AS (SELECT a_id, b_id FROM ($e2Sql) x),
+         |approx AS (SELECT a_id, b_id, CAST(1 AS BIGINT) AS hit FROM ($e2bSql) y),
+         |per_q AS (
+         |  SELECT e.a_id, COUNT(*) AS n_true, SUM(COALESCE(ap.hit, 0)) AS n_hit
+         |  FROM exact e LEFT JOIN approx ap ON ap.a_id = e.a_id AND ap.b_id = e.b_id
+         |  GROUP BY e.a_id)
+         |SELECT COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 4) AS recall_at_5
+         |FROM per_q""".stripMargin,
+
 
     "e3_word_topk" ->
       s"""SELECT word, COUNT(*) AS n FROM (
@@ -513,38 +581,8 @@ object ExtensionQueries {
     // e2b: the LSH bucket is deterministic integer arithmetic
     // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the
     // approximate path itself is oracle-checkable end to end.
-    "e2b_ann_lsh" ->
-      """WITH flat AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
-        |  FROM embeddings),
-        |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
-        |proj AS (
-        |  SELECT f.vec_id, p.j,
-        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
-        |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
-        |buckets AS (
-        |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY vec_id),
-        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY vec_id),
-        |cand AS (
-        |  SELECT q.vec_id AS a_id, c.vec_id AS b_id, q.bucket
-        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
-        |  WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id),
-        |dots AS (
-        |  SELECT cd.a_id, cd.b_id, cd.bucket, SUM(fa.x * fb.x) AS dot
-        |  FROM cand cd
-        |  JOIN flat fa ON fa.vec_id = cd.a_id
-        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
-        |  GROUP BY cd.a_id, cd.b_id, cd.bucket),
-        |cos AS (
-        |  SELECT a_id, b_id, bucket,
-        |    ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
-        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
-        |SELECT a_id, rn, b_id, cosine, bucket FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
-        |  FROM cos) t
-        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+    "e2b_ann_lsh" -> e2bSql,
+
 
     "e9c_hourly_gapfill" ->
       """WITH buys AS (

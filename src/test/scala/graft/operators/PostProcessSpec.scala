@@ -5,8 +5,9 @@ import java.util.zip.ZipFile
 import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** S7 archive/zip post-steps — pure filesystem, no Spark session needed. */
+/** S7 archive/zip post-steps (filesystem) + parquet compaction (Spark). */
 class PostProcessSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkSpec.session
 
   test("moveToBackup relocates files and replaces same-name leftovers") {
     val src = Files.createTempDirectory("pp_src")
@@ -40,5 +41,18 @@ class PostProcessSpec extends AnyFunSuite {
   test("zipBackup on empty/missing dir → None") {
     assert(PostProcess.zipBackup(Files.createTempDirectory("pp_empty"), "x").isEmpty)
     assert(PostProcess.zipBackup(Paths.get("/nonexistent_dir_xyz"), "x").isEmpty)
+  }
+
+  test("compactParquet merges small files in place, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pp_compact").resolve("t").toString
+    (1L to 1000L).toDF("x").repartition(20).write.parquet(dir)
+    val (before, after) = PostProcess.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(before == 20 && after == 1, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000 && back.agg(org.apache.spark.sql.functions.sum($"x"))
+      .head().getLong(0) == 500500L)
+    // already compact: second pass is a no-op
+    assert(PostProcess.compactParquet(spark, dir, 1L << 30) == (1, 1))
   }
 }
