@@ -260,6 +260,32 @@ object ExtensionQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
         .orderBy("event_type")),
 
+    // T7 sentence segmentation: split on terminal punctuation runs, per-doc
+    // sentence count + average sentence length (trimmed, empties dropped) —
+    // the chunking granularity most curation filters run at.
+    "t7_sentences" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sents",
+          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)), x => length(x) > 0))
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sents"),
+          round(coalesce(
+            aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+              size(col("sents")), lit(0.0)), 4).as("avg_sent_chars"))
+        .orderBy("doc_id")),
+
+    // T8 PII scrubbing: redact email-shaped spans, count redactions — the
+    // standard pre-training cleanup pass (extend the alternation for
+    // phones/IPs/SSNs at production time; one regexp pass per pattern).
+    "t8_pii_scrub" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).as("n_redacted"),
+          md5(regexp_replace(col("text"), emailRe, "<EMAIL>")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     // T4 document fingerprint: md5 over whitespace-normalized text.
     "t4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -656,6 +682,24 @@ object ExtensionQueries {
 
     "t4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t7_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS INTEGER) AS n_sents,
+        |  ROUND(COALESCE(CAST(list_aggregate(list_transform(sents, x -> len(x)), 'sum') AS DOUBLE)
+        |    / len(sents), 0.0), 4) AS avg_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t8_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_redacted,
+        |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t6_tfidf" ->
