@@ -81,6 +81,44 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
 
+  /** Resize stub (image pipeline shape): the DIMENSION math is real — fit
+    * (width, height) inside `maxDim` preserving aspect ratio, never
+    * upscaling — while the pixel resample is the deterministic fake (byte
+    * subsampling at the computed stride) running in the same
+    * partition-parallel `mapPartitions` harness a real codec would use.
+    * Media without dimensions (audio/text) pass through with
+    * `resized = false` and an untouched payload.
+    */
+  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val needs = w.isNotNull && h.isNotNull && greatest(w, h) > maxDim
+    val outW = when(needs, greatest((w * maxDim / greatest(w, h)).cast("int"), lit(1))).otherwise(w)
+    val outH = when(needs, greatest((h * maxDim / greatest(w, h)).cast("int"), lit(1))).otherwise(h)
+    val stride = when(needs, ceil(greatest(w, h).cast("double") / maxDim).cast("int")).otherwise(lit(1))
+    val planned = media
+      .withColumn("resized", needs)
+      .withColumn("out_width", outW)
+      .withColumn("out_height", outH)
+      .withColumn("stride", stride)
+    val enc = RowEncoder.encoderFor(
+      StructType(planned.schema.fields.map(f =>
+        if (f.name == "payload") f.copy(dataType = BinaryType) else f)))
+    val payloadIdx = planned.schema.fieldIndex("payload")
+    val strideIdx = planned.schema.fieldIndex("stride")
+    planned.mapPartitions { rows =>
+      rows.map { r =>
+        val st = r.getInt(strideIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val out =
+          if (st <= 1 || payload == null) payload
+          else Array.range(0, payload.length, st).map(payload)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
+      }
+    }(enc)
+  }
+
   /** Overlapped chunking (the audio feature-extraction shape): windows of
     * `chunkBytes` starting every `hopBytes` (hop < chunk ⇒ overlap), the
     * final window truncated at the payload end. One generator expression —

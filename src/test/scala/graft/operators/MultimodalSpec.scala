@@ -36,6 +36,25 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(first, "UTF-8") == "hell")
   }
 
+  test("resizeStub: aspect-preserving dims, strided payload, passthrough without dims") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+      .withColumn("meta", when($"media_id" === 3L,
+        struct(lit("image/x-fake").as("media_type"), lit(640).as("width"),
+          lit(480).as("height"), $"meta.n_bytes".as("n_bytes")))
+        .otherwise($"meta"))
+    val out = Multimodal.resizeStub(media, maxDim = 320).orderBy("media_id").collect()
+    val img = out.find(_.getLong(0) == 3L).get
+    assert(img.getAs[Boolean]("resized"))
+    assert(img.getAs[Int]("out_width") == 320 && img.getAs[Int]("out_height") == 240)
+    assert(img.getAs[Int]("stride") == 2)
+    // "hello world!" strided by 2 -> "hlowrd"
+    assert(new String(img.getAs[Array[Byte]]("payload"), "UTF-8") == "hlowrd")
+    val txt = out.find(_.getLong(0) == 1L).get // text media: no dims
+    assert(!txt.getAs[Boolean]("resized"))
+    assert(new String(txt.getAs[Array[Byte]]("payload"), "UTF-8") == "abc")
+  }
+
   test("chunkPayload: overlapping windows, truncated tail, empty payloads skipped") {
     // media 3: "hello world!" (12 bytes), chunk 6 / hop 4 -> offsets 0,4,8
     val chunks = Multimodal.chunkPayload(
