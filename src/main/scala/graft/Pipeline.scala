@@ -89,19 +89,24 @@ object Pipeline {
     Validate.checkLayout2(cols)
   }
 
+  /** True when the file has a header line but no data line (driver-side,
+    * reads at most two lines — the streaming zero-row reconcile gate).
+    */
+  def isHeaderOnly(spark: SparkSession, file: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      r.readLine() != null && r.readLine() == null
+    } finally in.close()
+  }
+
   /** Ledger rows for wrong-layout files: recorded as 'Fallido' so they never
     * re-enter processing. Shared by the batch driver and the streaming gate.
     */
   def quarantine(spark: SparkSession, outDir: String, basenames: Seq[String], asOf: Date): Unit =
-    if (basenames.nonEmpty) {
-      import spark.implicits._
-      basenames.toDF("nombreArchivo")
-        .withColumn("registrosExitosos", lit(0L))
-        .withColumn("registrosFallidos", lit(0L))
-        .withColumn("estatus", lit("Fallido"))
-        .withColumn("fechaProceso", lit(asOf))
-        .write.mode("append").parquet(s"$outDir/bitacora")
-    }
+    ledgerRows(spark, outDir, basenames, asOf, "Fallido")
 
   /** Resolve the current visitantes table version, if any. */
   def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
@@ -204,16 +209,20 @@ object Pipeline {
     // bitacora: the per-file ledger, appended last. Files the caller expected
     // but that produced zero rows (header-only inputs) still get a ledger row
     // — otherwise they are never marked processed and re-enter every run.
+    // One collect serves the append, the seen-set, and the totals: the frame
+    // is one row per file, and re-aggregating it would re-run the whole
+    // staged-read DAG per consumer.
     val bit = Prepare.bitacora(ok, exploded).withColumn("fechaProceso", lit(asOf))
-    bit.write.mode("append").parquet(s"$outDir/bitacora")
-    val seen = bit.select("nombreArchivo").collect().map(_.getString(0)).toSet
+    val rows = bit.collect() // one row per file — the whole DAG runs ONCE
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), bit.schema)
+      .write.mode("append").parquet(s"$outDir/bitacora")
+    val name = bit.schema.fieldIndex("nombreArchivo")
+    val oks = bit.schema.fieldIndex("registrosExitosos")
+    val errs = bit.schema.fieldIndex("registrosFallidos")
+    val seen = rows.map(_.getString(name)).toSet
     emptyFileLedger(spark, outDir, expectedFiles.filterNot(seen), asOf)
-
-    val totals = bit.agg(
-      count(lit(1)), sum("registrosExitosos"), sum("registrosFallidos")).head()
-    RunSummary(totals.getLong(0) + expectedFiles.count(!seen(_)),
-      if (totals.isNullAt(1)) 0L else totals.getLong(1),
-      if (totals.isNullAt(2)) 0L else totals.getLong(2))
+    RunSummary(seen.size.toLong + expectedFiles.count(!seen(_)),
+      rows.map(_.getLong(oks)).sum, rows.map(_.getLong(errs)).sum)
   }
 
   /** 'Completado' (0/0) ledger rows for expected files that contributed no
@@ -221,12 +230,20 @@ object Pipeline {
     */
   private def emptyFileLedger(spark: SparkSession, outDir: String,
                               basenames: Seq[String], asOf: Date): Unit =
+    ledgerRows(spark, outDir, basenames, asOf, "Completado")
+
+  /** Shared bitacora ledger-row writer (schema in ONE place — quarantine and
+    * the empty-file path must stay byte-compatible in the same directory).
+    */
+  private[graft] def ledgerRows(spark: SparkSession, outDir: String,
+                                basenames: Seq[String], asOf: Date,
+                                estatus: String): Unit =
     if (basenames.nonEmpty) {
       import spark.implicits._
       basenames.toDF("nombreArchivo")
         .withColumn("registrosExitosos", lit(0L))
         .withColumn("registrosFallidos", lit(0L))
-        .withColumn("estatus", lit("Completado"))
+        .withColumn("estatus", lit(estatus))
         .withColumn("fechaProceso", lit(asOf))
         .write.mode("append").parquet(s"$outDir/bitacora")
     }

@@ -301,6 +301,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent non-convergence would split true components without any signal
+    // downstream (d6/c1 would under-drop dups) — fail loudly instead
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(graph diameter exceeds maxIter — raise it)")
     labels
   }
 

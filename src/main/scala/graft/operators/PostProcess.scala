@@ -75,9 +75,12 @@ object PostProcess {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val d = Paths.get(dir)
-    val parts = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
+    def listParquet(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    val parts = listParquet(d)
     val before = parts.size
     val totalBytes = parts.map(Files.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -85,11 +88,15 @@ object PostProcess {
     val tmp = d.resolveSibling(d.getFileName.toString + ".compact.tmp")
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: remove originals, move rewritten parts in
-    Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // rename-aside swap: the directory is absent only between two atomic
+    // renames (a delete-then-move window would strand readers — and a crash
+    // there loses the live dir entirely)
+    val old = d.resolveSibling(d.getFileName.toString + ".compact.old")
+    Files.move(d, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-    val after = Files.list(d).iterator().asScala
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
-    (before, after)
+    val w = Files.walk(old)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally w.close()
+    (before, listParquet(d).size)
   }
 }

@@ -56,14 +56,24 @@ object Temporal {
     val l2 = left.select(keyCols ++ Seq(
       col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(paySchema).as("__pay"), leftRow.as("__row")): _*)
-    val r2 = right.select(keyCols ++ Seq(
-      col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__pay"),
-      lit(null).cast(leftSchema).as("__row")): _*)
+    // SQL comparison semantics: a null-keyed or null-ts right row can never
+    // satisfy `rightTs <= leftTs` (or >=) for ANY left row — drop it before
+    // the union, otherwise null ordering would slot it where the running
+    // last() hands its payload to real left rows.
+    val r2 = right
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+      .select(keyCols ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__pay"),
+        lit(null).cast(leftSchema).as("__row")): _*)
 
+    // Null-ts LEFT rows must match nothing: sort them BEFORE every right row
+    // in either direction (nulls_first), so the running window sees no
+    // payload yet. (Null-keyed left rows partition alone once null-keyed
+    // right rows are dropped, so they come out null-matched too.)
     val ord =
-      if (direction == "backward") Seq(col("__ts").asc, col("__side").asc)
-      else Seq(col("__ts").desc, col("__side").asc)
+      if (direction == "backward") Seq(col("__ts").asc_nulls_first, col("__side").asc)
+      else Seq(col("__ts").desc_nulls_first, col("__side").asc)
     val w = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -75,9 +85,14 @@ object Temporal {
 
   /** Floor division that is correct for negative values too (Spark's `/` on
     * longs truncates toward zero; bands must tile the whole number line).
+    * Uses integral `div` — a double-division quotient loses precision past
+    * 2^53 and would band extreme long keys incorrectly.
     */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    // (c - pmod) is exactly divisible by w; the division runs in DECIMAL so
+    // quotients beyond 2^53 stay exact (double division would mis-band
+    // extreme long keys), and the cast back to long is lossless.
+    (((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long"))
 
   /** Band-bucketed range (interval) join: pairs every point row with every
     * interval row of the same band having `lo <= point <= hi` (inclusive).

@@ -538,7 +538,7 @@ object ExtensionQueries {
       """WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
         |SELECT key, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT json_extract_string(props, '$.' || key)) AS BIGINT) AS n_vals,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
 
     "e9_hourly_window" ->

@@ -75,6 +75,28 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Post-drain reconciliation for ZERO-ROW files: a header-only file emits
+    * no rows, so it is invisible to `foreachBatch` (whose file set derives
+    * from `input_file_name()` over data rows) — it would never be header-
+    * checked, quarantined, or ledgered, unlike the batch path. Run this
+    * after an AvailableNow drain completes: every not-yet-ledgered report
+    * file that truly has no data line gets its header check and ledger row
+    * ('Fallido' on bad layout, 'Completado' 0/0 otherwise). Files that DO
+    * have data rows are left alone (they belong to the stream — e.g. a file
+    * that arrived after the drain). Single-writer assumption as elsewhere.
+    */
+  def reconcileZeroRowFiles(spark: SparkSession, inputDir: String,
+                            outDir: String, asOf: Date): Unit = {
+    val done = Pipeline.processedFiles(spark, outDir)
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val pending = Pipeline.listReports(spark, inputDir)
+      .filterNot(f => done(base(f)))
+      .filter(f => Pipeline.isHeaderOnly(spark, f))
+    val (good, bad) = pending.partition(f => Pipeline.checkHeader(spark, f).ok)
+    Pipeline.quarantine(spark, outDir, bad.map(base), asOf)
+    Pipeline.ledgerRows(spark, outDir, good.map(base), asOf, "Completado")
+  }
+
   /** Streaming sessionization with CUSTOM state — the charter's
     * `flatMapGroupsWithState` surface (`session_window` covers the declarative
     * case; this is the escape hatch for session logic Spark's built-in can't

@@ -91,6 +91,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("joinAsOf: null timestamps and null keys match nothing, both directions") {
+    val l = Seq((1L, Some(1L), Some(100L)), (2L, Some(1L), None),
+      (3L, None: Option[Long], Some(100L)))
+      .toDF("probe_id", "k", "t")
+    val r = Seq((Some(1L), Some(50L), 10L), (Some(1L), Some(150L), 11L),
+      (Some(1L), None: Option[Long], 12L), (None: Option[Long], Some(60L), 13L))
+      .toDF("k", "rt", "quote_id")
+    for (dir <- Seq("backward", "forward")) {
+      val out = Temporal.joinAsOf(l, r, Seq("k"), "t", "rt",
+          payload = Seq("quote_id"), direction = dir)
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(x.fieldIndex("quote_id"))) None
+           else Some(x.getLong(x.fieldIndex("quote_id"))))).toMap
+      val wantP1 = if (dir == "backward") 10L else 11L
+      assert(out == Map(1L -> Some(wantP1), 2L -> None, 3L -> None),
+        s"direction=$dir got $out") // null t / null k rows: no match; null-rt
+                                    // and null-k right rows never win
+    }
+  }
+
   test("neither operator plans a cartesian or broadcast-nested-loop join") {
     val asOfPlan = Temporal.joinAsOf(leftDf, rightDf, Seq("k"), "t", "rt",
       Seq("quote_id")).queryExecution.executedPlan.toString

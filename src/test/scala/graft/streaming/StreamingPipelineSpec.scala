@@ -51,6 +51,28 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(bit.filter(col("nombreArchivo") === "report_s1.txt").count() == 1)
   }
 
+  test("post-drain reconcile ledgers zero-row files (good header Completado, bad Fallido)") {
+    // header-only files are invisible to foreachBatch (no data rows) — the
+    // reconcile pass must ledger them so they never re-enter
+    Files.write(inDir.resolve("report_empty_ok.txt"), (header + "\n").getBytes)
+    Files.write(inDir.resolve("report_empty_bad.txt"), "email,wrong\n".getBytes)
+    val q = StreamingPipeline.runAvailableNow(
+      spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf("2024-04-01"))
+    q.awaitTermination(120000)
+    StreamingPipeline.reconcileZeroRowFiles(
+      spark, inDir.toString, outDir.toString, Date.valueOf("2024-04-01"))
+    val bit = spark.read.parquet(s"$outDir/bitacora")
+      .filter(col("nombreArchivo").startsWith("report_empty"))
+      .collect().map(r => r.getAs[String]("nombreArchivo") -> r.getAs[String]("estatus")).toMap
+    assert(bit == Map("report_empty_ok.txt" -> "Completado",
+      "report_empty_bad.txt" -> "Fallido"))
+    // idempotent: a second reconcile adds nothing
+    StreamingPipeline.reconcileZeroRowFiles(
+      spark, inDir.toString, outDir.toString, Date.valueOf("2024-04-01"))
+    assert(spark.read.parquet(s"$outDir/bitacora")
+      .filter(col("nombreArchivo").startsWith("report_empty")).count() == 2)
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
