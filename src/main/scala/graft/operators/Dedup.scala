@@ -308,6 +308,26 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: training docs sharing at least `minShared`
+    * distinct 3-token shingles with any eval/benchmark doc — the standard
+    * n-gram-collision check run before training, as a shingle inverted-index
+    * equi-join (never all-pairs). The eval side is benchmark-sized, so its
+    * inverted index broadcasts; cost is linear in the training corpus. Both
+    * sides dedup shingles per doc first, so the per-pair count IS the number
+    * of distinct shared shingles.
+    */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, minShared: Int = 2): DataFrame = {
+    def inv(df: DataFrame, as: String) =
+      shingleArrays(df, idCol, textCol)
+        .select(col(idCol).as(as), explode(array_distinct(col("sh"))).as("shingle"))
+    inv(train, "train_id")
+      .join(broadcast(inv(evalDocs, "eval_id")), "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard similarity for all pairs that
     * share at least one shingle, within a blocking key (e.g. language) —
     * the shingle inverted index IS the join, so complexity is bounded by

@@ -323,6 +323,18 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "lang", 0.05)
         .orderBy("blk", "a", "b")),
 
+    // D7 decontamination: training docs colliding with the (stand-in) eval
+    // benchmark on >= 2 distinct 3-token shingles — the pre-training
+    // contamination check, as a broadcast inverted-index join.
+    "d7_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", minShared = 2)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // D5 edit-distance near-dup: two-bucket length-band blocking per lang,
     // bounded levenshtein verify (banded DP, O(maxDist·len) per pair).
     "d5_levenshtein_neardup" -> ((s, d) =>
@@ -550,6 +562,18 @@ object ExtensionQueries {
     "d2b_minhash_portable" ->
       s"""WITH $minhashPairsCtes
          |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
+
+    "d7_decontamination" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+         |  FROM inv t JOIN inv e ON t.s = e.s
+         |  WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared FROM pairs
+         |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
 
     "d5_levenshtein_neardup" ->
       """SELECT blk, a, b, dist FROM (
