@@ -234,6 +234,10 @@ object Dedup {
     */
   def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, lenWindow: Int, maxDist: Int): DataFrame = {
+    // lenWindow = 0 would make floor(len/lenWindow) null (or an ANSI divide
+    // error) and silently emit zero pairs — fail fast like sibling operators
+    require(lenWindow > 0, s"lenWindow must be positive, got $lenWindow")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val base = materialize(
       spread(df.select(col(blockCol).as("blk"), col(idCol), col(textCol).as("txt")))
         .withColumn("len", length(col("txt")))
@@ -268,8 +272,12 @@ object Dedup {
     * equi-join + one groupBy-min per round, converging in O(graph diameter)
     * rounds (near-dup clusters are shallow, so typically 2-4). Per-round
     * `localCheckpoint` truncates lineage so the loop's plan stays flat, and
-    * the monotone label sum doubles as the convergence test (strictly
-    * decreases until fixpoint — no extra join to diff generations).
+    * convergence is an exact changed-label count between generations — a
+    * type-agnostic signal that works for string doc ids too (an earlier
+    * numeric label-sum cast non-numeric ids to null, which would have
+    * declared convergence after one round and silently mislabeled multi-hop
+    * components). The per-round node sets are identical (ids are never added
+    * or dropped by propagation), so an inner join on id sees every label.
     * Output: (id, comp) for every node that appears in `pairs`, where comp
     * is the component's minimum id.
     */
@@ -284,9 +292,14 @@ object Dedup {
       .agg(min(col("src")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("comp"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp").cast("long")), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
+    // exact: zero changed labels ⇔ fixpoint, for any comp type (both frames
+    // are lineage-truncated, so the self-join is unambiguous and cheap —
+    // |V| rows per side, dwarfed by the edge join above it)
+    def changed(next: DataFrame, prev: DataFrame): Boolean =
+      !next.select(col("id"), col("comp").as("__c_next"))
+        .join(prev.select(col("id"), col("comp").as("__c_prev")), "id")
+        .filter(!(col("__c_next") <=> col("__c_prev")))
+        .isEmpty
     var done = edges.isEmpty
     var iter = 0
     while (!done && iter < maxIter) {
@@ -295,9 +308,7 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val s = labelSum(next)
-      done = s == prevSum
-      prevSum = s
+      done = !changed(next, labels)
       labels = next
       iter += 1
     }

@@ -75,6 +75,28 @@ object PostProcess {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val d = Paths.get(dir)
+    val tmp = d.resolveSibling(d.getFileName.toString + ".compact.tmp")
+    val old = d.resolveSibling(d.getFileName.toString + ".compact.old")
+    def deleteTree(p: Path): Unit = {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    // Crash recovery before anything else. A previous run can die at any
+    // point of the swap below; every reachable state is repairable from the
+    // sibling dirs alone:
+    //  - live dir absent + tmp present: died between the two ATOMIC_MOVEs
+    //    and tmp holds the complete rewrite — finish the swap (roll forward).
+    //  - live dir absent + tmp absent + old present: only the pre-swap copy
+    //    survives — restore it (roll back).
+    //  - live dir present: any leftover tmp (partial rewrite) or old
+    //    (interrupted post-swap delete) is garbage — remove it.
+    if (!Files.exists(d)) {
+      if (Files.exists(tmp)) Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+      else if (Files.exists(old)) Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(old)) deleteTree(old)
+    if (Files.exists(tmp)) deleteTree(tmp)
     def listParquet(p: Path): Seq[Path] = {
       val s = Files.list(p)
       try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
@@ -85,18 +107,14 @@ object PostProcess {
     val totalBytes = parts.map(Files.size).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= before) return (before, before) // already at/under target
-    val tmp = d.resolveSibling(d.getFileName.toString + ".compact.tmp")
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     // rename-aside swap: the directory is absent only between two atomic
     // renames (a delete-then-move window would strand readers — and a crash
-    // there loses the live dir entirely)
-    val old = d.resolveSibling(d.getFileName.toString + ".compact.old")
+    // there loses the live dir entirely; see recovery above)
     Files.move(d, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-    val w = Files.walk(old)
-    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    finally w.close()
+    deleteTree(old)
     (before, listParquet(d).size)
   }
 }

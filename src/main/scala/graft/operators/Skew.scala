@@ -31,6 +31,8 @@ object Skew {
                 combines: Map[String, Column => Column]): DataFrame = {
     require(partials.map(_._1).toSet == combines.keySet,
       "every partial alias needs a combine and vice versa")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
     val stage1 = df
       .withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -55,6 +57,10 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFrom: Column, buckets: Int): DataFrame = {
+    // withColumn would silently REPLACE a pre-existing __salt on either side,
+    // changing join semantics without error — refuse instead
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "an input already has a __salt column — rename it before salting")
     val l = left.withColumn("__salt", pmod(xxhash64(saltFrom), lit(buckets)))
     val r = right.withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     l.join(r, keys :+ "__salt").drop("__salt")

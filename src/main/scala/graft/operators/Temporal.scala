@@ -47,6 +47,12 @@ object Temporal {
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns clash with left: ${clash.mkString(", ")}")
     require(direction == "backward" || direction == "forward", direction)
+    // the implementation reserves these internal names; an input column with
+    // one of them would be shadowed or break the final select silently
+    val reserved = Set("__ts", "__side", "__pay", "__row", "__match")
+    val taken = (left.columns ++ right.columns ++ keys).toSet.intersect(reserved)
+    require(taken.isEmpty,
+      s"input columns clash with joinAsOf internals: ${taken.mkString(", ")}")
 
     val keyCols = keys.map(col)
     val paySchema = right.select(struct(payload.map(col): _*).as("__pay")).schema("__pay").dataType

@@ -123,6 +123,28 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 8)
   }
 
+  test("connected components: STRING ids converge across multiple hops") {
+    // regression: convergence used sum(comp cast long), which is null for
+    // string ids — labelSum stayed 0 and the loop declared convergence after
+    // one round, mislabeling any component with diameter > 1. The chain
+    // d1..d5 needs several propagation rounds to collapse to "d1".
+    val pairs = Seq(("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+      ("x1", "x2")).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "d4" -> "d1", "d5" -> "d1", "x1" -> "x1", "x2" -> "x1"))
+  }
+
+  test("edit-distance near-dup rejects lenWindow=0 / negative maxDist") {
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceNearDup(docs, "doc_id", "text", "lang", 0, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceNearDup(docs, "doc_id", "text", "lang", 4, -1)
+    }
+  }
+
   test("connected components: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)

@@ -55,4 +55,43 @@ class PostProcessSpec extends AnyFunSuite {
     // already compact: second pass is a no-op
     assert(PostProcess.compactParquet(spark, dir, 1L << 30) == (1, 1))
   }
+
+  test("compactParquet recovers every crash state of a prior interrupted swap") {
+    import spark.implicits._
+    import java.nio.file.StandardCopyOption
+    def freshDir(): java.nio.file.Path = {
+      val d = Files.createTempDirectory("pp_crash").resolve("t")
+      (1L to 100L).toDF("x").repartition(5).write.parquet(d.toString)
+      d
+    }
+    def total(d: java.nio.file.Path): Long =
+      spark.read.parquet(d.toString).agg(org.apache.spark.sql.functions.sum($"x"))
+        .head().getLong(0)
+
+    // state A: died between the two ATOMIC_MOVEs — live dir gone, complete
+    // rewrite stranded in .compact.tmp, original in .compact.old
+    val a = freshDir()
+    val aTmp = a.resolveSibling("t.compact.tmp")
+    val aOld = a.resolveSibling("t.compact.old")
+    spark.read.parquet(a.toString).coalesce(1).write.parquet(aTmp.toString)
+    Files.move(a, aOld, StandardCopyOption.ATOMIC_MOVE)
+    PostProcess.compactParquet(spark, a.toString, 1L << 30)
+    assert(total(a) == 5050L && !Files.exists(aTmp) && !Files.exists(aOld))
+
+    // state B: died mid-rewrite — live dir intact, partial tmp left behind
+    val b = freshDir()
+    val bTmp = b.resolveSibling("t.compact.tmp")
+    Files.createDirectories(bTmp)
+    Files.writeString(bTmp.resolve("part-junk.parquet"), "not parquet")
+    val (before, after) = PostProcess.compactParquet(spark, b.toString, 1L << 30)
+    assert(before == 5 && after == 1 && total(b) == 5050L && !Files.exists(bTmp))
+
+    // state C: died before the rewrite finished AND the live dir was already
+    // moved aside with no tmp — only the pre-swap copy survives; roll back
+    val c = freshDir()
+    val cOld = c.resolveSibling("t.compact.old")
+    Files.move(c, cOld, StandardCopyOption.ATOMIC_MOVE)
+    PostProcess.compactParquet(spark, c.toString, 1L << 30)
+    assert(total(c) == 5050L && !Files.exists(cOld))
+  }
 }

@@ -46,4 +46,23 @@ class SkewSpec extends SparkSpec {
     val plan = salted.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), s"salt not in the plan:\n$plan")
   }
+
+  test("pre-existing __salt column is refused, not silently replaced") {
+    import spark.implicits._
+    val tainted = Seq((1L, 2L)).toDF("k", "__salt")
+    val clean = Seq((1L, "x")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(tainted, clean, Seq("k"), $"k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(clean, tainted, Seq("k"), $"k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(tainted, Seq("k"), $"k", 4,
+        Seq("n" -> org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))),
+        Map("n" -> ((c: org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.functions.sum(c))))
+    }
+  }
 }

@@ -121,4 +121,15 @@ class TemporalSpec extends SparkSpec {
     for (plan <- Seq(asOfPlan, bandPlan); bad <- Seq("CartesianProduct", "BroadcastNestedLoop"))
       assert(!plan.contains(bad), s"found $bad:\n$plan")
   }
+
+  test("joinAsOf refuses inputs that use its reserved internal names") {
+    val poisoned = rightDf.withColumnRenamed("quote_id", "__pay")
+    intercept[IllegalArgumentException] {
+      Temporal.joinAsOf(leftDf, poisoned, Seq("k"), "t", "rt", Seq("__pay"))
+    }
+    val poisonedLeft = leftDf.withColumnRenamed("probe_id", "__row")
+    intercept[IllegalArgumentException] {
+      Temporal.joinAsOf(poisonedLeft, rightDf, Seq("k"), "t", "rt", Seq("quote_id"))
+    }
+  }
 }
