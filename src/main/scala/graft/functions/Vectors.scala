@@ -67,10 +67,10 @@ object Vectors {
     * NULL bucket (dot_f32's length guard) instead of lshBucket's adaptive
     * projection, so `dims` must match the data.
     */
-  def lshBucketFast(emb: Column, nPlanes: Int, dims: Int): Column = {
+  def lshBucketFast(emb: Column, nPlanes: Int, dims: Int, firstPlane: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val plane = Array.tabulate(dims) { idx =>
-        (Math.floorMod((idx + 1) * 2654435761L + j.toLong * 40503L, 7L) - 3L).toFloat
+        (Math.floorMod((idx + 1) * 2654435761L + (firstPlane + j).toLong * 40503L, 7L) - 3L).toFloat
       }
       when(dot(emb, typedLit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }

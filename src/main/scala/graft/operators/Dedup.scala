@@ -163,57 +163,93 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** SimHash (32-bit): per token-hash bit, sum +1/-1 votes; bit set when the
-    * vote is positive. Computed with one explode + one groupBy.
+  /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
+    * votes; bit set when the vote is positive. Computed with one explode +
+    * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost
+    * the same hash work as 32-bit — only the vote-aggregate width changes.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSig(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val tok = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[org.apache.spark.sql.Column] = (0 until 32).map { j =>
+    val bitSums: Seq[org.apache.spark.sql.Column] = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit_$j")
     }
     val voted = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32).map { j =>
+    // 1L << 63 is Long.MinValue — correct here: it is just bit 63 of the
+    // packed signature, and downstream banding masks after the shift
+    val sig = (0 until bits).map { j =>
       when(col(s"bit_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
     voted.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: all (a < b) with Hamming distance ≤
-    * `maxDist` between 32-bit signatures, found by PIGEONHOLE BLOCKING —
-    * the signature splits into `maxDist + 1` disjoint bands, and any pair
-    * within distance `maxDist` must agree exactly on at least one band
-    * (fewer flipped bits than bands), so candidates come from an equi-join
-    * on (band index, band bits), never an all-pairs scan. The classic
-    * web-dedup layout: candidate volume is bounded by band-bucket
-    * collisions, verification is one xor+popcount per candidate.
-    *
-    * maxDist must satisfy 32 % (maxDist+1) == 0 (equal-width bands).
+  /** 32-bit SimHash, kept for callers that want shorter signatures. Pairs
+    * generation should use the 64-bit form: at corpus scale the band-key
+    * space of a 32-bit/maxDist=3 layout is a CONSTANT 256 buckets, making
+    * candidate volume quadratic in corpus size.
     */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3): DataFrame = {
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol, 32)
+
+  /** 64-bit SimHash — the near-dup signature of Manku et al.'s web-scale
+    * dedup: with maxDist=3 the pigeonhole bands are 16 bits wide, so the
+    * per-band key space is 2^16 ≈ 65k and expected bucket population grows
+    * as N/65k instead of N/256 — the difference between linear and
+    * quadratic candidate volume at 100 TB.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSig(df, idCol, textCol, 64)
+
+  /** Pigeonhole near-dup pairs from a precomputed signature frame: all
+    * (a < b) with Hamming distance ≤ `maxDist`. The signature splits into
+    * `maxDist + 1` disjoint bands, and any pair within distance `maxDist`
+    * must agree exactly on at least one band (fewer flipped bits than
+    * bands), so candidates come from an equi-join on (band index, band
+    * bits), never an all-pairs scan — candidate volume is bounded by
+    * band-bucket collisions, verification is one xor+popcount per
+    * candidate. Exposed separately from the text form so the banding
+    * completeness property (pairs found = brute-force Hamming ≤ k pairs) is
+    * testable on arbitrary seeded signatures.
+    *
+    * `sigBits` must be a multiple of maxDist+1 (equal-width bands).
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+                           maxDist: Int, sigBits: Int = 64): DataFrame = {
     val bands = maxDist + 1
-    require(32 % bands == 0, s"maxDist+1 must divide 32, got $bands")
-    val width = 32 / bands
-    val mask = (1L << width) - 1
-    // tiny frame (one row per doc) consumed by both self-join sides
-    val sigs = simhash32(df, idCol, textCol).localCheckpoint()
+    require(sigBits >= 1 && sigBits <= 64, s"sigBits must be in [1, 64], got $sigBits")
+    require(sigBits % bands == 0, s"maxDist+1 must divide sigBits=$sigBits, got $bands")
+    val width = sigBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val bandCols = (0 until bands).map { b =>
+      // shiftright is arithmetic (sign-extends past bit 63); the mask keeps
+      // exactly `width` bits, so the top band's key is still correct
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("key"))
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
       explode(array(bandCols: _*)).as("bd"))
-      .select(col(idCol), col("simhash"), col("bd.band").as("band"), col("bd.key").as("key"))
-    banded.select(col("band"), col("key"), col(idCol).as("a"), col("simhash").as("sig_a"))
-      .join(banded.select(col("band"), col("key"), col(idCol).as("b"), col("simhash").as("sig_b")),
+      .select(col(idCol), col("__sig"), col("bd.band").as("band"), col("bd.key").as("key"))
+    banded.select(col("band"), col("key"), col(idCol).as("a"), col("__sig").as("sig_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("b"), col("__sig").as("sig_b")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b", "sig_a", "sig_b").distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
+  }
+
+  /** SimHash near-duplicate pairs over text: 64-bit signatures (16-bit
+    * bands at the default maxDist=3 — see [[simhash64]] for the scale
+    * argument) fed through pigeonhole banding.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    // tiny frame (one row per doc) consumed by both self-join sides
+    val sigs = simhash64(df, idCol, textCol).localCheckpoint()
+    simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 64)
   }
 
   /** Edit-distance near-duplicate pairs within a blocking key. Candidates

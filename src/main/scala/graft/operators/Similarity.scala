@@ -56,24 +56,88 @@ object Similarity {
       .select("a_id", "rn", "b_id", "cosine", "bucket")
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the first `nCells`
-    * corpus vectors stand in for k-means centroids — swap in trained
-    * centroids at production time) assigns every vector to its
-    * nearest-centroid cell; a query probes its `nProbe` nearest cells and
-    * scores only those inverted lists. Same output shape as
-    * [[bruteForceTopK]]; recall is traded via nProbe, and candidate work is
-    * |corpus|·nCells/nProbe-proportional rather than |corpus|² — the other
-    * canonical 100 TB path next to [[lshTopK]].
+  /** The trivially-deterministic coarse quantizer (first `nCells` corpus
+    * vectors as centroids). Kept as the ORACLE-EXPRESSIBLE quantizer: the
+    * e2f recall gate reproduces it in ANSI SQL to hash-check the whole IVF
+    * assignment/probe/score pipeline; production search uses
+    * [[kmeansCentroids]].
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+  def firstNCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cvec"))
+
+  /** Spherical k-means centroids from a deterministic corpus sample: rows
+    * are ordered by xxhash64(vec_id) (a pseudo-random but reproducible
+    * total order) and the first `sampleSize` taken — a per-partition top-n
+    * (TakeOrdered), one linear scan, no full shuffle, so sampling cost is
+    * corpus-scan-bounded at 100 TB. Lloyd iterations run on the driver over
+    * the ≤ sampleSize × dims sample (micro-seconds of work), assignment by
+    * dot on L2-normalized vectors (= cosine), empty cells keep their
+    * previous centroid, means re-normalized each round — the standard
+    * spherical k-means for cosine IVF. Deterministic end to end: sample
+    * order, init (first `nCells` sample points), and iteration order are
+    * all functions of the data alone.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int,
+                      sampleSize: Int = 2048, iters: Int = 8): DataFrame = {
+    require(nCells >= 1 && sampleSize >= nCells && iters >= 0,
+      s"nCells=$nCells sampleSize=$sampleSize iters=$iters")
+    val spark = corpus.sparkSession
+    val sample: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    val k = math.min(nCells, pts.length)
+    var cents: Array[Array[Double]] = pts.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        for (c <- 0 until k) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }
+    }
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }.toSeq
+      .toDF("cell", "cvec")
+  }
+
+  /** IVF ANN core: a coarse quantizer frame (cell, cvec) assigns every
+    * corpus vector to its nearest-centroid cell; a query probes its
+    * `nProbe` nearest cells and scores only those inverted lists. Cell
+    * similarity is rounded to 4 decimals before ranking (ties broken by
+    * cell id) so assignment is reproducible across engines — the e2f
+    * oracle replays it in SQL. Recall is traded via nProbe, candidate work
+    * is |corpus|·nProbe/nCells-proportional rather than |corpus|² — the
+    * other canonical 100 TB path next to [[lshTopK]].
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids.select(col("cell"), col("cvec"))
     val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
 
     def assign(df: DataFrame, keep: Int): DataFrame =
       df.join(broadcast(cents))
-        .withColumn("csim", Vectors.cosine(col("embedding"), col("cvec")))
+        .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
         .withColumn("crn", row_number().over(cw))
         .filter(col("crn") <= keep)
         .drop("cvec", "csim", "crn")
@@ -97,20 +161,84 @@ object Similarity {
       .select("a_id", "rn", "b_id", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same LSH
-    * bucket with cosine ≥ threshold. Bucketing bounds the pair blowup.
+  /** Production IVF ANN: [[ivfTopKWithCentroids]] over sampled spherical
+    * k-means centroids ([[kmeansCentroids]]).
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,
-                         dims: Int = 64): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", Vectors.lshBucketFast(col("embedding"), nPlanes, dims))
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, kmeansCentroids(corpus, nCells), k, nProbe)
+
+  /** Planes per SRP band so that EXPECTED bucket population is bounded by a
+    * constant: with 2^planes buckets per band and near-uniform sign bits,
+    * E[population] = N/2^planes ≤ `targetPop`, so per-band candidate volume
+    * is Σ n_i² ≈ N·targetPop — LINEAR in N. A fixed plane count (the old
+    * nPlanes=4 ⇒ 16 buckets forever) makes population N/16 and candidates
+    * quadratic; scaling planes with ceil(log2(N/targetPop)) is what keeps
+    * the operator alive at 100 TB. Clamped to [4, 48] (a 48-plane band key
+    * still packs into the long bucket id, and 2^48 buckets covers any
+    * corpus this engine targets at targetPop ≥ 1).
+    */
+  def planesForCorpus(n: Long, targetPop: Int = 64): Int = {
+    require(n >= 0 && targetPop >= 1, s"n=$n targetPop=$targetPop")
+    val need = math.max(1L, (n + targetPop - 1) / targetPop) // buckets needed
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, need - 1)) // ceil(log2)
+    math.min(48, math.max(4, p))
+  }
+
+  /** Embedding-cosine near-duplicate pairs with MULTI-BAND sign-random-
+    * projection blocking: `nBands` independent SRP tables of `planesPerBand`
+    * hyperplanes each (band t uses plane indices t·b .. t·b+b−1, so bands
+    * are deterministic but mutually independent); a pair is a candidate if
+    * it shares a bucket in ANY band, and every candidate is verified with
+    * the exact cosine. The same amplification layout as MinHash-LSH banding:
+    * for a pair at angle θ (per-plane agreement p = 1 − θ/π), recall is
+    * 1 − (1 − p^b)^T — raising bands T recovers the recall that raising
+    * planes b (needed for bounded buckets, see [[planesForCorpus]]) takes
+    * away. Candidate ids are deduped BEFORE embeddings join in (same
+    * pattern as editDistanceNearDup: vectors cross the verify shuffle once
+    * per side, and a pair colliding in several bands is verified once).
+    */
+  def cosineNearDupPairsBanded(corpus: DataFrame, threshold: Double,
+                               planesPerBand: Int, nBands: Int,
+                               dims: Int = 64): DataFrame = {
+    require(planesPerBand >= 1 && planesPerBand <= 48, s"planesPerBand=$planesPerBand")
+    require(nBands >= 1, s"nBands=$nBands")
+    val base = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
-    val a = c.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = c.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .localCheckpoint() // feeds banding AND both verify sides — compute once
+    val bandCols = (0 until nBands).map { t =>
+      struct(lit(t).as("band"),
+        Vectors.lshBucketFast(col("embedding"), planesPerBand, dims,
+          firstPlane = t * planesPerBand).as("bucket"))
+    }
+    // ids only in the candidate join; embeddings stay out of the explode
+    val banded = base.select(col("vec_id"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
+      .join(base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
+  }
+
+  /** [[cosineNearDupPairsBanded]] with the plane count scaled to the corpus
+    * ([[planesForCorpus]]): one count() sizes the corpus (cheap — parquet
+    * row-group metadata), then expected bucket population is ≤ `targetPop`
+    * regardless of N. Deterministic: the count, the planes, and the bands
+    * are all functions of the input alone.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         nBands: Int = 8, targetPop: Int = 64,
+                         dims: Int = 64): DataFrame = {
+    val planes = planesForCorpus(corpus.count(), targetPop)
+    cosineNearDupPairsBanded(corpus, threshold, planes, nBands, dims)
   }
 }

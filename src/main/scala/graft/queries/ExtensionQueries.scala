@@ -69,11 +69,35 @@ object ExtensionQueries {
           round(sum(col("n_hit")).cast("double") / sum(col("n_true")), 4).as("recall_at_5"))
     }),
 
-    // E2c embedding-cosine near-dup pairs within LSH buckets (no oracle).
-    // 4 planes / 0.4 threshold: the synthetic corpus's cosine ceiling is
-    // ~0.51, so 6-plane buckets (64) almost never co-locate its near-pairs.
+    // E2f IVF quality readout: recall@5 of the IVF probe/score pipeline
+    // against the exact brute-force top-5, run over the ORACLE-EXPRESSIBLE
+    // first-N quantizer (firstNCentroids) so the whole assignment → probe →
+    // inverted-list scoring → dedup → top-k chain is hash-checked in SQL.
+    // Production search (e2d) swaps in sampled k-means centroids, whose
+    // recall floor SimilaritySpec gates instead.
+    "e2f_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"))
+      val approx = Similarity.ivfTopKWithCentroids(emb.filter(col("vec_id") < 32), emb,
+        Similarity.firstNCentroids(emb, 16), 5, 4)
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("a_id", "b_id"), "left")
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("n_hit")).cast("double") / sum(col("n_true")), 4).as("recall_at_5"))
+    }),
+
+    // E2c embedding-cosine near-dup pairs, multi-band SRP blocking with the
+    // plane count scaled to the corpus (expected bucket population ≤ 64 at
+    // ANY N — the old fixed-4-planes form was 16 constant buckets, i.e.
+    // quadratic candidates). 8 bands recover the recall the extra planes
+    // cost; 0.4 threshold because the synthetic corpus's cosine ceiling is
+    // ~0.51. (No oracle: bucket fn is ours — rows-only check.)
     "e2c_embedding_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4, nPlanes = 4)
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4,
+        nBands = 8, targetPop = 64)
         .orderBy("a", "b")),
 
     // E3 word frequency top-20 (explode + count + top-k).
@@ -306,12 +330,15 @@ object ExtensionQueries {
         numPerms = 16, bands = 8, threshold = 0.05)
         .orderBy("a", "b")),
 
-    // D3 SimHash signatures (no oracle: xxhash64-based).
+    // D3 SimHash signatures — 64-bit (no oracle: xxhash64-based). The
+    // 64-bit width is what keeps near-dup banding's key space growing with
+    // the corpus (16-bit bands at maxDist=3) instead of a constant 256.
     "d3_simhash" -> ((s, d) =>
-      Dedup.simhash32(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // D3b SimHash near-dup pairs via pigeonhole banding (Hamming ≤ 3).
+    // D3b SimHash near-dup pairs via pigeonhole banding over the 64-bit
+    // signature (Hamming ≤ 3 ⇒ four 16-bit bands).
     // No oracle: xxhash64-based, like d3 (rows-only check).
     "d3b_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
@@ -473,6 +500,51 @@ object ExtensionQueries {
         |  FROM cos) t
         |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin
 
+  /** e2f's IVF oracle: first-16-centroid quantizer, csim rounded to 4
+    * before ranking (ties by cell) exactly as
+    * [[Similarity.ivfTopKWithCentroids]] does, corpus keep=1, queries
+    * (vec_id < 32) probe 4 cells, candidate pairs deduped, top-5 by
+    * (cosine desc, b_id).
+    */
+  private val ivfSql: String =
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
+        |cdots AS (
+        |  SELECT f.vec_id, c.vec_id AS cell, SUM(f.x * c.x) AS dot
+        |  FROM flat f JOIN flat c ON c.i = f.i AND c.vec_id < 16
+        |  GROUP BY f.vec_id, c.vec_id),
+        |csims AS (
+        |  SELECT d.vec_id, d.cell,
+        |    ROUND(d.dot / (sqrt(nv.nrm) * sqrt(nc.nrm)), 4) AS csim
+        |  FROM cdots d
+        |  JOIN norms nv ON nv.vec_id = d.vec_id
+        |  JOIN norms nc ON nc.vec_id = d.cell),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crn
+        |  FROM csims),
+        |corpus_cells AS (SELECT cell, vec_id AS b_id FROM ranked WHERE crn = 1),
+        |query_cells AS (SELECT cell, vec_id AS a_id FROM ranked WHERE crn <= 4 AND vec_id < 32),
+        |cand AS (
+        |  SELECT DISTINCT q.a_id, c.b_id
+        |  FROM query_cells q JOIN corpus_cells c ON c.cell = q.cell AND c.b_id <> q.a_id),
+        |cdots2 AS (
+        |  SELECT cd.a_id, cd.b_id, SUM(fa.x * fb.x) AS dot
+        |  FROM cand cd
+        |  JOIN flat fa ON fa.vec_id = cd.a_id
+        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
+        |  GROUP BY cd.a_id, cd.b_id),
+        |cos AS (
+        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM cdots2 JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT a_id, rn, b_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5""".stripMargin
+
   private val minhashPairsCtes: String =
     s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
@@ -516,6 +588,17 @@ object ExtensionQueries {
          |  ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 4) AS recall_at_5
          |FROM per_q""".stripMargin,
 
+
+    "e2f_ivf_recall" ->
+      s"""WITH exact AS (SELECT a_id, b_id FROM ($e2Sql) x),
+         |approx AS (SELECT a_id, b_id, CAST(1 AS BIGINT) AS hit FROM ($ivfSql) y),
+         |per_q AS (
+         |  SELECT e.a_id, COUNT(*) AS n_true, SUM(COALESCE(ap.hit, 0)) AS n_hit
+         |  FROM exact e LEFT JOIN approx ap ON ap.a_id = e.a_id AND ap.b_id = e.b_id
+         |  GROUP BY e.a_id)
+         |SELECT COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 4) AS recall_at_5
+         |FROM per_q""".stripMargin,
 
     "e3_word_topk" ->
       s"""SELECT word, COUNT(*) AS n FROM (

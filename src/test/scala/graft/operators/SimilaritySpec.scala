@@ -62,9 +62,103 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineNearDupPairs finds the near-identical pair") {
-    val pairs = Similarity.cosineNearDupPairs(vecs, 0.9, nPlanes = 2, dims = 3)
+    val pairs = Similarity.cosineNearDupPairsBanded(vecs, 0.9,
+      planesPerBand = 2, nBands = 2, dims = 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+    // auto-scaled entry point on the same toy corpus (planes clamp to 4)
+    val auto = Similarity.cosineNearDupPairs(vecs, 0.9, nBands = 4, dims = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(auto.contains((0L, 1L)))
+  }
+
+  test("planesForCorpus bounds expected bucket population by targetPop at every N") {
+    // the documented invariant: 2^planes ≥ N/targetPop (so E[pop] ≤ targetPop),
+    // with the [4, 48] clamp at the extremes
+    for (n <- Seq(0L, 1L, 100L, 1000L, 64L * 16, 1L << 20, 1L << 40);
+         pop <- Seq(1, 64, 1024)) {
+      val p = Similarity.planesForCorpus(n, pop)
+      assert(p >= 4 && p <= 48)
+      if (p < 48 && p > 4)
+        assert((1L << p) * pop >= n, s"n=$n pop=$pop planes=$p")
+    }
+    assert(Similarity.planesForCorpus(500, 64) == 4)   // sf0.01 corpus
+    assert(Similarity.planesForCorpus(2000, 64) == 5)  // sf0.1 corpus
+    assert(Similarity.planesForCorpus(1L << 40, 64) == 34) // 1T docs
+  }
+
+  test("banded blocking: observed bucket population stays near N/2^planes on a seeded corpus") {
+    // 2000 seeded random 16-dim vectors, planes from the scaling rule:
+    // mean per-band bucket population must be within 4x of the uniform
+    // expectation (sign bits of random vectors are near-uniform), i.e. the
+    // candidate volume per band is O(N·targetPop), not O(N²)
+    val rnd = new scala.util.Random(7)
+    val n = 2000
+    val dims = 16
+    val corpus = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val targetPop = 64
+    val planes = Similarity.planesForCorpus(n, targetPop)
+    val pops = corpus.select(
+      graft.functions.Vectors.lshBucketFast(col("embedding"), planes, dims).as("bucket"))
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(pops.sum == n)
+    val mean = pops.sum.toDouble / pops.length
+    assert(mean <= 4.0 * targetPop, s"mean bucket population $mean vs target $targetPop")
+    // and the candidate volume this implies is far below all-pairs
+    val candPairs = pops.map(c => c * (c - 1) / 2).sum
+    assert(candPairs < n.toLong * n / 8, s"candidates $candPairs vs all-pairs ${n.toLong * n / 2}")
+  }
+
+  test("kmeansCentroids: deterministic, unit-norm, k cells, and clusters separate") {
+    // 3 well-separated direction clusters in 8 dims, 40 points each
+    val rnd = new scala.util.Random(11)
+    val dirs = Seq(Array.tabulate(8)(i => if (i < 3) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i >= 6) 1.0f else 0.0f))
+    val pts = (0 until 120).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(pts, 3, sampleSize = 120, iters = 8)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    val c2 = Similarity.kmeansCentroids(pts, 3, sampleSize = 120, iters = 8)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    assert(c1.length == 3)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq &&
+      c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq) // deterministic
+    c1.foreach { case (_, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"centroid not unit-norm: $n")
+    }
+    // each true direction has a dedicated nearest centroid (clusters found)
+    val owners = dirs.map { d =>
+      c1.indexWhere { case (_, c) =>
+        c.zip(d).map { case (x, y) => x.toDouble * y }.sum >
+          0.8 * math.sqrt(d.map(x => x.toDouble * x).sum)
+      }
+    }
+    assert(owners.forall(_ >= 0) && owners.distinct.length == 3, s"owners=$owners")
+  }
+
+  test("kmeans IVF recall gate: recall@5 >= 0.8 on a clustered seeded corpus") {
+    val rnd = new scala.util.Random(23)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 24)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKWithCentroids(queries, corpus,
+      Similarity.kmeansCentroids(corpus, nCells = 8, sampleSize = 400, iters = 8),
+      5, nProbe = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"kmeans IVF recall@5 = $recall")
   }
 
   private implicit class MapOps(rows: Array[(Long, Long, Double)]) {
