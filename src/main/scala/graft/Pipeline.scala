@@ -1,10 +1,30 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import java.sql.Date
+import java.sql.{Date, DriverManager}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Layout, Merge, Prepare, Validate}
+
+/** Where the pipeline's four relations (estadisticas, errores, visitantes,
+  * bitacora) are materialized and read back from.
+  *
+  *  - [[SinkMode.Parquet]] (default): the scale-native mode — partitioned
+  *    parquet appends + the versioned visitantes pointer swap.
+  *  - [[SinkMode.Jdbc]]: the reference's literal sink family (MySQL via
+  *    SQLAlchemy append loaders, utils/utils_load.py:24-31, and the staging
+  *    replace + rename for visitantes, tasks/load.py:33-55) re-expressed as
+  *    `df.write.jdbc`. Intended for dimension-sized outputs that must land
+  *    in an operational database; the 100 TB relations stay on Parquet.
+  */
+sealed trait SinkMode
+object SinkMode {
+  case object Parquet extends SinkMode
+  /** @param url JDBC url (e.g. `jdbc:derby:/tmp/db;create=true`) */
+  final case class Jdbc(url: String, user: String = "", password: String = "")
+    extends SinkMode
+}
 
 /** End-to-end batch assembly of the reference ETL (SURVEY.md §3, §7.1):
   * glob scan → layout check (P16) → validity flags (P4-P6) → single-pass
@@ -58,16 +78,73 @@ object Pipeline {
       .map(_.getPath.toString).sorted
   }
 
+  // ---------- JDBC sink plumbing (SinkMode.Jdbc) ----------
+
+  private def jdbcProps(m: SinkMode.Jdbc): java.util.Properties = {
+    val p = new java.util.Properties()
+    if (m.user.nonEmpty) { p.put("user", m.user); p.put("password", m.password) }
+    p
+  }
+
+  /** Case-insensitive table existence via DatabaseMetaData (Derby folds
+    * unquoted identifiers to upper case; MySQL keeps them as written).
+    */
+  private def jdbcTableExists(m: SinkMode.Jdbc, table: String): Boolean = {
+    val conn = DriverManager.getConnection(m.url, jdbcProps(m))
+    try {
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = conn.getMetaData.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
+  private def jdbcExec(m: SinkMode.Jdbc, sql: String): Unit = {
+    val conn = DriverManager.getConnection(m.url, jdbcProps(m))
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+
+  /** The reference's staging-replace load for visitantes (tasks/load.py:33-55
+    * + utils_load staging table): write the merged table to
+    * `visitantes_staging`, then swap it in with RENAMEs so readers never see
+    * a half-written table (RENAME TABLE is metadata-only in Derby and MySQL
+    * alike). On entry, repair any crash between the two renames of a prior
+    * run (same roll-forward/roll-back ladder as PostProcess.compactParquet).
+    */
+  private def jdbcReplaceVisitantes(df: DataFrame, m: SinkMode.Jdbc): Unit = {
+    if (!jdbcTableExists(m, "visitantes") && jdbcTableExists(m, "visitantes_old"))
+      jdbcExec(m, "RENAME TABLE visitantes_old TO visitantes") // roll back
+    if (jdbcTableExists(m, "visitantes_old"))
+      jdbcExec(m, "DROP TABLE visitantes_old")
+    df.write.mode("overwrite").jdbc(m.url, "visitantes_staging", jdbcProps(m))
+    if (jdbcTableExists(m, "visitantes"))
+      jdbcExec(m, "RENAME TABLE visitantes TO visitantes_old")
+    jdbcExec(m, "RENAME TABLE visitantes_staging TO visitantes")
+    if (jdbcTableExists(m, "visitantes_old"))
+      jdbcExec(m, "DROP TABLE visitantes_old")
+  }
+
+  // ---------- ledger / visitantes state, per sink mode ----------
+
   /** Files already recorded in the bitacora ledger. The reference README
     * claims "filter already-processed files" but never implements it
     * (SURVEY.md §2.10) — here the ledger check makes reruns append-safe:
     * a processed file can never double-count into the visitantes merge.
     */
-  def processedFiles(spark: SparkSession, outDir: String): Set[String] = {
-    val bitDir = Paths.get(outDir, "bitacora")
-    if (!Files.exists(bitDir)) Set.empty
-    else spark.read.parquet(bitDir.toString)
-      .select("nombreArchivo").distinct().collect().map(_.getString(0)).toSet
+  def processedFiles(spark: SparkSession, outDir: String,
+                     sink: SinkMode = SinkMode.Parquet): Set[String] = sink match {
+    case m: SinkMode.Jdbc =>
+      if (!jdbcTableExists(m, "bitacora")) Set.empty
+      else spark.read.jdbc(m.url, "bitacora", jdbcProps(m))
+        .select("nombreArchivo").distinct().collect().map(_.getString(0)).toSet
+    case SinkMode.Parquet =>
+      val bitDir = Paths.get(outDir, "bitacora")
+      if (!Files.exists(bitDir)) Set.empty
+      else spark.read.parquet(bitDir.toString)
+        .select("nombreArchivo").distinct().collect().map(_.getString(0)).toSet
   }
 
   /** P16 for real files: the schema-enforced CSV read can never fail the
@@ -105,22 +182,58 @@ object Pipeline {
   /** Ledger rows for wrong-layout files: recorded as 'Fallido' so they never
     * re-enter processing. Shared by the batch driver and the streaming gate.
     */
-  def quarantine(spark: SparkSession, outDir: String, basenames: Seq[String], asOf: Date): Unit =
-    ledgerRows(spark, outDir, basenames, asOf, "Fallido")
+  def quarantine(spark: SparkSession, outDir: String, basenames: Seq[String], asOf: Date,
+                 sink: SinkMode = SinkMode.Parquet): Unit =
+    ledgerRows(spark, outDir, basenames, asOf, "Fallido", sink)
 
   /** Resolve the current visitantes table version, if any. */
-  def currentVisitantes(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
-    if (Files.exists(ptr))
-      Some(spark.read.parquet(Paths.get(outDir, "visitantes", Files.readString(ptr).trim).toString))
-    else None
+  def currentVisitantes(spark: SparkSession, outDir: String,
+                        sink: SinkMode = SinkMode.Parquet): Option[DataFrame] = sink match {
+    case m: SinkMode.Jdbc =>
+      if (jdbcTableExists(m, "visitantes"))
+        Some(spark.read.jdbc(m.url, "visitantes", jdbcProps(m)))
+      else None
+    case SinkMode.Parquet =>
+      val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
+      if (Files.exists(ptr))
+        Some(spark.read.parquet(Paths.get(outDir, "visitantes", Files.readString(ptr).trim).toString))
+      else None
+  }
+
+  /** Keep-last-N retention for parquet visitantes versions — the reference
+    * has explicit retention policies (README.md:139-143) and without one the
+    * pointer-swap design grows a `v%06d` directory per batch forever. Runs
+    * AFTER the pointer swap (crash-safe order: a crash mid-prune leaves only
+    * stale extra versions, re-pruned on the next batch) and never deletes
+    * the version `_CURRENT` names, whatever `keep` says.
+    */
+  private[graft] def pruneVisitantesVersions(outDir: String, keep: Int): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val vdir = Paths.get(outDir, "visitantes")
+    if (!Files.isDirectory(vdir)) return
+    val ptr = vdir.resolve("_CURRENT")
+    val current = if (Files.exists(ptr)) Files.readString(ptr).trim else ""
+    val s = Files.list(vdir)
+    val versions =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d{6}")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    versions.dropRight(keep)
+      .filterNot(_.getFileName.toString == current)
+      .foreach { p =>
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
   }
 
   /** Full batch run. Returns per-run totals (the driver-visible contract the
     * reference exposes through bitacora).
     */
-  def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date): RunSummary = {
-    val done = processedFiles(spark, outDir)
+  def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date,
+               sink: SinkMode = SinkMode.Parquet, keepVersions: Int = 3): RunSummary = {
+    val done = processedFiles(spark, outDir, sink)
     val pending = listReports(spark, inputDir)
       .filterNot(p => done.contains(p.substring(p.lastIndexOf('/') + 1)))
     if (pending.isEmpty) return RunSummary(0, 0, 0)
@@ -129,7 +242,7 @@ object Pipeline {
     // (recorded → never retried; the reference's retry-then-quarantine ladder
     // collapses to quarantine-first since our batch is idempotent).
     val (todo, quarantined) = pending.partition(f => checkHeader(spark, f).ok)
-    quarantine(spark, outDir, quarantined.map(p => p.substring(p.lastIndexOf('/') + 1)), asOf)
+    quarantine(spark, outDir, quarantined.map(p => p.substring(p.lastIndexOf('/') + 1)), asOf, sink)
     if (todo.isEmpty) return RunSummary(quarantined.size.toLong, 0, 0)
 
     val raw = spark.read
@@ -138,7 +251,8 @@ object Pipeline {
       .csv(todo: _*)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
     val s = processBatch(spark, raw, outDir, asOf,
-      expectedFiles = todo.map(p => p.substring(p.lastIndexOf('/') + 1)))
+      expectedFiles = todo.map(p => p.substring(p.lastIndexOf('/') + 1)),
+      sink = sink, keepVersions = keepVersions)
     s.copy(files = s.files + quarantined.size)
   }
 
@@ -154,7 +268,8 @@ object Pipeline {
     * (0, 0, 'Completado') row.
     */
   def processBatch(spark: SparkSession, raw: DataFrame, outDir: String, asOf: Date,
-                   expectedFiles: Seq[String] = Seq.empty): RunSummary = {
+                   expectedFiles: Seq[String] = Seq.empty,
+                   sink: SinkMode = SinkMode.Parquet, keepVersions: Int = 3): RunSummary = {
     // P16: missing columns are a hard failure; extra columns flow through.
     val layout = Validate.checkLayout(raw.drop("nombreArchivo"))
     require(layout.ok, s"layout check failed, missing columns: ${layout.missing.mkString(", ")}")
@@ -163,7 +278,7 @@ object Pipeline {
     // write of zero rows leaves no readable parquet behind, so skip the
     // transform entirely and just ledger the files.
     if (raw.isEmpty) {
-      emptyFileLedger(spark, outDir, expectedFiles, asOf)
+      emptyFileLedger(spark, outDir, expectedFiles, asOf, sink)
       return RunSummary(expectedFiles.size.toLong, 0, 0)
     }
 
@@ -183,28 +298,45 @@ object Pipeline {
       .withColumn("is_valid", col("is_valid").cast("boolean"))
     val (ok, err) = Validate.split(flagged)
 
-    // estadisticas: P11→P2→P12-15, reference column order, per-file partitions.
+    // estadisticas: P11→P2→P12-15, reference column order. Parquet mode
+    // writes per-file partitions (idempotent rerun = partition replace);
+    // JDBC mode mirrors the reference's SQLAlchemy append loader
+    // (utils/utils_load.py:24-31 — rerun-safety comes from the ledger gate,
+    // which never re-admits a processed file).
     val prepared = Prepare.dropFlags(Prepare.prepare(ok))
-    Prepare.estadisticas(prepared, col("nombreArchivo"))
-      .write.mode("overwrite").partitionBy("nombreArchivo")
-      .parquet(s"$outDir/estadisticas")
-
-    // errores: G1 explode + P1 projection, per-file partitions.
+    val estadisticas = Prepare.estadisticas(prepared, col("nombreArchivo"))
+    // errores: G1 explode + P1 projection.
     val exploded = Prepare.errores(Prepare.explodeErrors(err), col("nombreArchivo"))
-    exploded.write.mode("overwrite").partitionBy("nombreArchivo")
-      .parquet(s"$outDir/errores")
+    sink match {
+      case m: SinkMode.Jdbc =>
+        estadisticas.write.mode("append").jdbc(m.url, "estadisticas", jdbcProps(m))
+        exploded.write.mode("append").jdbc(m.url, "errores", jdbcProps(m))
+      case SinkMode.Parquet =>
+        estadisticas.write.mode("overwrite").partitionBy("nombreArchivo")
+          .parquet(s"$outDir/estadisticas")
+        exploded.write.mode("overwrite").partitionBy("nombreArchivo")
+          .parquet(s"$outDir/errores")
+    }
 
-    // visitantes: A1 delta + J1 merge into a new version, then pointer swap.
+    // visitantes: A1 delta + J1 merge, then the mode's replace protocol —
+    // versioned dir + pointer swap (+ keep-last-N GC) on parquet, staging
+    // table + RENAME swap on JDBC.
     val delta = Prepare.visitantes(prepared)
-    val merged = currentVisitantes(spark, outDir)
+    val merged = currentVisitantes(spark, outDir, sink)
       .map(target => Merge.mergeVisitantes(target, delta, asOf))
       .getOrElse(delta)
       .select(Merge.allCols.map(col): _*)
-    val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
-    val nextVersion = f"v${(if (Files.exists(ptr)) Files.readString(ptr).trim.drop(1).toInt else 0) + 1}%06d"
-    merged.write.mode("overwrite").parquet(Paths.get(outDir, "visitantes", nextVersion).toString)
-    Files.createDirectories(ptr.getParent)
-    Files.writeString(ptr, nextVersion)
+    sink match {
+      case m: SinkMode.Jdbc =>
+        jdbcReplaceVisitantes(merged, m)
+      case SinkMode.Parquet =>
+        val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
+        val nextVersion = f"v${(if (Files.exists(ptr)) Files.readString(ptr).trim.drop(1).toInt else 0) + 1}%06d"
+        merged.write.mode("overwrite").parquet(Paths.get(outDir, "visitantes", nextVersion).toString)
+        Files.createDirectories(ptr.getParent)
+        Files.writeString(ptr, nextVersion)
+        pruneVisitantesVersions(outDir, keepVersions)
+    }
 
     // bitacora: the per-file ledger, appended last. Files the caller expected
     // but that produced zero rows (header-only inputs) still get a ledger row
@@ -214,13 +346,18 @@ object Pipeline {
     // staged-read DAG per consumer.
     val bit = Prepare.bitacora(ok, exploded).withColumn("fechaProceso", lit(asOf))
     val rows = bit.collect() // one row per file — the whole DAG runs ONCE
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), bit.schema)
-      .write.mode("append").parquet(s"$outDir/bitacora")
+    val collected = spark.createDataFrame(java.util.Arrays.asList(rows: _*), bit.schema)
+    sink match {
+      case m: SinkMode.Jdbc =>
+        collected.write.mode("append").jdbc(m.url, "bitacora", jdbcProps(m))
+      case SinkMode.Parquet =>
+        collected.write.mode("append").parquet(s"$outDir/bitacora")
+    }
     val name = bit.schema.fieldIndex("nombreArchivo")
     val oks = bit.schema.fieldIndex("registrosExitosos")
     val errs = bit.schema.fieldIndex("registrosFallidos")
     val seen = rows.map(_.getString(name)).toSet
-    emptyFileLedger(spark, outDir, expectedFiles.filterNot(seen), asOf)
+    emptyFileLedger(spark, outDir, expectedFiles.filterNot(seen), asOf, sink)
     RunSummary(seen.size.toLong + expectedFiles.count(!seen(_)),
       rows.map(_.getLong(oks)).sum, rows.map(_.getLong(errs)).sum)
   }
@@ -229,22 +366,27 @@ object Pipeline {
     * data rows — see [[processBatch]]'s `expectedFiles` contract.
     */
   private def emptyFileLedger(spark: SparkSession, outDir: String,
-                              basenames: Seq[String], asOf: Date): Unit =
-    ledgerRows(spark, outDir, basenames, asOf, "Completado")
+                              basenames: Seq[String], asOf: Date,
+                              sink: SinkMode): Unit =
+    ledgerRows(spark, outDir, basenames, asOf, "Completado", sink)
 
   /** Shared bitacora ledger-row writer (schema in ONE place — quarantine and
     * the empty-file path must stay byte-compatible in the same directory).
     */
   private[graft] def ledgerRows(spark: SparkSession, outDir: String,
                                 basenames: Seq[String], asOf: Date,
-                                estatus: String): Unit =
+                                estatus: String,
+                                sink: SinkMode = SinkMode.Parquet): Unit =
     if (basenames.nonEmpty) {
       import spark.implicits._
-      basenames.toDF("nombreArchivo")
+      val df = basenames.toDF("nombreArchivo")
         .withColumn("registrosExitosos", lit(0L))
         .withColumn("registrosFallidos", lit(0L))
         .withColumn("estatus", lit(estatus))
         .withColumn("fechaProceso", lit(asOf))
-        .write.mode("append").parquet(s"$outDir/bitacora")
+      sink match {
+        case m: SinkMode.Jdbc => df.write.mode("append").jdbc(m.url, "bitacora", jdbcProps(m))
+        case SinkMode.Parquet => df.write.mode("append").parquet(s"$outDir/bitacora")
+      }
     }
 }

@@ -113,4 +113,91 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val s2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-25"))
     assert(s2 == Pipeline.RunSummary(0, 0, 0))
   }
+
+  test("run 6: version GC keeps last N visitantes versions, _CURRENT always readable") {
+    def versions(): Seq[String] = {
+      val s = Files.list(outDir.resolve("visitantes"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d{6}")).toSeq.sorted
+      } finally s.close()
+    }
+    assert(versions() == Seq("v000001", "v000002")) // runs 1+2 (3-5 wrote no data)
+    // two more data batches with keepVersions = 1: old versions pruned,
+    // the pointer target survives, the table stays readable and correct
+    for ((name, day) <- Seq("report_e.txt" -> "2024-04-01", "report_f.txt" -> "2024-04-02")) {
+      Files.write(inDir.resolve(name),
+        (header + "\n" + s"eve@example.com,e,-,-,01/04/2024 09:00,,1,0,,0,0,-,-,-,-").getBytes)
+      Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf(day),
+        keepVersions = 1)
+    }
+    val current = Files.readString(outDir.resolve("visitantes").resolve("_CURRENT")).trim
+    assert(versions() == Seq(current), s"versions=${versions()} current=$current")
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString).get
+    assert(vis.filter(col("email") === "eve@example.com").head().getInt(3) == 2)
+    assert(vis.count() == 4) // alice, bob, dave, eve
+  }
+}
+
+/** The reference's literal sink family (MySQL append loaders + staging
+  * replace) exercised end-to-end against embedded Derby — the JDBC engine on
+  * Spark's own classpath.
+  */
+class JdbcSinkSpec extends SparkSpec with BeforeAndAfterAll {
+  private var inDir: Path = _
+  private var outDir: Path = _
+  private var sink: SinkMode.Jdbc = _
+
+  private val header = operators.Layout.validColumns.mkString(",")
+
+  override def beforeAll(): Unit = {
+    inDir = Files.createTempDirectory("graft_jdbc_in")
+    outDir = Files.createTempDirectory("graft_jdbc_out") // scratch staging only
+    sink = SinkMode.Jdbc(s"jdbc:derby:${outDir.resolve("db")};create=true")
+    Files.write(inDir.resolve("report_a.txt"), Seq(
+      header,
+      "alice@example.com,x,-,-,01/02/2024 10:00,,2,0,,1,0,-,-,-,-",
+      "notanemail,z,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-").mkString("\n").getBytes)
+  }
+
+  test("jdbc run 1: all four relations land in Derby tables") {
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-02-15"), sink = sink)
+    assert(s == Pipeline.RunSummary(1, 1, 1))
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString, sink).get.collect()
+    assert(vis.length == 1 && vis(0).getString(0) == "alice@example.com")
+    val url = sink.url
+    assert(spark.read.jdbc(url, "estadisticas", new java.util.Properties).count() == 1)
+    val err = spark.read.jdbc(url, "errores", new java.util.Properties).collect()
+    assert(err.length == 1 && err(0).getAs[String]("tipoError") == "Email")
+    val bit = spark.read.jdbc(url, "bitacora", new java.util.Properties).collect()
+    assert(bit.length == 1 && bit(0).getAs[String]("estatus") == "Completado con errores")
+  }
+
+  test("jdbc run 2: merge via staging replace; ledger skips processed file; appends accumulate") {
+    Files.write(inDir.resolve("report_b.txt"), Seq(
+      header,
+      "alice@example.com,x,-,-,12/03/2024 16:45,,1,0,,0,0,-,-,-,-",
+      "dave@example.com,q,-,-,11/03/2024 14:00,,2,1,,1,0,-,-,-,-").mkString("\n").getBytes)
+    val s = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-20"), sink = sink)
+    assert(s.files == 1 && s.okRows == 2 && s.errRows == 0) // report_a skipped
+    val vis = Pipeline.currentVisitantes(spark, outDir.toString, sink).get
+      .orderBy("email").collect()
+    assert(vis.map(_.getString(0)).toSeq == Seq("alice@example.com", "dave@example.com"))
+    assert(vis(0).getInt(3) == 2) // alice merged: 1 + 1 visits, no double count
+    // append sinks accumulate across runs (rerun-safety = the ledger gate)
+    val url = sink.url
+    assert(spark.read.jdbc(url, "estadisticas", new java.util.Properties).count() == 3)
+    assert(spark.read.jdbc(url, "bitacora", new java.util.Properties).count() == 2)
+    // the staging swap left no intermediate tables behind
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3).toLowerCase).toSet
+      rs.close()
+      assert(!names.contains("visitantes_staging") && !names.contains("visitantes_old"), names)
+    } finally conn.close()
+  }
 }
