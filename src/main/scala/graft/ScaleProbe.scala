@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.Text
+
+/** One-off scale audit for the dedup family (SURVEY §6): measures CANDIDATE
+  * pair counts (the pre-verification volume each blocking scheme admits) as
+  * the corpus grows, to back the asymptotic claims with observed growth
+  * instead of argument.
+  *
+  * Corpus ladder:
+  *  - nested natural subsets of the sf0.1 documents table (625 → 5000 docs,
+  *    by doc_id range so smaller sets are strict subsets) — preserves the
+  *    corpus's real duplicate density;
+  *  - one 4x synthetic upscale (20k docs): each copy family salts every 5th
+  *    token with a copy-unique token, so copies are NOT near-duplicates of
+  *    their originals under any of the measured metrics (token bag, shingle
+  *    set, and length all change) and the ladder measures corpus-size
+  *    scaling, not artificially injected duplication.
+  *
+  * Prints one line per (N, operator): candidate pairs + verified pairs.
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  /** MinHash-LSH band-collision candidates (pre-verification) — the
+    * distinct (a,b) admitted by [[Dedup.minhashLshCandidates]].
+    */
+  private def d2Candidates(docs: DataFrame): Long =
+    Dedup.minhashLshCandidates(
+      Dedup.minhashSignatures(docs, "doc_id", "text", 32), "doc_id", 32, 8).count()
+
+  /** SimHash 16-bit-band collisions BEFORE the Hamming filter. */
+  private def d3Candidates(docs: DataFrame): Long = {
+    val sigs = Dedup.simhash64(docs, "doc_id", "text").localCheckpoint()
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+    banded.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+  }
+
+  /** N-gram inverted-index pair count (pairs sharing >= 1 shingle within a
+    * lang block) — d4's candidate volume, bounded by shingle collisions.
+    */
+  private def d4Candidates(docs: DataFrame): Long = {
+    val sets = docs.select(col("lang").as("blk"), col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("blk"), col("doc_id"), array_distinct(Text.shingles3(col("toks"))).as("sh"))
+      .localCheckpoint()
+    val inv = sets.select(col("blk"), col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    inv.select(col("blk"), col("h"), col("doc_id").as("a"))
+      .join(inv.select(col("blk"), col("h"), col("doc_id").as("b")), Seq("blk", "h"))
+      .filter(col("a") < col("b"))
+      .select("blk", "a", "b").distinct().count()
+  }
+
+  /** Length-band candidate pairs (pre-DP) — d5's verify volume. */
+  private def d5Candidates(docs: DataFrame, lenWindow: Int = 16): Long = {
+    val base = docs.select(col("lang").as("blk"), col("doc_id"), length(col("text")).as("len"))
+      .withColumn("bk", floor(col("len") / lenWindow)).localCheckpoint()
+    val emitted = base.select(col("blk"),
+      explode(array(col("bk"), col("bk") + 1)).as("bk"), col("doc_id"), col("len"))
+    emitted.select(col("blk"), col("bk"), col("doc_id").as("a"), col("len").as("la"))
+      .join(emitted.select(col("blk"), col("bk"), col("doc_id").as("b"), col("len").as("lb")),
+        Seq("blk", "bk"))
+      .filter(col("a") < col("b") && abs(col("la") - col("lb")) <= lenWindow)
+      .select("blk", "a", "b").distinct().count()
+  }
+
+  /** 4x upscale: copy c of doc d gets doc_id = d + c*10^9 and every 5th
+    * token replaced with a copy-unique salt token.
+    */
+  private def upscale(docs: DataFrame, factor: Int): DataFrame = {
+    val copies = docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+    copies.select(
+      (col("doc_id") + col("copy") * lit(1000000000L)).as("doc_id"),
+      when(col("copy") === 0, col("text")).otherwise(
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(1), size(split(col("text"), " "))),
+            (tok, i) => when(pmod(i, lit(5)) === 0,
+              concat(lit("w"), col("copy"), lit("x"), i)).otherwise(tok)),
+          " ")).as("text"),
+      col("lang"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.tune(SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val all = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val full = all.count()
+
+    def probe(tag: String, docs: DataFrame, n: Long, skipD5: Boolean = false): Unit = {
+      def t(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+      }
+      val (c2, t2) = t(d2Candidates(docs))
+      val (v2, _) = t(Dedup.minhashLsh(docs, "doc_id", "text", 32, 8, 0.5).count())
+      val (c3, t3) = t(d3Candidates(docs))
+      val (v3, _) = t(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3).count())
+      val (c4, t4) = t(d4Candidates(docs))
+      val (c5, t5) = if (skipD5) (-1L, -1.0) else t(d5Candidates(docs))
+      println(f"PROBE $tag%-10s n=$n%6d " +
+        f"d2_cand=$c2%8d d2_pairs=$v2%6d t=$t2%5.1fs | " +
+        f"d3_cand=$c3%8d d3_pairs=$v3%6d t=$t3%5.1fs | " +
+        f"d4_cand=$c4%9d t=$t4%5.1fs | d5_cand=$c5%9d t=$t5%5.1fs")
+    }
+
+    // nested subsets by doc_id order (deterministic, strict subsets)
+    val ids = all.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    for (frac <- Seq(8, 4, 2, 1)) {
+      val n = (full / frac).toInt
+      val cut = ids(n - 1)
+      probe(s"sf0.1/$frac", all.filter(col("doc_id") <= cut).localCheckpoint(), n)
+    }
+    val up = upscale(all, 4).localCheckpoint()
+    probe("sf0.1 x4", up, up.count(), skipD5 = true)
+    spark.stop()
+  }
+}
