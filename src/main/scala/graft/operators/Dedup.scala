@@ -301,6 +301,31 @@ object Dedup {
     scored.filter(col("dist").between(0, maxDist)) // bounded form returns -1 above maxDist
   }
 
+  /** Bounded edit-distance verification of an ARBITRARY candidate pair set:
+    * the composable scale path that SURVEY §6.1's growth measurements call
+    * for — length-band blocking alone admits a quadratic candidate count
+    * (fixed band count), so at corpus scale feed this verifier candidates
+    * from a corpus-scaled blocker instead (MinHash bands, the shingle
+    * inverted index) and keep the banded-DP verify cost per candidate.
+    * `pairs` carries (aCol, bCol) id pairs; texts join in once per side,
+    * and the DP projection is materialized before the sentinel filter for
+    * the same single-eval reason as [[editDistanceNearDup]].
+    * Output: (a, b, dist) for pairs with dist ≤ maxDist.
+    */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, aCol: String, bCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val texts = spread(docs.select(col(idCol), col(textCol).as("txt")))
+    val scored = materialize(pairs
+      .select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+      .join(texts.select(col(idCol).as("a"), col("txt").as("ta")), "a")
+      .join(texts.select(col(idCol).as("b"), col("txt").as("tb")), "b")
+      .select(col("a"), col("b"),
+        Text.levBounded(col("ta"), col("tb"), maxDist).as("dist")))
+    scored.filter(col("dist").between(0, maxDist)) // bounded form returns -1 above maxDist
+  }
+
   /** Connected components over an undirected pair graph (the canonical-doc
     * selection step of a near-dup pipeline: cluster the pair graph, keep one
     * doc per component). Iterative min-label propagation: each round every

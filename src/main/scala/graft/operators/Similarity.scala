@@ -211,10 +211,14 @@ object Similarity {
         Vectors.lshBucketFast(col("embedding"), planesPerBand, dims,
           firstPlane = t * planesPerBand).as("bucket"))
     }
-    // ids only in the candidate join; embeddings stay out of the explode
+    // ids only in the candidate join; embeddings stay out of the explode.
+    // Materialized: both self-join sides consume it, and Spark has no
+    // cross-branch CSE — without the barrier the nBands×planes bucket dots
+    // run twice per vector (same pattern as the simhash sigs frame).
     val banded = base.select(col("vec_id"),
       explode(array(bandCols: _*)).as("bd"))
       .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
+      .localCheckpoint()
     val cands = banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
       .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
         Seq("band", "bucket"))

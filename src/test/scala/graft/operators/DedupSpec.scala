@@ -180,6 +180,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editDistanceVerify scores arbitrary candidate pairs, composing with other blockers") {
+    // candidates from the n-gram inverted index (a corpus-scaled blocker),
+    // verified with the bounded DP — the composed scale path of SURVEY §6.1
+    val cands = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.05)
+      .select("a", "b")
+    val out = Dedup.editDistanceVerify(cands, docs, "doc_id", "text", "a", "b", 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0)))                                 // exact dup
+    assert(out.exists { case (a, b, d) => a == 1L && b == 3L && d > 0 && d <= 10 })
+    // a far pair fed in explicitly is dropped by the bound, not mis-scored
+    val far = Seq((1L, 4L)).toDF("a", "b")
+    assert(Dedup.editDistanceVerify(far, docs, "doc_id", "text", "a", "b", 10).isEmpty)
+  }
+
   test("connected components: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
