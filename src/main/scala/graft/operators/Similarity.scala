@@ -56,6 +56,37 @@ object Similarity {
       .select("a_id", "rn", "b_id", "cosine", "bucket")
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each query also probes
+    * the `nPlanes` buckets at Hamming distance 1 from its own (every
+    * single-bit flip) — the standard recall lever that does NOT grow the
+    * candidate sets of every corpus point the way fewer planes would:
+    * corpus vectors still live in exactly one bucket, so a (query, corpus)
+    * pair meets in at most one probed bucket (no dedup needed) and
+    * candidate volume is (nPlanes+1)·E[bucket population] per query.
+    * Flipping every bit (rather than the lowest-margin bits) keeps the
+    * probe set a pure integer function of the bucket id, so the oracle
+    * reproduces it in SQL.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nPlanes: Int = 6, dims: Int = 64): DataFrame = {
+    val q0 = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .withColumn("bucket0", Vectors.lshBucketFast(col("ea"), nPlanes, dims))
+      .withColumn("norm_a", Vectors.norm2(col("ea")))
+    val probes = col("bucket0") +:
+      (0 until nPlanes).map(j => col("bucket0").bitwiseXOR(lit(1L << j)))
+    val q = q0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
+    val c = corpus.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .withColumn("bucket", Vectors.lshBucketFast(col("eb"), nPlanes, dims))
+      .withColumn("norm_b", Vectors.norm2(col("eb")))
+    val scored = c.join(broadcast(q), Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("a_id", "rn", "b_id", "cosine")
+  }
+
   /** The trivially-deterministic coarse quantizer (first `nCells` corpus
     * vectors as centroids). Kept as the ORACLE-EXPRESSIBLE quantizer: the
     * e2f recall gate reproduces it in ANSI SQL to hash-check the whole IVF

@@ -44,6 +44,15 @@ object ExtensionQueries {
         .orderBy("a_id", "rn")
     }),
 
+    // E2g multi-probe LSH ANN — each query also probes all Hamming-1
+    // buckets; oracle-checked (the probe set is integer arithmetic on the
+    // bucket id, reproduced in SQL).
+    "e2g_ann_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
     // E2d IVF-bucketed ANN — deterministic coarse quantizer, nProbe recall
     // knob (no oracle: rows-only; e2b oracle-checks the ANN family).
     "e2d_ann_ivf" -> ((s, d) => {
@@ -500,6 +509,48 @@ object ExtensionQueries {
         |  FROM cos) t
         |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin
 
+  /** e2g's multi-probe LSH oracle: e2b's integer-arithmetic buckets, with
+    * each query probing its own bucket plus every single-bit flip of it.
+    */
+  private val e2gSql: String =
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings),
+        |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
+        |proj AS (
+        |  SELECT f.vec_id, p.j,
+        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY vec_id),
+        |probes AS (SELECT CAST(j AS INTEGER) AS j FROM range(-1, 6) t(j)),
+        |qbuckets AS (
+        |  SELECT q.vec_id AS a_id,
+        |    CASE WHEN p.j < 0 THEN q.bucket
+        |         ELSE xor(q.bucket, CAST(1 << p.j AS BIGINT)) END AS bucket
+        |  FROM buckets q CROSS JOIN probes p
+        |  WHERE q.vec_id < 32),
+        |cand AS (
+        |  SELECT qb.a_id, c.vec_id AS b_id
+        |  FROM qbuckets qb JOIN buckets c ON c.bucket = qb.bucket
+        |  WHERE c.vec_id <> qb.a_id),
+        |dots AS (
+        |  SELECT cd.a_id, cd.b_id, SUM(fa.x * fb.x) AS dot
+        |  FROM cand cd
+        |  JOIN flat fa ON fa.vec_id = cd.a_id
+        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
+        |  GROUP BY cd.a_id, cd.b_id),
+        |cos AS (
+        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id)
+        |SELECT a_id, rn, b_id, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin
+
   /** e2f's IVF oracle: first-16-centroid quantizer, csim rounded to 4
     * before ranking (ties by cell) exactly as
     * [[Similarity.ivfTopKWithCentroids]] does, corpus keep=1, queries
@@ -588,6 +639,8 @@ object ExtensionQueries {
          |  ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 4) AS recall_at_5
          |FROM per_q""".stripMargin,
 
+
+    "e2g_ann_multiprobe" -> e2gSql,
 
     "e2f_ivf_recall" ->
       s"""WITH exact AS (SELECT a_id, b_id FROM ($e2Sql) x),

@@ -111,6 +111,30 @@ class SimilaritySpec extends SparkSpec {
     assert(candPairs < n.toLong * n / 8, s"candidates $candPairs vs all-pairs ${n.toLong * n / 2}")
   }
 
+  test("multi-probe LSH: correct scores, and recall dominates single-probe on a seeded corpus") {
+    val rnd = new scala.util.Random(31)
+    val dims = 16
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 16)
+    val bf = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toMap2
+    def recall(hits: Set[(Long, Long)]): Double =
+      bf.keySet.intersect(hits).size.toDouble / bf.size
+    val single = Similarity.lshTopK(queries, corpus, 5, nPlanes = 6, dims = dims)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    val multi = Similarity.lshTopKMultiProbe(queries, corpus, 5, nPlanes = 6, dims = dims)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    // scoring parity with brute force on every returned pair
+    multi.foreach { case (a, b, c) => assert(bf.get((a, b)).forall(_ == c)) }
+    val (rs, rm) = (recall(single.map(t => (t._1, t._2)).toSet),
+      recall(multi.map(t => (t._1, t._2)).toSet))
+    // probing all Hamming-1 buckets can only ADD candidates: recall dominates
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0.3, s"multi-probe recall $rm implausibly low")
+  }
+
   test("kmeansCentroids: deterministic, unit-norm, k cells, and clusters separate") {
     // 3 well-separated direction clusters in 8 dims, 40 points each
     val rnd = new scala.util.Random(11)
