@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Multimodal, Prepare, Similarity}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Prepare, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -108,6 +108,12 @@ object ExtensionQueries {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4,
         nBands = 8, targetPop = 64)
         .orderBy("a", "b")),
+
+    // T9 corpus bigram-LM document scoring (CCNet-style quality signal):
+    // add-k smoothed mean bigram log-probability per document.
+    "t9_bigram_lm" -> ((s, d) =>
+      LanguageModel.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // E3 word frequency top-20 (explode + count + top-k).
     "e3_word_topk" -> ((s, d) =>
@@ -652,6 +658,27 @@ object ExtensionQueries {
          |SELECT COUNT(*) AS n_queries,
          |  ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_true), 4) AS recall_at_5
          |FROM per_q""".stripMargin,
+
+    "t9_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, CAST(len(toks) AS INTEGER)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bgram
+         |  FROM tok),
+         |uni AS (SELECT unnest(toks) AS w FROM tok),
+         |ucnt AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+         |bcnt AS (SELECT bgram, COUNT(*) AS cb FROM bg GROUP BY bgram),
+         |scored AS (
+         |  SELECT bg.doc_id, ln((cb + 0.5) / (cu + 0.5 * v)) AS lp
+         |  FROM bg
+         |  JOIN bcnt USING (bgram)
+         |  JOIN ucnt ON ucnt.w = split_part(bg.bgram, ' ', 1)
+         |  CROSS JOIN vocab)
+         |SELECT t.doc_id, COUNT(lp) AS n_bigrams, ROUND(AVG(lp), 4) AS lm_score
+         |FROM tok t LEFT JOIN scored s ON s.doc_id = t.doc_id
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "e3_word_topk" ->
       s"""SELECT word, COUNT(*) AS n FROM (

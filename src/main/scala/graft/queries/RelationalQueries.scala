@@ -214,6 +214,20 @@ object RelationalQueries {
         .orderBy("event_type", "quartile")
     }),
 
+    // Rank-family windows in one pass: rank/dense_rank over (value,
+    // event_id) — a deterministic total order, so ranks are reproducible —
+    // and percent_rank/cume_dist rounded to 4 for cross-engine hash parity.
+    "w6_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 4))
+        .withColumn("cume", round(cume_dist().over(w), 4))
+        .select("event_type", "event_id", "rnk", "drnk", "pct_rank", "cume")
+        .orderBy("event_type", "event_id")
+    }),
+
     // RANGE-frame window: per-user trailing-1-hour event count/value sum —
     // frame membership is value-based (epoch seconds), so tied timestamps
     // are all peers and the result is order-insensitive by construction.
@@ -673,6 +687,16 @@ object RelationalQueries {
         |  FROM events) t
         |GROUP BY event_type, quartile
         |ORDER BY event_type, quartile""".stripMargin,
+
+    "w6_rank_family" ->
+      """SELECT event_type, event_id,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "w5_rolling_range" ->
       """SELECT user_id, event_id,
