@@ -33,7 +33,10 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val epochs = Seq.fill(3)(epoch())
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: f"" uses the JVM default locale, which under e.g. de_DE
+    // emits "0,7374" — invalid JSON for the machine-parsed bench lines.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val keys = epochs.head.keys.toSeq.sorted
     val results = keys.map(k => k -> epochs.map(_(k)).min).toMap
     // Median alongside min: min is the estimator (one-sided scheduler-stall

@@ -88,12 +88,21 @@ object Pipeline {
 
   /** Case-insensitive table existence via DatabaseMetaData (Derby folds
     * unquoted identifiers to upper case; MySQL keeps them as written).
+    * Scoped to the connection's current schema: an unscoped getTables(null,
+    * null, ...) would match a same-named table in ANOTHER user's schema and
+    * misdirect the rename/drop ladder in [[jdbcReplaceVisitantes]]. Falls
+    * back to unscoped only when the driver reports no current schema (e.g.
+    * MySQL, where schema == catalog and unqualified names already resolve
+    * against the connection's database).
     */
   private def jdbcTableExists(m: SinkMode.Jdbc, table: String): Boolean = {
     val conn = DriverManager.getConnection(m.url, jdbcProps(m))
     try {
+      val schema =
+        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        catch { case _: Throwable => null } // pre-JDBC-4.1 drivers
       Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = conn.getMetaData.getTables(null, null, t, null)
+        val rs = conn.getMetaData.getTables(null, schema, t, null)
         try rs.next() finally rs.close()
       }
     } finally conn.close()
@@ -206,6 +215,14 @@ object Pipeline {
     * AFTER the pointer swap (crash-safe order: a crash mid-prune leaves only
     * stale extra versions, re-pruned on the next batch) and never deletes
     * the version `_CURRENT` names, whatever `keep` says.
+    *
+    * Concurrency contract: single writer, short readers. An EXTERNAL reader
+    * holding a DataFrame from a `currentVisitantes` call made K batches ago
+    * may still lazily scan a version this prune deletes and hit
+    * FileNotFoundException — keep-last-N (default 3) is the grace window, so
+    * a reader must consume its frame within N-1 subsequent batches. The
+    * in-batch path is safe unconditionally: `merged` is fully written before
+    * the swap, and the prune only touches superseded versions.
     */
   private[graft] def pruneVisitantesVersions(outDir: String, keep: Int): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")

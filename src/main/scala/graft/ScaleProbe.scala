@@ -116,10 +116,14 @@ object ScaleProbe {
         f"d4_cand=$c4%9d t=$t4%5.1fs | d5_cand=$c5%9d t=$t5%5.1fs")
     }
 
-    // nested subsets by doc_id order (deterministic, strict subsets)
+    // Nested subsets by doc_id order (deterministic, strict subsets). The
+    // driver-side collect of every doc_id is probe-scale-only by design
+    // (this is a one-off measurement tool, not a pipeline operator); n is
+    // clamped to >= 1 so a tiny corpus (< 8 docs) probes the smallest
+    // non-empty subset instead of indexing ids(-1).
     val ids = all.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
-    for (frac <- Seq(8, 4, 2, 1)) {
-      val n = (full / frac).toInt
+    for (frac <- Seq(8, 4, 2, 1) if ids.nonEmpty) {
+      val n = math.max(1, (full / frac).toInt)
       val cut = ids(n - 1)
       probe(s"sf0.1/$frac", all.filter(col("doc_id") <= cut).localCheckpoint(), n)
     }

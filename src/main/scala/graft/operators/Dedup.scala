@@ -310,15 +310,31 @@ object Dedup {
     * `pairs` carries (aCol, bCol) id pairs; texts join in once per side,
     * and the DP projection is materialized before the sentinel filter for
     * the same single-eval reason as [[editDistanceNearDup]].
+    *
+    * Drop semantics: the text lookups are INNER joins, so a candidate pair
+    * whose id is absent from `docs` silently disappears from the output —
+    * an upstream id-space mismatch (wrong idCol, stale pair set) therefore
+    * reads as "no near-dups". Pass `strict = true` to fail fast instead:
+    * it counts candidate ids with no matching doc and throws if any exist
+    * (one extra aggregate over the id-only frames; skipped when false, so
+    * the default path costs nothing).
     * Output: (a, b, dist) for pairs with dist ≤ maxDist.
     */
   def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                          textCol: String, aCol: String, bCol: String,
-                         maxDist: Int): DataFrame = {
+                         maxDist: Int, strict: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val texts = spread(docs.select(col(idCol), col(textCol).as("txt")))
-    val scored = materialize(pairs
-      .select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    val dedupPairs = pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    if (strict) {
+      val ids = dedupPairs.select(col("a").as("id"))
+        .union(dedupPairs.select(col("b").as("id"))).distinct()
+      val missing = ids.join(texts.select(col(idCol).as("id")), Seq("id"), "left_anti").count()
+      require(missing == 0,
+        s"editDistanceVerify: $missing candidate id(s) have no matching '$idCol' in docs " +
+          "— id-space mismatch between the candidate pairs and the corpus")
+    }
+    val scored = materialize(dedupPairs
       .join(texts.select(col(idCol).as("a"), col("txt").as("ta")), "a")
       .join(texts.select(col(idCol).as("b"), col("txt").as("tb")), "b")
       .select(col("a"), col("b"),

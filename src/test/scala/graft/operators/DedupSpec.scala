@@ -194,6 +194,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistanceVerify(far, docs, "doc_id", "text", "a", "b", 10).isEmpty)
   }
 
+  test("editDistanceVerify strict mode fails fast on an id-space mismatch") {
+    // default (lenient) mode: an unknown id silently drops out of the inner
+    // join — the documented semantics; strict mode surfaces it instead of
+    // letting a stale/mismatched candidate set read as "no near-dups"
+    val phantom = Seq((1L, 999L)).toDF("a", "b")
+    assert(Dedup.editDistanceVerify(phantom, docs, "doc_id", "text", "a", "b", 10).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistanceVerify(phantom, docs, "doc_id", "text", "a", "b", 10,
+        strict = true).count()
+    }
+    assert(e.getMessage.contains("id-space mismatch"))
+    // strict with a fully-matched pair set passes through unchanged
+    val ok = Seq((1L, 2L)).toDF("a", "b")
+    assert(Dedup.editDistanceVerify(ok, docs, "doc_id", "text", "a", "b", 10,
+      strict = true).count() == 1)
+  }
+
   test("connected components: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
