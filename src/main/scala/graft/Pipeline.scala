@@ -98,11 +98,23 @@ object Pipeline {
   private def jdbcTableExists(m: SinkMode.Jdbc, table: String): Boolean = {
     val conn = DriverManager.getConnection(m.url, jdbcProps(m))
     try {
+      val md = conn.getMetaData
+      // getTables treats its schema/table arguments as SQL LIKE patterns, so
+      // a literal '_' or '%' (e.g. schema 'app_user', table 'visitantes_old')
+      // would wildcard the match — exactly the cross-schema false positive
+      // the schema scoping exists to exclude. Escape both with the driver's
+      // declared escape string before passing them as patterns.
+      val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+      def escapeLike(s: String): String = esc match {
+        case Some(e) =>
+          s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+        case None => s // driver has no escape char; pass through unaltered
+      }
       val schema =
-        try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        try Option(conn.getSchema).filter(_.nonEmpty).map(escapeLike).orNull
         catch { case _: Throwable => null } // pre-JDBC-4.1 drivers
       Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = conn.getMetaData.getTables(null, schema, t, null)
+        val rs = md.getTables(null, schema, escapeLike(t), null)
         try rs.next() finally rs.close()
       }
     } finally conn.close()
