@@ -34,6 +34,15 @@ object Text {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** 2-token shingles (1-based element_at matches DuckDB list indexing).
+    * Empty array when fewer than 2 tokens.
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** English stopword hit count over a token array (n-gram-free heuristic
     * language ID signal; the list is small so the lambda stays codegen'd).
     */

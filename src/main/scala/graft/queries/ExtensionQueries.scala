@@ -440,6 +440,139 @@ object ExtensionQueries {
           col("features.head_hex").as("head_hex"),
           col("features.byte_mean").as("byte_mean"))
         .orderBy("media_id")
+    }),
+
+    // T10 repetition filters (Gopher-style): share of all bigram slots taken
+    // by the single most frequent bigram, and share of trigram occurrences
+    // that are repeats — the signals that catch boilerplate/spam documents
+    // which per-token stats (t2/t3) miss. Counts stay integer until the two
+    // final rounded ratios; the tokenized array feeds two explode branches
+    // plus the doc spine, so it is materialized once (no cross-branch CSE).
+    "t10_repetition" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .localCheckpoint()
+      val bg = tok.select(col("doc_id"), explode(Text.bigrams(col("toks"))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_c"))
+      val tri = tok.select(col("doc_id"), explode(Text.shingles3(col("toks"))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"),
+          sum(col("c")).as("n_trigrams"))
+      tok.select("doc_id")
+        .join(bg, Seq("doc_id"), "left")
+        .join(tri, Seq("doc_id"), "left")
+        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+        .withColumn("top_bigram_frac",
+          round(coalesce(col("top_c"), lit(0L)).cast("double") /
+            greatest(col("n_bigrams"), lit(1L)).cast("double"), 4))
+        .withColumn("dup_trigram_frac",
+          round(coalesce(col("dup_c"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_trigrams"), lit(0L)), lit(1L)).cast("double"), 4))
+        .withColumn("repetitive",
+          col("top_bigram_frac") > 0.05 || col("dup_trigram_frac") > 0.2)
+        .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac", "repetitive")
+        .orderBy("doc_id")
+    }),
+
+    // T11 overlapped text chunking (RAG/embedding prep): fixed 200-char
+    // windows advancing 150 chars (50-char overlap), one row per chunk.
+    // Chunk count is integer math and each slice is one substr, so the op
+    // is embarrassingly parallel — no shuffle at any corpus size.
+    "t11_chunking" -> ((s, d) =>
+      Tables.documents(s, d)
+        // ceil((len - win) / step) + 1 in exact integer math: win=200,
+        // step=150 → (len - 51) div 150 + 1 for len > win, else 1 chunk.
+        .withColumn("n_chunks",
+          when(length(col("text")) <= 200, lit(1L))
+            .otherwise(expr("(length(text) - 51) div 150 + 1")))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n_chunks") - 1), i =>
+            col("text").substr((i * 150 + 1).cast("int"), lit(200))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // PK1 training sequence packing: contiguous-fill documents into fixed
+    // 512-token context windows per source, in deterministic doc_id order.
+    // The prefix sum is a window partitioned by source — the packing pass
+    // parallelizes across sources and is integer-only, so the oracle can
+    // reproduce every bin boundary exactly.
+    "pk1_sequence_packing" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("start_tok",
+          sum(col("n_toks")).over(
+            Window.partitionBy("source").orderBy("doc_id")) - col("n_toks"))
+        .withColumn("bin", expr("start_tok div 512"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")),
+
+    // MIX1 deterministic source mixing: per-source keep rates applied via an
+    // md5-prefix threshold on the doc id — reshuffle-invariant, re-runnable,
+    // and engine-portable (the oracle computes the identical hash), unlike
+    // sample()/rand(), whose decisions change with partitioning. At 100 TB
+    // this is the only sampler whose selections survive a repartition, and
+    // it needs no state: the decision is a pure function of the row.
+    "mix1_source_mixing" -> ((s, d) => {
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      // keep rates 1.0 / 0.5 / 0.25 / 0.125 cycling by source index; the
+      // 1.0 threshold is 'g0000000' — every hex digit sorts below 'g', so
+      // all rows pass without a special case.
+      val rateHex = when(srcNum % 4 === 0, lit("g0000000"))
+        .when(srcNum % 4 === 1, lit("80000000"))
+        .when(srcNum % 4 === 2, lit("40000000"))
+        .otherwise(lit("20000000"))
+      val h = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
+      Tables.documents(s, d)
+        .withColumn("kept", (h < rateHex).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .withColumn("rate",
+          round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+        .orderBy("source")
+    }),
+
+    // E10 embedding normalize + int8 quantize: per-vector max-abs scaling to
+    // [-127, 127] with round-half-up as floor(x + 0.5) — floor on doubles is
+    // exact, so the oracle reproduces every quantized value bit-for-bit.
+    // Integer-only checked output except the rounded L2 norm (computed as a
+    // sequential array fold on both sides so summation order matches). This
+    // is the 4x storage-compression step before ANN indexing at scale.
+    "e10_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("xs", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("xs"), x => abs(x))))
+        .withColumn("q", transform(col("xs"), x =>
+          when(col("maxabs") === 0d, lit(0L))
+            .otherwise(floor(x * lit(127.0) / col("maxabs") + lit(0.5)))))
+        .select(col("vec_id"),
+          size(col("q")).as("n_dims"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          round(sqrt(aggregate(col("xs"), lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    // D5b the composed near-dup scale path (SURVEY §6.1's prescription for
+    // d5): MinHash-LSH blocking — near-linear candidate volume — feeding the
+    // bounded edit-distance verifier (tight maxDist=6, so the verify DROPS
+    // candidates rather than rubber-stamping them), replacing d5's length-band
+    // blocking at corpus scale. Oracle: the d2b pair CTEs + exact
+    // levenshtein over the same candidates.
+    "d5b_blocked_edit_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      Dedup.editDistanceVerify(cands, docs, "doc_id", "text", "a", "b", maxDist = 6)
+        .orderBy("a", "b")
     }))
 
   // ---- oracles --------------------------------------------------------------
@@ -935,5 +1068,94 @@ object ExtensionQueries {
         |      i -> (strpos('0123456789abcdef', substring(hx, 2*i+1, 1)) - 1) * 16
         |         + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1)), 'sum'), 0) AS DOUBLE)
         |    / greatest(n_bytes, 1) AS byte_mean
-        |FROM h ORDER BY media_id""".stripMargin)
+        |FROM h ORDER BY media_id""".stripMargin,
+
+    "t10_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, CAST(len(toks) AS INTEGER)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM tok),
+         |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         |bgs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |               CAST(MAX(c) AS BIGINT) AS top_c FROM bgc GROUP BY doc_id),
+         |tg AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS g FROM tok),
+         |tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+         |tgs AS (SELECT doc_id,
+         |          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c,
+         |          CAST(SUM(c) AS BIGINT) AS n_trigrams FROM tgc GROUP BY doc_id),
+         |x AS (
+         |  SELECT t.doc_id,
+         |    COALESCE(n_bigrams, 0) AS n_bigrams,
+         |    ROUND(CAST(COALESCE(top_c, 0) AS DOUBLE) / greatest(COALESCE(n_bigrams, 0), 1), 4) AS top_bigram_frac,
+         |    ROUND(CAST(COALESCE(dup_c, 0) AS DOUBLE) / greatest(COALESCE(n_trigrams, 0), 1), 4) AS dup_trigram_frac
+         |  FROM tok t LEFT JOIN bgs ON bgs.doc_id = t.doc_id LEFT JOIN tgs ON tgs.doc_id = t.doc_id)
+         |SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+         |  (top_bigram_frac > 0.05 OR dup_trigram_frac > 0.2) AS repetitive
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "t11_chunking" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE (length(text) - 51) // 150 + 1 END AS nc
+        |  FROM documents),
+        |ix AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  length(substr(text, CAST(i*150+1 AS INTEGER), 200)) AS chunk_len,
+        |  md5(substr(text, CAST(i*150+1 AS INTEGER), 200)) AS chunk_md5
+        |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pk1_sequence_packing" ->
+      s"""WITH tok AS (
+         |  SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |pos AS (
+         |  SELECT source, doc_id, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id) - n_toks AS start_tok
+         |  FROM tok)
+         |SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM pos GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "mix1_source_mixing" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CASE CAST(substr(source, 4) AS INTEGER) % 4
+        |      WHEN 0 THEN 'g0000000' WHEN 1 THEN '80000000'
+        |      WHEN 2 THEN '40000000' ELSE '20000000' END AS rate_hex,
+        |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "e10_embed_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, xs,
+        |    list_aggregate(list_transform(xs, v -> abs(v)), 'max') AS maxabs,
+        |    ROUND(sqrt(list_aggregate(list_transform(xs, v -> v*v), 'sum')), 4) AS l2_norm
+        |  FROM base),
+        |q AS (
+        |  SELECT vec_id, maxabs, l2_norm, CAST(len(xs) AS INTEGER) AS n_dims,
+        |    list_transform(xs, v -> CAST(CASE WHEN maxabs = 0 THEN 0
+        |      ELSE floor(v * 127.0 / maxabs + 0.5) END AS BIGINT)) AS qs
+        |  FROM m)
+        |SELECT vec_id, n_dims, CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+        |  list_aggregate(qs, 'min') AS q_min, list_aggregate(qs, 'max') AS q_max, l2_norm
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "d5b_blocked_edit_neardup" ->
+      s"""WITH $minhashPairsCtes,
+         |cand5b AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
+         |scored AS (
+         |  SELECT c.a, c.b, levenshtein(x.text, y.text) AS dist
+         |  FROM cand5b c JOIN documents x ON x.doc_id = c.a
+         |               JOIN documents y ON y.doc_id = c.b)
+         |SELECT a, b, dist FROM scored WHERE dist <= 6 ORDER BY a, b""".stripMargin)
 }

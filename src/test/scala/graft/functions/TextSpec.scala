@@ -27,6 +27,17 @@ class TextSpec extends SparkSpec {
     assert(short == Seq())
   }
 
+  test("bigrams: 2-grams in order; fewer than 2 tokens → empty") {
+    val bg = Seq("a b c").toDF("t")
+      .select(Text.tokens(col("t")).as("toks"))
+      .select(Text.bigrams(col("toks")).as("b")).as[Seq[String]].head()
+    assert(bg == Seq("a b", "b c"))
+    val one = Seq("a").toDF("t")
+      .select(Text.tokens(col("t")).as("toks"))
+      .select(Text.bigrams(col("toks")).as("b")).as[Seq[String]].head()
+    assert(one == Seq())
+  }
+
   test("stopwordHits counts membership") {
     val n = Seq("the cat and the hat").toDF("t")
       .select(Text.stopwordHits(Text.tokens(col("t"))).as("n")).as[Int].head()
