@@ -21,9 +21,12 @@ class PlanQualitySpec extends SparkSpec {
     *  - e2e_ann_recall: contains e2's brute-force branch as its ground truth.
     *  - e2f_ivf_recall: same brute-force ground-truth branch + the IVF
     *    centroid assignment (16 broadcast centroids).
+    *  - t9_bigram_lm: one-row vocabulary-size aggregate (same shape as
+    *    t6_tfidf's corpus-size scalar).
     */
   private val boundedBroadcastBnl =
-    Set("t6_tfidf", "e2_cosine_topk", "e2d_ann_ivf", "e2e_ann_recall", "e2f_ivf_recall")
+    Set("t6_tfidf", "e2_cosine_topk", "e2d_ann_ivf", "e2e_ann_recall", "e2f_ivf_recall",
+      "t9_bigram_lm")
 
   test("no query plans a cartesian product; BNL only on bounded broadcasts") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
