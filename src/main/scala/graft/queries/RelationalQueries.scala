@@ -480,7 +480,100 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("part_sum")).cast("double").as("sum_value"),
           sum(col("part_n")).as("n"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // LISTAGG (SQL:2016 string aggregation, Spark 4.0+): distinct market
+    // segments per nation, order fixed WITHIN GROUP so the concatenation is
+    // deterministic. Scale shape: one hash aggregate; the aggregated string
+    // is bounded by the segment domain (5 values), never by row count.
+    "sa1_string_agg" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_sa1")
+      Tables.nation(s, d).createOrReplaceTempView("n_sa1")
+      s.sql(
+        """SELECT n_name,
+          |  listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+          |  COUNT(*) AS n_customers
+          |FROM c_sa1 JOIN n_sa1 ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
+    // Inverse-distribution aggregates: exact median plus deterministic mode
+    // (Spark's mode(expr, true) returns the LOWEST value among tied
+    // frequencies — the oracle reproduces exactly that with min-of-argmax,
+    // since DuckDB's native mode() breaks ties arbitrarily). Quantities are
+    // small integers stored as doubles, so the even-count median midpoint is
+    // exact in binary.
+    "md1_mode_median" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_md1")
+      s.sql(
+        """SELECT l_returnflag,
+          |  median(l_quantity) AS med_qty,
+          |  mode(l_quantity, true) AS mode_qty,
+          |  COUNT(*) AS n
+          |FROM l_md1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // customer names per nation). Catalyst decorrelates this into a
+    // window-rank-filter over one shuffled join — no per-row re-execution —
+    // which is also why it holds at scale. Identical SQL runs on DuckDB.
+    "lat1_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_lat1")
+      Tables.nation(s, d).createOrReplaceTempView("n_lat1")
+      s.sql(
+        """SELECT n_nationkey, t.c_name
+          |FROM n_lat1, LATERAL (SELECT c_name FROM c_lat1
+          |                      WHERE c_nationkey = n_nationkey
+          |                      ORDER BY c_name LIMIT 2) t
+          |ORDER BY n_nationkey, c_name""".stripMargin)
+    }),
+
+    // Correlated EXISTS + NOT EXISTS (customers with at least one order and
+    // no order above the threshold): Catalyst plans the pair as one semi-
+    // join plus one anti-join on o_custkey — both plain shuffled equi-joins,
+    // no per-row subquery execution.
+    "ex1_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_ex1")
+      Tables.orders(s, d).createOrReplaceTempView("o_ex1")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_customers
+          |FROM c_ex1 c
+          |WHERE EXISTS (SELECT 1 FROM o_ex1 o WHERE o.o_custkey = c.c_custkey)
+          |  AND NOT EXISTS (SELECT 1 FROM o_ex1 o WHERE o.o_custkey = c.c_custkey
+          |                  AND o.o_totalprice > 300000)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Linear-regression aggregates (slope/intercept/R²) from exact DECIMAL
+    // sums, final arithmetic in DOUBLE with the IDENTICAL expression text on
+    // both engines — the same order-insensitivity discipline as a6 (native
+    // regr_slope/regr_r2 accumulate in floating point, so their last ulps
+    // are merge-order-dependent and unhashable). One map-side-combined
+    // aggregate over the fact table.
+    "ra1_regression_stats" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_ra1")
+      s.sql(regressionSql("l_ra1"))
+    }))
+
+  /** ra1's exact-sums regression SQL — shared verbatim with the oracle so
+    * the double arithmetic is bit-identical on both engines.
+    */
+  private def regressionSql(table: String): String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    COUNT(*) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+       |  FROM $table GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |FROM m ORDER BY l_returnflag""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -810,5 +903,42 @@ object RelationalQueries {
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  COUNT(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sa1_string_agg" ->
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // min-of-argmax reproduces Spark's deterministic mode (lowest tied value)
+    "md1_mode_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity AS q, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, q, cnt,
+        |        MAX(cnt) OVER (PARTITION BY l_returnflag) AS mx FROM c),
+        |md AS (SELECT l_returnflag, MIN(q) AS mode_qty FROM w
+        |       WHERE cnt = mx GROUP BY 1),
+        |me AS (SELECT l_returnflag, median(l_quantity) AS med_qty, COUNT(*) AS n
+        |       FROM lineitem GROUP BY 1)
+        |SELECT me.l_returnflag, med_qty, mode_qty, n
+        |FROM me JOIN md USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+
+    "lat1_lateral_topk" ->
+      """SELECT n_nationkey, t.c_name
+        |FROM nation, LATERAL (SELECT c_name FROM customer
+        |                      WHERE c_nationkey = n_nationkey
+        |                      ORDER BY c_name LIMIT 2) t
+        |ORDER BY n_nationkey, c_name""".stripMargin,
+
+    "ex1_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "ra1_regression_stats" -> regressionSql("lineitem"))
 }
