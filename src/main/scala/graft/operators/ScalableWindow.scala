@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe replacements for window shapes whose PARTITION BY key has too
+  * few distinct values to parallelize: `Window.partitionBy(lowCardKey)` puts
+  * each key's entire row set on ONE task's sort — at 100 TB with a 5-value
+  * key that is N/5 rows per task, the classic full-shuffle-on-low-cardinality
+  * scale killer.
+  *
+  * The trick (textbook distributed order statistics): range-slice each key
+  * group by the ORDER BY value into `slices` sub-partitions, rank WITHIN a
+  * slice (parallelism = |keys| x slices), then restore global positions by
+  * adding per-slice prefix offsets computed from a tiny (|keys| x slices)-row
+  * aggregate. Slice boundaries come from `percentile_approx`, so slices stay
+  * balanced under value skew — and correctness never depends on the
+  * approximation: boundaries only decide WHERE the group is cut, while the
+  * global position arithmetic is exact regardless of the cut.
+  */
+object ScalableWindow {
+
+  /** Exact `NTILE(k) OVER (PARTITION BY part ORDER BY value, tie)` without a
+    * single-task sort per `part` value. Returns the input rows plus an
+    * integer bucket column `as` (1-based, SQL-standard sizing: the first
+    * n%k buckets get one extra row).
+    *
+    * Contract: (value, tie) is a total order within each part group (same
+    * requirement the plain-window form needs for a deterministic result).
+    *
+    * Scale shape: two passes over the input (a map-side-combined count per
+    * (part, slice) and one within-slice sort), one broadcast of the
+    * (|part| x slices)-row offset table, zero single-task big sorts.
+    */
+  def ntile(df: DataFrame, part: String, value: String, tie: String,
+            k: Int, as: String = "ntile", slices: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(slices > 1, s"slices must be > 1, got $slices")
+
+    // 1. Per-part approximate slice boundaries on the order value. Balanced
+    //    even under skew; any boundary set is CORRECT (see scaladoc).
+    val probs = (1 until slices).map(_.toDouble / slices)
+    val bounds = df.groupBy(col(part))
+      .agg(percentile_approx(col(value), typedlit(probs), lit(10000)).as("_bnds"))
+
+    // 2. Slice id = number of boundaries strictly below this row's value —
+    //    monotone in value, so slice order == value order, and equal values
+    //    always land in the same slice (ties never straddle a boundary, which
+    //    is what keeps within-slice ranks composable into global positions).
+    val sliced = df.join(broadcast(bounds), part)
+      .withColumn("_slice",
+        aggregate(col("_bnds"), lit(0),
+          (acc: Column, b: Column) => acc + when(col(value) > b, 1).otherwise(0)))
+      .drop("_bnds")
+
+    // 3. Slice sizes -> per-slice global offsets. Computed from `sliced`
+    //    (BEFORE the window) so the broadcast side is one map-side-combined
+    //    aggregate, not a recompute through the sort. The prefix-sum window
+    //    runs over a (|part| x slices)-row frame — trivially small.
+    val sizes = sliced.groupBy(col(part), col("_slice")).agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.partitionBy(col(part)).orderBy(col("_slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy(col(part))))
+      .drop("_cnt")
+
+    // 4. Within-slice rank: the only big sort, parallelism |part| x slices.
+    val wSlice = Window.partitionBy(col(part), col("_slice"))
+      .orderBy(col(value), col(tie))
+    val numbered = sliced.withColumn("_rn", row_number().over(wSlice))
+
+    // 5. Global position -> SQL-standard NTILE arithmetic. q = floor(n/k),
+    //    r = n%k; buckets 1..r hold q+1 rows, buckets r+1..k hold q rows.
+    //    (q=0 i.e. n<k: the `big` branch covers all rows, so the q division
+    //    below is unreachable; greatest(q,1) guards it anyway.)
+    val pos = col("_off") + col("_rn")
+    val q = floor(col("_n") / lit(k)).cast("long")
+    val r = col("_n") % lit(k.toLong)
+    val big = (q + lit(1L)) * r
+    val bucket = when(pos <= big, ceil(pos.cast("double") / (q + lit(1L)).cast("double")))
+      .otherwise(r + ceil((pos - big).cast("double") / greatest(q, lit(1L)).cast("double")))
+    numbered.join(broadcast(offs), Seq(part, "_slice"))
+      .withColumn(as, bucket.cast("int"))
+      .drop("_slice", "_rn", "_off", "_n")
+  }
+}

