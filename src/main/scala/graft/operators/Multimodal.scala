@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -8,19 +13,24 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (charter requirement).
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct.
-  * The decode / feature-extract step is STUBBED — this container has no
-  * image/audio codecs — with a deterministic fake ([[fakeDecode]]) so the
-  * Spark-side plumbing (schema, batch shape, partition-parallel decode via
-  * mapPartitions, feature schema) is real and tested end to end. Swapping in
-  * a real codec means replacing ONLY the body of [[fakeDecode]].
+  * Image decode and resize are REAL: `javax.imageio.ImageIO` (PNG/JPEG/BMP/
+  * GIF ship in the JDK — no external codec, offline-safe) and an
+  * aspect-preserving `Graphics2D` resample. Generic byte-level feature
+  * extraction ([[byteStats]]) covers payloads with no installed codec
+  * (audio/video in this container) so every media row flows through the
+  * same harness regardless of type.
   *
   * Scale design: decode runs inside `mapPartitions` (per-partition, no
   * shuffle, codec state reused across a partition's rows); feature columns
-  * come back as a typed struct so downstream ops stay columnar.
+  * come back as typed structs so downstream ops stay columnar. Payload
+  * bytes never enter a shuffle unless the caller asks for the re-encoded
+  * image itself.
   */
 object Multimodal {
 
-  /** Metadata carried next to every media payload. */
+  /** Metadata carried next to every media payload. Struct field order is
+    * the contract [[resizeImages]] relies on when rewriting metadata.
+    */
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("width", IntegerType),
@@ -31,6 +41,17 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("head_hex", StringType),
     StructField("byte_mean", DoubleType)))
+
+  /** Decoded-image feature struct: dimensions, band count, per-channel
+    * means. Null when the payload is not a decodable image.
+    */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
 
   /** Wraps a text table into the multimodal shape: payload = UTF-8 bytes,
     * metadata derived from the payload. Stands in for reading real media
@@ -46,17 +67,18 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Deterministic stand-in for a real decoder: byte length, first-8-bytes
-    * hex, mean byte value. Everything a real decoder needs from the harness
-    * (binary in, struct out, per-partition batching) is exercised.
+  /** Codec-free feature extraction for OPAQUE payloads (no image/audio
+    * library applies): byte length, first-8-bytes hex (magic-number
+    * fingerprint), mean byte value. Runs for any media type — the fallback
+    * lane of the decode harness, not a stand-in for it.
     */
-  def fakeDecode(payload: Array[Byte]): (Long, String, Double) = {
+  def byteStats(payload: Array[Byte]): (Long, String, Double) = {
     val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
     val mean = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
     (payload.length.toLong, head, mean)
   }
 
-  /** Partition-parallel decode: binary payload → feature struct. */
+  /** Partition-parallel byte-level decode: binary payload → feature struct. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(media.schema.fields :+ StructField("features", featureSchema))
     val enc = RowEncoder.encoderFor(outSchema)
@@ -64,13 +86,160 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (n, hex, mean) = fakeDecode(payload)
+        val (n, hex, mean) = byteStats(payload)
         Row.fromSeq(r.toSeq :+ Row(n, hex, mean))
       }
     }(enc)
   }
 
-  /** Frame-sampling stub: emits every `stride`-th fixed-size window of the
+  // ---------- real image codec lane (JDK ImageIO, no external deps) ----------
+
+  /** Encode a solid-color RGB PNG — the deterministic image generator for
+    * specs and the m2 oracle query (a solid color survives any resample
+    * exactly, so channel means are oracle-expressible arithmetic).
+    */
+  def encodePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    try { gfx.setColor(new java.awt.Color(r, g, b)); gfx.fillRect(0, 0, width, height) }
+    finally gfx.dispose()
+    writePng(img)
+  }
+
+  private def writePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def readImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+
+  /** Real decode: payload → (width, height, bands, per-channel means).
+    * None when ImageIO has no codec for the bytes (garbage, or a format the
+    * JDK doesn't ship). Channel sums accumulate in Long (exact), the single
+    * final division is the only float op — bit-stable across JVMs.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double, Double, Double)] =
+    readImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (w, h, img.getRaster.getNumBands, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+  /** Partition-parallel image decode: adds an `img` struct ([[imageSchema]]),
+    * null for undecodable payloads (the caller decides whether that is a
+    * filter or an error).
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+ StructField("img", imageSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeImage(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((w, h, c, mr, mg, mb)) => Row(w, h, c, mr, mg, mb)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ img)
+      }
+    }(enc)
+  }
+
+  /** Aspect-preserving fit of (w, h) inside maxDim, never upscaling —
+    * integer floor math, shared verbatim by the resize and the m2 oracle.
+    */
+  def fitDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(w * maxDim / m, 1), math.max(h * maxDim / m, 1))
+  }
+
+  /** Real image resize in the partition-parallel harness: decode via
+    * ImageIO, aspect-preserving fit inside `maxDim` (never upscale),
+    * bilinear `Graphics2D` resample, re-encode PNG, metadata rewritten to
+    * the output dims. Non-image media and undecodable payloads pass
+    * through untouched with `resized = false` — the codec lane and the
+    * opaque lane share one operator, so a mixed media table needs no
+    * branching upstream.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val outSchema = StructType(media.schema.fields :+ StructField("resized", BooleanType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getAs[Row](metaIdx)
+        val mediaType = if (meta == null) null else meta.getString(0)
+        val decoded =
+          if (mediaType != null && mediaType.startsWith("image/"))
+            readImage(r.getAs[Array[Byte]](payloadIdx))
+          else None
+        decoded match {
+          case Some(img) =>
+            val (ow, oh) = fitDims(img.getWidth, img.getHeight, maxDim)
+            if (ow == img.getWidth && oh == img.getHeight)
+              Row.fromSeq(r.toSeq :+ false)
+            else {
+              val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+              val gfx = out.createGraphics()
+              try {
+                gfx.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+                  RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                gfx.drawImage(img, 0, 0, ow, oh, null)
+              } finally gfx.dispose()
+              val bytes = writePng(out)
+              val newMeta = Row(mediaType, ow, oh, bytes.length.toLong)
+              Row.fromSeq(r.toSeq.updated(payloadIdx, bytes).updated(metaIdx, newMeta) :+ true)
+            }
+          case None => Row.fromSeq(r.toSeq :+ false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic image table: one solid-color PNG per id, dims
+    * and color pure arithmetic in the id — so a DuckDB oracle can state the
+    * EXPECTED decode/resize output in closed form (query m2). Generation
+    * happens executor-side in mapPartitions: nothing but ids leaves the
+    * driver, payloads are born distributed.
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (16 + id % 17).toInt
+        val h = (16 + id % 23).toInt
+        val png = encodePng(w, h,
+          (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+        Row(id, png, Row("image/png", w, h, png.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: emits every `stride`-th fixed-size window of the
     * payload as a "frame" (what a video decoder's keyframe sampler would
     * produce), preserving the row-multiplying generator shape.
     */
@@ -80,44 +249,6 @@ object Multimodal {
         explode(sequence(lit(0), greatest((length(col("payload")) / (frameBytes * stride)).cast("int") - 1, lit(0)))))
       .withColumn("frame",
         expr(s"substring(payload, frame_idx * $frameBytes * $stride + 1, $frameBytes)"))
-
-  /** Resize stub (image pipeline shape): the DIMENSION math is real — fit
-    * (width, height) inside `maxDim` preserving aspect ratio, never
-    * upscaling — while the pixel resample is the deterministic fake (byte
-    * subsampling at the computed stride) running in the same
-    * partition-parallel `mapPartitions` harness a real codec would use.
-    * Media without dimensions (audio/text) pass through with
-    * `resized = false` and an untouched payload.
-    */
-  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
-    require(maxDim > 0, "maxDim must be positive")
-    val w = col("meta.width")
-    val h = col("meta.height")
-    val needs = w.isNotNull && h.isNotNull && greatest(w, h) > maxDim
-    val outW = when(needs, greatest((w * maxDim / greatest(w, h)).cast("int"), lit(1))).otherwise(w)
-    val outH = when(needs, greatest((h * maxDim / greatest(w, h)).cast("int"), lit(1))).otherwise(h)
-    val stride = when(needs, ceil(greatest(w, h).cast("double") / maxDim).cast("int")).otherwise(lit(1))
-    val planned = media
-      .withColumn("resized", needs)
-      .withColumn("out_width", outW)
-      .withColumn("out_height", outH)
-      .withColumn("stride", stride)
-    val enc = RowEncoder.encoderFor(
-      StructType(planned.schema.fields.map(f =>
-        if (f.name == "payload") f.copy(dataType = BinaryType) else f)))
-    val payloadIdx = planned.schema.fieldIndex("payload")
-    val strideIdx = planned.schema.fieldIndex("stride")
-    planned.mapPartitions { rows =>
-      rows.map { r =>
-        val st = r.getInt(strideIdx)
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        val out =
-          if (st <= 1 || payload == null) payload
-          else Array.range(0, payload.length, st).map(payload)
-        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
-      }
-    }(enc)
-  }
 
   /** Overlapped chunking (the audio feature-extraction shape): windows of
     * `chunkBytes` starting every `hopBytes` (hop < chunk ⇒ overlap), the

@@ -442,6 +442,32 @@ object ExtensionQueries {
         .orderBy("media_id")
     }),
 
+    // M2 real image codec lane: one solid-color PNG per document id
+    // (dims/colors pure arithmetic in the id), REAL ImageIO decode of the
+    // original, real Graphics2D resize to maxDim=24, real decode of the
+    // re-encoded output. Every output column is closed-form in doc_id, so
+    // the DuckDB oracle states the expected decode/resize result exactly —
+    // a wrong codec path (dims off by one, color shifted by resampling,
+    // metadata not rewritten) hash-mismatches. Solid colors make channel
+    // means exact doubles; fitDims' integer floor math is restated verbatim
+    // in the oracle SQL.
+    "m2_image_decode" -> ((s, d) => {
+      val media = Multimodal.syntheticImages(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      val inDec = Multimodal.decodeImages(media)
+        .select(col("media_id"),
+          col("img.width").as("in_width"), col("img.height").as("in_height"))
+      val outDec = Multimodal.decodeImages(Multimodal.resizeImages(media, maxDim = 24))
+        .select(col("media_id"),
+          col("img.width").as("out_width"), col("img.height").as("out_height"),
+          col("img.n_channels").as("n_channels"),
+          col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
+          col("img.mean_b").as("mean_b"))
+      inDec.join(outDec, "media_id")
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // T10 repetition filters (Gopher-style): share of all bigram slots taken
     // by the single most frequent bigram, and share of trigram occurrences
     // that are repeats — the signals that catch boilerplate/spam documents
@@ -1069,6 +1095,29 @@ object ExtensionQueries {
         |         + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1)), 'sum'), 0) AS DOUBLE)
         |    / greatest(n_bytes, 1) AS byte_mean
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // m2's generator is closed-form in doc_id (solid 16+id%17 x 16+id%23
+    // PNG, channels id%256 / id*7%256 / id*13%256), so the oracle restates
+    // the expected DECODE + aspect-fit RESIZE output as pure arithmetic —
+    // the same integer floor math as Multimodal.fitDims.
+    "m2_image_decode" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS INT) AS in_width,
+        |    CAST(16 + doc_id % 23 AS INT) AS in_height
+        |  FROM documents)
+        |SELECT doc_id, in_width, in_height,
+        |  CASE WHEN GREATEST(in_width, in_height) <= 24 THEN in_width
+        |       ELSE GREATEST(CAST(FLOOR(in_width * 24.0 / GREATEST(in_width, in_height)) AS INT), 1)
+        |       END AS out_width,
+        |  CASE WHEN GREATEST(in_width, in_height) <= 24 THEN in_height
+        |       ELSE GREATEST(CAST(FLOOR(in_height * 24.0 / GREATEST(in_width, in_height)) AS INT), 1)
+        |       END AS out_height,
+        |  CAST(3 AS INT) AS n_channels,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "t10_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** M-series multimodal plumbing: binary payloads, typed metadata, decode
-  * stub, frame sampling shape.
+/** M-series multimodal: binary payloads, typed metadata, REAL JDK ImageIO
+  * decode + Graphics2D resize, byte-level features for opaque payloads,
+  * frame sampling shape.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -36,23 +37,90 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(first, "UTF-8") == "hell")
   }
 
-  test("resizeStub: aspect-preserving dims, strided payload, passthrough without dims") {
+  test("decodeImage: real ImageIO roundtrip — dims, bands, exact channel means") {
+    val png = Multimodal.encodePng(5, 3, 10, 20, 30)
+    // PNG magic number: a real encoder ran, not a fake
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val Some((w, h, bands, mr, mg, mb)) = Multimodal.decodeImage(png)
+    assert(w == 5 && h == 3 && bands == 3)
+    assert(mr == 10.0 && mg == 20.0 && mb == 30.0) // solid color: means exact
+    assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeImages: img struct for decodable payloads, null for opaque ones") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.asMedia(docs, "doc_id", "text")
+      .withColumn("payload", when($"media_id" === 3L,
+        lit(Multimodal.encodePng(4, 2, 100, 150, 200))).otherwise($"payload"))
+    val out = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    assert(out.find(_.getLong(0) == 1L).get.isNullAt(3)) // text bytes: no codec
+    val img = out.find(_.getLong(0) == 3L).get.getStruct(3)
+    assert(img.getInt(0) == 4 && img.getInt(1) == 2 && img.getInt(2) == 3)
+    assert(img.getDouble(3) == 100.0 && img.getDouble(4) == 150.0 && img.getDouble(5) == 200.0)
+  }
+
+  test("fitDims: aspect-preserving, never upscales, floors to >= 1") {
+    assert(Multimodal.fitDims(640, 480, 320) == ((320, 240)))
+    assert(Multimodal.fitDims(480, 640, 320) == ((240, 320)))
+    assert(Multimodal.fitDims(100, 50, 320) == ((100, 50)))   // no upscale
+    assert(Multimodal.fitDims(1000, 1, 10) == ((10, 1)))      // floor >= 1
+    assert(Multimodal.fitDims(1, 1000, 10) == ((1, 10)))
+  }
+
+  test("resizeImages: real Graphics2D resample, passthrough for non-images") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+      .withColumn("payload", when($"media_id" === 3L,
+        lit(Multimodal.encodePng(640, 480, 60, 70, 80))).otherwise($"payload"))
       .withColumn("meta", when($"media_id" === 3L,
-        struct(lit("image/x-fake").as("media_type"), lit(640).as("width"),
+        struct(lit("image/png").as("media_type"), lit(640).as("width"),
           lit(480).as("height"), $"meta.n_bytes".as("n_bytes")))
         .otherwise($"meta"))
-    val out = Multimodal.resizeStub(media, maxDim = 320).orderBy("media_id").collect()
+    val out = Multimodal.resizeImages(media, maxDim = 320).orderBy("media_id").collect()
     val img = out.find(_.getLong(0) == 3L).get
     assert(img.getAs[Boolean]("resized"))
-    assert(img.getAs[Int]("out_width") == 320 && img.getAs[Int]("out_height") == 240)
-    assert(img.getAs[Int]("stride") == 2)
-    // "hello world!" strided by 2 -> "hlowrd"
-    assert(new String(img.getAs[Array[Byte]]("payload"), "UTF-8") == "hlowrd")
-    val txt = out.find(_.getLong(0) == 1L).get // text media: no dims
+    val meta = img.getStruct(2)
+    assert(meta.getInt(1) == 320 && meta.getInt(2) == 240)
+    // decode the RE-ENCODED payload: dims and solid color survive the resample
+    val Some((w, h, _, mr, mg, mb)) =
+      Multimodal.decodeImage(img.getAs[Array[Byte]]("payload"))
+    assert(w == 320 && h == 240)
+    assert(mr == 60.0 && mg == 70.0 && mb == 80.0)
+    val txt = out.find(_.getLong(0) == 1L).get // text media: untouched
     assert(!txt.getAs[Boolean]("resized"))
     assert(new String(txt.getAs[Array[Byte]]("payload"), "UTF-8") == "abc")
+  }
+
+  test("resizeImages: already-small image and undecodable image both pass through") {
+    import org.apache.spark.sql.functions._
+    val small = Multimodal.encodePng(30, 20, 1, 2, 3)
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+      .filter($"media_id" =!= 2L)
+      .withColumn("payload", when($"media_id" === 3L, lit(small)).otherwise($"payload"))
+      .withColumn("meta",
+        struct(lit("image/png").as("media_type"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), $"meta.n_bytes".as("n_bytes")))
+    val out = Multimodal.resizeImages(media, maxDim = 320).orderBy("media_id").collect()
+    val ok = out.find(_.getLong(0) == 3L).get
+    assert(!ok.getAs[Boolean]("resized")) // fits already: payload untouched
+    assert(ok.getAs[Array[Byte]]("payload").toSeq == small.toSeq)
+    val bad = out.find(_.getLong(0) == 1L).get // claims image/png, bytes aren't
+    assert(!bad.getAs[Boolean]("resized"))
+    assert(new String(bad.getAs[Array[Byte]]("payload"), "UTF-8") == "abc")
+  }
+
+  test("syntheticImages: deterministic arithmetic dims/colors, executor-side generation") {
+    val media = Multimodal.syntheticImages(docs.select("doc_id"), "doc_id")
+      .orderBy("media_id").collect()
+    val m3 = media.find(_.getLong(0) == 3L).get
+    val meta = m3.getStruct(2)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == 16 + 3 % 17 && meta.getInt(2) == 16 + 3 % 23)
+    val Some((w, h, _, mr, mg, mb)) =
+      Multimodal.decodeImage(m3.getAs[Array[Byte]]("payload"))
+    assert(w == 19 && h == 19)
+    assert(mr == 3.0 && mg == 21.0 && mb == 39.0)
   }
 
   test("chunkPayload: overlapping windows, truncated tail, empty payloads skipped") {
