@@ -21,9 +21,35 @@ import graft.operators.{Layout, Merge, Prepare, Validate}
 sealed trait SinkMode
 object SinkMode {
   case object Parquet extends SinkMode
-  /** @param url JDBC url (e.g. `jdbc:derby:/tmp/db;create=true`) */
-  final case class Jdbc(url: String, user: String = "", password: String = "")
+  /** @param url JDBC url (e.g. `jdbc:derby:/tmp/db;create=true`)
+    * @param replace how the visitantes table is refreshed per batch —
+    *   [[JdbcReplace.StagingSwap]] (default, works on any dialect with
+    *   RENAME TABLE) or [[JdbcReplace.Upsert]] (the reference's stated
+    *   MySQL intent, README.md:92: `ON DUPLICATE KEY UPDATE`; Derby gets
+    *   the equivalent standard `MERGE INTO`)
+    */
+  final case class Jdbc(url: String, user: String = "", password: String = "",
+                        replace: JdbcReplace = JdbcReplace.StagingSwap)
     extends SinkMode
+}
+
+/** Per-batch visitantes refresh protocol for [[SinkMode.Jdbc]]. */
+sealed trait JdbcReplace
+object JdbcReplace {
+  /** Write to `visitantes_staging`, swap in via RENAME (readers never see a
+    * half-written table). The default — dialect-portable, crash-recoverable.
+    */
+  case object StagingSwap extends JdbcReplace
+  /** Stage the merged frame, then ONE set-based upsert into the live table —
+    * the reference's documented intent for the broken MERGE (README.md:92,
+    * `INSERT ... ON DUPLICATE KEY UPDATE`). Dialect-gated: MySQL uses the
+    * stated `ON DUPLICATE KEY UPDATE` form (requires a PRIMARY KEY/UNIQUE on
+    * email — the reference schema declares one, database/schema.sql:19-27);
+    * Derby uses standard `MERGE INTO`, which needs no key. In-place updates:
+    * concurrent readers see row-level progress rather than the staging
+    * swap's atomic flip — the tradeoff that buys not needing RENAME rights.
+    */
+  case object Upsert extends JdbcReplace
 }
 
 /** End-to-end batch assembly of the reference ETL (SURVEY.md §3, §7.1):
@@ -128,6 +154,33 @@ object Pipeline {
     } finally conn.close()
   }
 
+  /** Key/filter string columns that must be created VARCHAR(255) — the
+    * reference's declared types (database/schema.sql:19-39). Spark's
+    * Derby/MySQL dialects default StringType to CLOB/TEXT, and Derby
+    * refuses to COMPARE a CLOB (error 42818), which breaks the upsert
+    * MERGE's ON clause and any pushed-down equality filter on the ledger.
+    */
+  private val jdbcVarcharCols: Map[String, Seq[String]] = Map(
+    "visitantes" -> Seq("email"),
+    "bitacora" -> Seq("nombreArchivo", "estatus"),
+    "errores" -> Seq("email", "tipoError", "nombreArchivo"),
+    "estadisticas" -> Seq("email", "nombreArchivo"))
+
+  /** All JDBC table writes funnel through here so creation types stay
+    * consistent between the live tables and their staging twins (which get
+    * RENAMEd into, or MERGEd against, the live name).
+    */
+  private def writeJdbc(df: DataFrame, m: SinkMode.Jdbc, table: String,
+                        mode: String): Unit = {
+    val base = table.stripSuffix("_staging").stripSuffix("_upsert_src")
+    val types = jdbcVarcharCols.getOrElse(base, Nil)
+      .filter(df.columns.contains)
+      .map(c => s"$c VARCHAR(255)").mkString(", ")
+    val w = df.write.mode(mode)
+    (if (types.nonEmpty) w.option("createTableColumnTypes", types) else w)
+      .jdbc(m.url, table, jdbcProps(m))
+  }
+
   /** The reference's staging-replace load for visitantes (tasks/load.py:33-55
     * + utils_load staging table): write the merged table to
     * `visitantes_staging`, then swap it in with RENAMEs so readers never see
@@ -140,13 +193,57 @@ object Pipeline {
       jdbcExec(m, "RENAME TABLE visitantes_old TO visitantes") // roll back
     if (jdbcTableExists(m, "visitantes_old"))
       jdbcExec(m, "DROP TABLE visitantes_old")
-    df.write.mode("overwrite").jdbc(m.url, "visitantes_staging", jdbcProps(m))
+    writeJdbc(df, m, "visitantes_staging", "overwrite")
     if (jdbcTableExists(m, "visitantes"))
       jdbcExec(m, "RENAME TABLE visitantes TO visitantes_old")
     jdbcExec(m, "RENAME TABLE visitantes_staging TO visitantes")
     if (jdbcTableExists(m, "visitantes_old"))
       jdbcExec(m, "DROP TABLE visitantes_old")
   }
+
+  /** [[JdbcReplace.Upsert]]: stage the merged frame, apply it with ONE
+    * set-based upsert statement (bulk, not row-at-a-time — the staging
+    * write is a normal parallel `df.write.jdbc`, and the DB merges
+    * internally). First batch (no target table yet) degenerates to a plain
+    * create-and-append.
+    */
+  private def jdbcUpsertVisitantes(df: DataFrame, m: SinkMode.Jdbc): Unit = {
+    if (!jdbcTableExists(m, "visitantes")) {
+      writeJdbc(df, m, "visitantes", "append")
+      return
+    }
+    writeJdbc(df, m, "visitantes_upsert_src", "overwrite")
+    jdbcExec(m, upsertStatement(m.url, "visitantes", "email",
+      df.columns.toSeq, "visitantes_upsert_src"))
+    jdbcExec(m, "DROP TABLE visitantes_upsert_src")
+  }
+
+  /** Dialect-gated set-based upsert text. Column identifiers are quoted
+    * with the dialect's quote char because Spark's JDBC writer creates them
+    * case-sensitively quoted; table names stay unquoted (the writer emits
+    * them verbatim, so they fold per dialect default). Unit-tested
+    * directly; unsupported dialects fail loudly rather than guessing.
+    */
+  private[graft] def upsertStatement(url: String, table: String, key: String,
+                                     cols: Seq[String], src: String): String =
+    if (url.startsWith("jdbc:mysql")) {
+      def q(c: String) = s"`$c`"
+      val colList = cols.map(q).mkString(", ")
+      val updates = cols.filterNot(_ == key)
+        .map(c => s"${q(c)} = VALUES(${q(c)})").mkString(", ")
+      s"INSERT INTO $table ($colList) SELECT $colList FROM $src " +
+        s"ON DUPLICATE KEY UPDATE $updates"
+    } else if (url.startsWith("jdbc:derby")) {
+      def q(c: String) = "\"" + c + "\""
+      val sets = cols.filterNot(_ == key)
+        .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val ins = cols.map(q).mkString(", ")
+      val vals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      s"MERGE INTO $table t USING $src s ON t.${q(key)} = s.${q(key)} " +
+        s"WHEN MATCHED THEN UPDATE SET $sets " +
+        s"WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)"
+    } else throw new IllegalArgumentException(
+      s"no upsert dialect for $url — use JdbcReplace.StagingSwap")
 
   // ---------- ledger / visitantes state, per sink mode ----------
 
@@ -338,8 +435,8 @@ object Pipeline {
     val exploded = Prepare.errores(Prepare.explodeErrors(err), col("nombreArchivo"))
     sink match {
       case m: SinkMode.Jdbc =>
-        estadisticas.write.mode("append").jdbc(m.url, "estadisticas", jdbcProps(m))
-        exploded.write.mode("append").jdbc(m.url, "errores", jdbcProps(m))
+        writeJdbc(estadisticas, m, "estadisticas", "append")
+        writeJdbc(exploded, m, "errores", "append")
       case SinkMode.Parquet =>
         estadisticas.write.mode("overwrite").partitionBy("nombreArchivo")
           .parquet(s"$outDir/estadisticas")
@@ -356,8 +453,10 @@ object Pipeline {
       .getOrElse(delta)
       .select(Merge.allCols.map(col): _*)
     sink match {
-      case m: SinkMode.Jdbc =>
-        jdbcReplaceVisitantes(merged, m)
+      case m: SinkMode.Jdbc => m.replace match {
+        case JdbcReplace.StagingSwap => jdbcReplaceVisitantes(merged, m)
+        case JdbcReplace.Upsert => jdbcUpsertVisitantes(merged, m)
+      }
       case SinkMode.Parquet =>
         val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
         val nextVersion = f"v${(if (Files.exists(ptr)) Files.readString(ptr).trim.drop(1).toInt else 0) + 1}%06d"
@@ -378,7 +477,7 @@ object Pipeline {
     val collected = spark.createDataFrame(java.util.Arrays.asList(rows: _*), bit.schema)
     sink match {
       case m: SinkMode.Jdbc =>
-        collected.write.mode("append").jdbc(m.url, "bitacora", jdbcProps(m))
+        writeJdbc(collected, m, "bitacora", "append")
       case SinkMode.Parquet =>
         collected.write.mode("append").parquet(s"$outDir/bitacora")
     }
@@ -414,7 +513,7 @@ object Pipeline {
         .withColumn("estatus", lit(estatus))
         .withColumn("fechaProceso", lit(asOf))
       sink match {
-        case m: SinkMode.Jdbc => df.write.mode("append").jdbc(m.url, "bitacora", jdbcProps(m))
+        case m: SinkMode.Jdbc => writeJdbc(df, m, "bitacora", "append")
         case SinkMode.Parquet => df.write.mode("append").parquet(s"$outDir/bitacora")
       }
     }

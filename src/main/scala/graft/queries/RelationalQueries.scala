@@ -282,6 +282,11 @@ object RelationalQueries {
     // (not approx_percentile) so the result is order-independent and both
     // engines share the linear-interpolation definition; quantities are
     // small integers stored as doubles, so interpolation is bit-stable.
+    // DOMAIN GUARD: Spark's exact percentile/median buffer a value->count
+    // map PER GROUP, so executor memory scales with DISTINCT values per
+    // group — fine for l_quantity (a ~50-value domain, asserted in
+    // InvariantsSpec), wrong for unbounded-domain columns (prices, floats):
+    // point those at a5b's mergeable approx sketch instead.
     "a5_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -508,7 +513,9 @@ object RelationalQueries {
     // frequencies — the oracle reproduces exactly that with min-of-argmax,
     // since DuckDB's native mode() breaks ties arbitrarily). Quantities are
     // small integers stored as doubles, so the even-count median midpoint is
-    // exact in binary.
+    // exact in binary. Same DOMAIN GUARD as a5: exact median/mode buffer
+    // per-group value maps — bounded here by l_quantity's ~50-value domain
+    // (InvariantsSpec), use a5b's sketch for unbounded domains.
     "md1_mode_median" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("l_md1")
       s.sql(

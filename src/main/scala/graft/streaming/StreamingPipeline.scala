@@ -4,7 +4,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.Pipeline
+import graft.{Pipeline, SinkMode}
 import graft.operators.Layout
 
 /** One finalized user session (same shape/epoch-second semantics as the
@@ -53,9 +53,15 @@ object StreamingPipeline {
     * header check as [[Pipeline.runBatch]] runs per file — wrong-layout
     * files are quarantined with a 'Fallido' ledger row and their (garbage)
     * rows excluded, instead of silently parsing into the outputs.
+    *
+    * `sink` routes each micro-batch through the SAME [[SinkMode]] switch as
+    * the batch driver — the reference's MySQL-sink semantics (JDBC appends,
+    * visitantes staging replace/upsert) hold under the streaming entry too,
+    * not just `Pipeline.runBatch`.
     */
   def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
-                      checkpointDir: String, asOf: Date): StreamingQuery =
+                      checkpointDir: String, asOf: Date,
+                      sink: SinkMode = SinkMode.Parquet): StreamingQuery =
     reportStream(spark, inputDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -64,12 +70,12 @@ object StreamingPipeline {
           .collect().map(_.getString(0)).toSeq
         val (good, bad) = files.partition(f => Pipeline.checkHeader(spark, f).ok)
         def basenames(ps: Seq[String]) = ps.map(p => p.substring(p.lastIndexOf('/') + 1))
-        Pipeline.quarantine(spark, outDir, basenames(bad), asOf)
+        Pipeline.quarantine(spark, outDir, basenames(bad), asOf, sink)
         if (good.nonEmpty) {
           val goodBatch =
             if (bad.isEmpty) batch else batch.filter(input_file_name().isin(good: _*))
           Pipeline.processBatch(spark, goodBatch, outDir, asOf,
-            expectedFiles = basenames(good))
+            expectedFiles = basenames(good), sink = sink)
         }
         ()
       }
@@ -86,15 +92,16 @@ object StreamingPipeline {
     * that arrived after the drain). Single-writer assumption as elsewhere.
     */
   def reconcileZeroRowFiles(spark: SparkSession, inputDir: String,
-                            outDir: String, asOf: Date): Unit = {
-    val done = Pipeline.processedFiles(spark, outDir)
+                            outDir: String, asOf: Date,
+                            sink: SinkMode = SinkMode.Parquet): Unit = {
+    val done = Pipeline.processedFiles(spark, outDir, sink)
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val pending = Pipeline.listReports(spark, inputDir)
       .filterNot(f => done(base(f)))
       .filter(f => Pipeline.isHeaderOnly(spark, f))
     val (good, bad) = pending.partition(f => Pipeline.checkHeader(spark, f).ok)
-    Pipeline.quarantine(spark, outDir, bad.map(base), asOf)
-    Pipeline.ledgerRows(spark, outDir, good.map(base), asOf, "Completado")
+    Pipeline.quarantine(spark, outDir, bad.map(base), asOf, sink)
+    Pipeline.ledgerRows(spark, outDir, good.map(base), asOf, "Completado", sink)
   }
 
   /** Streaming sessionization with CUSTOM state — the charter's

@@ -60,4 +60,21 @@ class InvariantsSpec extends SparkSpec {
       assert(total == ok.count())
     }
   }
+
+  test("a5/md1 domain guard: exact-percentile column has a bounded distinct domain") {
+    // Exact percentile/median/mode buffer a value->count map per group, so
+    // their memory scales with DISTINCT values per group, not rows. The
+    // queries that use them (a5_percentiles, md1_mode_median) point at
+    // l_quantity on that argument — assert the testdata actually honors it,
+    // so a future re-target to an unbounded-domain column (price, float
+    // measure) trips this spec instead of an executor OOM at scale.
+    val distinctPerGroup = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_quantity")).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(distinctPerGroup <= 64,
+      s"l_quantity domain grew to $distinctPerGroup distinct values per group — " +
+        "exact percentile queries (a5, md1) assume a bounded domain; " +
+        "use the a5b approx sketch for unbounded columns")
+  }
 }

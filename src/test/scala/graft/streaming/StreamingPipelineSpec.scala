@@ -73,6 +73,47 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
       .filter(col("nombreArchivo").startsWith("report_empty")).count() == 2)
   }
 
+  test("streaming foreachBatch routes through the JDBC SinkMode (Derby) — sink parity with batch") {
+    val jIn = Files.createTempDirectory("st_jdbc_in")
+    val jCk = Files.createTempDirectory("st_jdbc_ck")
+    val jOut = Files.createTempDirectory("st_jdbc_out") // scratch staging only
+    val sink = graft.SinkMode.Jdbc(s"jdbc:derby:${jOut.resolve("db")};create=true")
+    val props = new java.util.Properties
+
+    Files.write(jIn.resolve("report_j1.txt"),
+      (header + "\nalice@example.com,x,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-" +
+        "\nbadmail,x,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-").getBytes)
+    val q = StreamingPipeline.runAvailableNow(spark, jIn.toString, jOut.toString,
+      jCk.toString, Date.valueOf("2024-02-15"), sink = sink)
+    q.awaitTermination(120000)
+    val vis = spark.read.jdbc(sink.url, "visitantes", props).collect()
+    assert(vis.map(_.getAs[String]("email")).toSeq == Seq("alice@example.com"))
+    assert(spark.read.jdbc(sink.url, "errores", props).count() == 1)
+    assert(spark.read.jdbc(sink.url, "bitacora", props).count() == 1)
+
+    // second drain merges a new file through the same JDBC path (the ledger
+    // read and the visitantes staging replace both hit Derby, not parquet)
+    Files.write(jIn.resolve("report_j2.txt"),
+      (header + "\nalice@example.com,x,-,-,12/03/2024 16:45,,1,0,,0,0,-,-,-,-").getBytes)
+    val q2 = StreamingPipeline.runAvailableNow(spark, jIn.toString, jOut.toString,
+      jCk.toString, Date.valueOf("2024-03-20"), sink = sink)
+    q2.awaitTermination(120000)
+    val vis2 = spark.read.jdbc(sink.url, "visitantes", props).collect()
+    assert(vis2.length == 1 && vis2(0).getAs[Int]("visitasTotales") == 2)
+    assert(spark.read.jdbc(sink.url, "bitacora", props).count() == 2)
+
+    // zero-row reconcile against the JDBC ledger too
+    Files.write(jIn.resolve("report_j_empty.txt"), (header + "\n").getBytes)
+    val q3 = StreamingPipeline.runAvailableNow(spark, jIn.toString, jOut.toString,
+      jCk.toString, Date.valueOf("2024-03-21"), sink = sink)
+    q3.awaitTermination(120000)
+    StreamingPipeline.reconcileZeroRowFiles(spark, jIn.toString, jOut.toString,
+      Date.valueOf("2024-03-21"), sink = sink)
+    val led = spark.read.jdbc(sink.url, "bitacora", props)
+      .filter(col("nombreArchivo") === "report_j_empty.txt").collect()
+    assert(led.length == 1 && led(0).getAs[String]("estatus") == "Completado")
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
