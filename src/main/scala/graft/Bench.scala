@@ -32,7 +32,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val epochs = Seq.fill(3)(epoch())
+    // SPARK_GRAFT_EPOCHS: the driver contract stays 3; the one-off sf1
+    // scale probe (SURVEY §6.2) sets 1 — at 10x data, min-of-3 buys little
+    // and costs an hour.
+    val nEpochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "3").toInt
+    val epochs = Seq.fill(nEpochs)(epoch())
     // Locale.ROOT: f"" uses the JVM default locale, which under e.g. de_DE
     // emits "0,7374" — invalid JSON for the machine-parsed bench lines.
     def fmt(v: Double): String =
@@ -42,7 +46,7 @@ object Bench {
     // Median alongside min: min is the estimator (one-sided scheduler-stall
     // noise, see above) but it can hide regressions that only show under
     // contention; emitting both lets round-over-round audits check either.
-    val medians = keys.map(k => k -> epochs.map(_(k)).sorted.apply(1)).toMap
+    val medians = keys.map(k => k -> epochs.map(_(k)).sorted.apply(epochs.length / 2)).toMap
     def jmap(m: Map[String, Double]): String =
       keys.map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -543,6 +543,40 @@ object RelationalQueries {
           |ORDER BY n_nationkey, c_name""".stripMargin)
     }),
 
+    // TPC-H Q2 shape: correlated scalar-aggregate subquery (each customer's
+    // cheapest order). Catalyst decorrelates to ONE aggregate on o_custkey
+    // joined back as an equi-join — no per-row re-execution; the o_orderkey
+    // tiebreak makes a customer with two min-price orders deterministic.
+    "cs1_correlated_min" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("o_cs1")
+      Tables.customer(s, d).createOrReplaceTempView("c_cs1")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  MIN(o_orderkey) AS cheapest_order,
+          |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cheapest_price
+          |FROM c_cs1 JOIN o_cs1 ON o_custkey = c_custkey
+          |WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM o_cs1 o2
+          |                      WHERE o2.o_custkey = c_custkey)
+          |GROUP BY c_custkey, c_mktsegment
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Multi-way star join: fact lineitem against four dims in one DAG —
+    // orders (shuffled: fact-sized), customer (shuffled), nation + region
+    // (broadcast: bounded) — revenue per region x returnflag. The canonical
+    // warehouse shape: dims prune BEFORE the fact aggregate, and only the
+    // two fact-sized joins shuffle.
+    "sj1_star_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("l_returnflag"))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "l_returnflag")),
+
     // Correlated EXISTS + NOT EXISTS (customers with at least one order and
     // no order above the threshold): Catalyst plans the pair as one semi-
     // join plus one anti-join on o_custkey — both plain shuffled equi-joins,
@@ -961,6 +995,28 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_totalprice > 300000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "cs1_correlated_min" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  MIN(o_orderkey) AS cheapest_order,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS cheapest_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = c_custkey)
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sj1_star_join" ->
+      """SELECT r_name, l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, l_returnflag
+        |ORDER BY r_name, l_returnflag""".stripMargin,
 
     "ra1_regression_stats" -> regressionSql("lineitem"))
 }
