@@ -39,10 +39,13 @@ object ScalableWindow {
     require(slices > 1, s"slices must be > 1, got $slices")
 
     // 1. Per-part approximate slice boundaries on the order value. Balanced
-    //    even under skew; any boundary set is CORRECT (see scaladoc).
+    //    even under skew; any boundary set is CORRECT (see scaladoc), so the
+    //    sketch accuracy only tunes slice-size variance — 1/accuracy rank
+    //    error vs a 1/slices slice width leaves sizes within ~6% of even at
+    //    64 slices, far below what the within-slice sort would notice.
     val probs = (1 until slices).map(_.toDouble / slices)
     val bounds = df.groupBy(col(part))
-      .agg(percentile_approx(col(value), typedlit(probs), lit(10000)).as("_bnds"))
+      .agg(percentile_approx(col(value), typedlit(probs), lit(1000)).as("_bnds"))
 
     // 2. Slice id = number of boundaries strictly below this row's value —
     //    monotone in value, so slice order == value order, and equal values

@@ -452,19 +452,22 @@ object ExtensionQueries {
     // means exact doubles; fitDims' integer floor math is restated verbatim
     // in the oracle SQL.
     "m2_image_decode" -> ((s, d) => {
+      // One shuffle-free mapPartitions chain: generate -> decode (in dims)
+      // -> resize (re-encodes PNG) -> decode again (out dims + means). The
+      // pre-resize dims are captured as plain columns so no self-join is
+      // needed to pair them with the post-resize decode.
       val media = Multimodal.syntheticImages(
         Tables.documents(s, d).select(col("doc_id")), "doc_id")
-      val inDec = Multimodal.decodeImages(media)
-        .select(col("media_id"),
+      val withIn = Multimodal.decodeImages(media)
+        .select(col("media_id"), col("payload"), col("meta"),
           col("img.width").as("in_width"), col("img.height").as("in_height"))
-      val outDec = Multimodal.decodeImages(Multimodal.resizeImages(media, maxDim = 24))
-        .select(col("media_id"),
+      Multimodal.decodeImages(Multimodal.resizeImages(withIn, maxDim = 24))
+        .select(col("media_id").as("doc_id"),
+          col("in_width"), col("in_height"),
           col("img.width").as("out_width"), col("img.height").as("out_height"),
           col("img.n_channels").as("n_channels"),
           col("img.mean_r").as("mean_r"), col("img.mean_g").as("mean_g"),
           col("img.mean_b").as("mean_b"))
-      inDec.join(outDec, "media_id")
-        .withColumnRenamed("media_id", "doc_id")
         .orderBy("doc_id")
     }),
 
