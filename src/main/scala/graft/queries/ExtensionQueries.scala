@@ -471,6 +471,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // M3 overlapped chunking (the audio/embedding windowing shape) over the
+    // documents-as-media table: chunk 64 bytes / hop 48 (25% overlap). The
+    // per-doc chunk count and byte totals are closed-form in n_bytes, so the
+    // generator's fencepost behavior (truncated tail, empty-payload skip) is
+    // oracle-checked, not just spec-checked.
+    "m3_chunking" -> ((s, d) =>
+      Multimodal.chunkPayload(
+          Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+          chunkBytes = 64, hopBytes = 48)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_bytes")).as("sum_chunk_bytes"),
+          max(col("chunk_idx")).as("last_idx"))
+        .orderBy("media_id")),
+
     // T10 repetition filters (Gopher-style): share of all bigram slots taken
     // by the single most frequent bigram, and share of trigram occurrences
     // that are repeats — the signals that catch boilerplate/spam documents
@@ -1121,6 +1136,21 @@ object ExtensionQueries {
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // m3: chunk windows of 64 bytes every 48 — count = ceil(n/48), byte
+    // total = sum of min(64, n - i*48); byte-true via encode() like m1.
+    "m3_chunking" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_bytes, CAST(CEIL(n_bytes / 48.0) AS BIGINT) AS n_chunks
+        |  FROM h WHERE n_bytes > 0)
+        |SELECT doc_id AS media_id, n_chunks,
+        |  CAST(list_aggregate(list_transform(range(0, CAST(n_chunks AS INTEGER)),
+        |      i -> least(64, n_bytes - i * 48)), 'sum') AS BIGINT) AS sum_chunk_bytes,
+        |  n_chunks - 1 AS last_idx
+        |FROM c ORDER BY media_id""".stripMargin,
 
     "t10_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
