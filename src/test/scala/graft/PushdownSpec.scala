@@ -34,4 +34,16 @@ class PushdownSpec extends SparkSpec {
     assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
       "l_returnflag", "l_linestatus", "l_shipdate"), s"read: $cols")
   }
+
+  test("sj1 star join: fact scan pruned to join key + aggregate inputs") {
+    val p = plan("sj1_star_join")
+    // first FileScan in the plan is the lineitem fact side
+    val read = """FileScan parquet \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val factCols = read.map(_.split(",").map(_.takeWhile(_ != '#').trim)
+      .filter(_.nonEmpty).toSet)
+      .find(_.contains("l_orderkey")).getOrElse(Set.empty)
+    assert(factCols == Set("l_orderkey", "l_extendedprice", "l_discount",
+      "l_returnflag"), s"fact read: $factCols")
+  }
 }

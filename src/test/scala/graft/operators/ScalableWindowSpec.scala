@@ -46,6 +46,15 @@ class ScalableWindowSpec extends SparkSpec {
     check(rows, k = 4, slices = 6)
   }
 
+  test("heavy skew: 90% of rows on one value still exact") {
+    // one dominant value forces most rows into ONE slice — buckets must
+    // still match the plain window exactly (balance is perf, not semantics)
+    val rows = (1 to 200).map { i =>
+      ("a", if (i <= 180) 1.0 else (i % 11).toDouble, i.toLong)
+    }
+    check(rows, k = 7, slices = 8)
+  }
+
   test("matches built-in ntile on the events table at sf0.001") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type").as("p"), col("value").as("v"), col("event_id").as("t"))
