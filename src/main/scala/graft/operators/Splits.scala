@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly primitives: the two steps between a curated corpus
+  * and a training dataloader — deterministic corpus splits and fixed-context
+  * sequence packing. Both are engine-portable by construction (md5 hex and
+  * integer arithmetic only), so their results are DuckDB-oracle-checkable
+  * and reproducible across reruns, cluster sizes, and engines.
+  */
+object Splits {
+
+  /** Deterministic hash split (train/val/test): the first 8 hex digits of
+    * `md5(salt:id)` are uniform on [0, 2^32); a cumulative fraction f maps
+    * to the fixed bound floor(f·2^32) printed as 8 lowercase hex digits, and
+    * lexicographic comparison of fixed-width same-case hex EQUALS numeric
+    * comparison — so the identical CASE ladder runs on any SQL engine.
+    * Changing `salt` re-rolls the split without touching ids; membership is
+    * a pure function of (salt, id), never of row order or partitioning.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                splits: Seq[(String, Double)], as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val h = substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x")
+    val assigned = splits.init.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), bound)) =>
+        Some(acc.fold(when(h < lit(bound), name))(_.when(h < lit(bound), name)))
+    }.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
+    df.withColumn(as, assigned)
+  }
+
+  /** Fixed-context sequence packing (streaming concat-and-cut): within each
+    * (group, shard) stream, documents are laid out in id order and cut into
+    * `ctxLen`-token windows; a document belongs to the window its FIRST
+    * token lands in (`seq_id = floor(tokens_before / ctxLen)`).
+    *
+    * Scale shape: ONE running-sum window partitioned by (group, shard) where
+    * `shard = id div shardSize` — partition count grows with the corpus, so
+    * there is no single-task cumsum at any scale (packing is embarrassingly
+    * parallel across shards by construction, the standard practice for
+    * training-shard assembly). Adds `_shard`, `_tokens`, `seq_id`.
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokensCol: Column, ctxLen: Int,
+                    shardSize: Long = 1024): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val w = Window.partitionBy(col(groupCol), col("_shard")).orderBy(col(idCol))
+    df.withColumn("_tokens", tokensCol)
+      .withColumn("_shard", expr(s"$idCol div $shardSize"))
+      .withColumn("_cum", sum(col("_tokens")).over(w))
+      .withColumn("seq_id", floor((col("_cum") - col("_tokens")) / ctxLen))
+      .drop("_cum")
+  }
+}

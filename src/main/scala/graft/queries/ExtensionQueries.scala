@@ -486,6 +486,30 @@ object ExtensionQueries {
           max(col("chunk_idx")).as("last_idx"))
         .orderBy("media_id")),
 
+    // SP1 deterministic train/val/test split: md5-hex threshold assignment —
+    // membership is a pure function of (salt, doc_id), identical on any
+    // engine, stable under reruns/repartitioning (the property a training
+    // pipeline needs so eval never leaks into train across runs).
+    "sp1_hash_split" -> ((s, d) =>
+      graft.operators.Splits.hashSplit(Tables.documents(s, d), "doc_id", "sp1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")),
+
+    // PK1 fixed-context sequence packing: concat-and-cut into 512-token
+    // windows per (lang, shard) stream; per-sequence doc count and token
+    // mass. The window cumsum is the whole computation — the readout shows
+    // the packing density a dataloader would see.
+    "pk1_sequence_packing" -> ((s, d) =>
+      graft.operators.Splits.packSequences(
+          Tables.documents(s, d).select("lang", "doc_id", "text"),
+          groupCol = "lang", idCol = "doc_id",
+          tokensCol = size(Text.tokens(col("text"))), ctxLen = 512)
+        .groupBy(col("lang"), col("_shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tokens")).as("seq_tokens"))
+        .withColumnRenamed("_shard", "shard")
+        .orderBy("lang", "shard", "seq_id")),
+
     // T10 repetition filters (Gopher-style): share of all bigram slots taken
     // by the single most frequent bigram, and share of trigram occurrences
     // that are repeats — the signals that catch boilerplate/spam documents
@@ -1151,6 +1175,35 @@ object ExtensionQueries {
         |      i -> least(64, n_bytes - i * 48)), 'sum') AS BIGINT) AS sum_chunk_bytes,
         |  n_chunks - 1 AS last_idx
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // sp1: same md5-hex CASE ladder verbatim — bounds are floor(f*2^32) in
+    // lowercase hex (0.8 -> cccccccc, 0.9 -> e6666666); fixed-width same-case
+    // hex compares lexicographically == numerically on both engines.
+    "sp1_hash_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN substring(md5('sp1:' || doc_id), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('sp1:' || doc_id), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_docs
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "pk1_sequence_packing" ->
+      s"""WITH tok AS (
+         |  SELECT lang, doc_id, doc_id // 1024 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, shard, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+         |  FROM tok)
+         |SELECT lang, shard,
+         |  CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY lang, shard, seq_id
+         |ORDER BY lang, shard, seq_id""".stripMargin,
 
     "t10_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),

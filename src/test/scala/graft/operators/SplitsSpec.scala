@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Training-set assembly: deterministic hash splits and sequence packing. */
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, order-independent, fractions approximately honored") {
+    val ids = (1L to 2000L).toDF("id")
+    val split = Splits.hashSplit(ids, "id", "s1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600.0) < 100, counts) // ±~2.5σ
+    assert(counts("val") > 100 && counts("test") > 100, counts)
+    // pure function of (salt, id): same assignment under reversed input order
+    val again = Splits.hashSplit(ids.orderBy(desc("id")), "id", "s1",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+    // a different salt re-rolls membership
+    val rerolled = Splits.hashSplit(ids, "id", "s2",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.except(rerolled).count() > 0)
+  }
+
+  test("hashSplit: single bucket degenerates to a constant") {
+    val out = Splits.hashSplit(Seq(1L, 2L).toDF("id"), "id", "x", Seq("all" -> 1.0))
+    assert(out.select("split").distinct().as[String].collect().toSeq == Seq("all"))
+  }
+
+  test("packSequences: concat-and-cut window assignment matches hand computation") {
+    // one group, one shard; tokens 300,300,300,300 at ctx 512:
+    // starts at 0,300,600,900 -> seq_ids 0,0,1,1
+    val docs = Seq(("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 300), ("a", 4L, 300))
+      .toDF("g", "id", "n")
+    val packed = Splits.packSequences(docs, "g", "id", col("n"), ctxLen = 512)
+      .select("id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packSequences: shards cumsum independently (no cross-shard coupling)") {
+    val docs = Seq(("a", 1L, 400), ("a", 1025L, 400), ("a", 1026L, 400))
+      .toDF("g", "id", "n")
+    val packed = Splits.packSequences(docs, "g", "id", col("n"),
+        ctxLen = 512, shardSize = 1024)
+      .select("id", "_shard", "seq_id").as[(Long, Long, Long)].collect().toSet
+    // doc 1025 starts a FRESH shard stream: its cum restarts at 0
+    assert(packed == Set((1L, 0L, 0L), (1025L, 1L, 0L), (1026L, 1L, 0L)))
+  }
+}
