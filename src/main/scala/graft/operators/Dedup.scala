@@ -132,12 +132,19 @@ object Dedup {
     * correctness witness for the xxhash64 family above ([[minhashLsh]] stays
     * the scale path: 8-byte longs shuffle ~4x lighter than 32-char hex).
     */
-  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
-                         numPerms: Int = 16, bands: Int = 8, threshold: Double = 0.05): DataFrame = {
-    require(numPerms % bands == 0, "numPerms must divide into bands")
-    val rows = numPerms / bands
-    val sets = materialize(shingleArrays(df, idCol, textCol)
+  /** Distinct-shingle sets for the portable (md5) family, materialized once
+    * per side (signature branch AND verify branch consume them).
+    */
+  private def portableSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    materialize(shingleArrays(df, idCol, textCol)
       .withColumn("sh", array_distinct(col("sh"))))
+
+  /** Portable band signatures: (id, band, sig) with md5 min-hashes — the
+    * LSH index one side contributes to a banded candidate join.
+    */
+  private def portableBandSigs(sets: DataFrame, idCol: String,
+                               numPerms: Int, bands: Int): DataFrame = {
+    val rows = numPerms / bands
     val sh = sets.select(col(idCol), explode(col("sh")).as("shingle"))
     val aggs = (0 until numPerms).map(p =>
       min(md5(concat(col("shingle"), lit(s":$p")))).as(s"mh_$p"))
@@ -146,21 +153,71 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (b * rows until (b + 1) * rows).map(p => col(s"mh_$p")): _*)).as("sig"))
     }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bd"))
       .select(col(idCol), col("bd.band").as("band"), col("bd.sig").as("sig"))
-    val cands = banded.select(col("band"), col("sig"), col(idCol).as("a"))
-      .join(banded.select(col("band"), col("sig"), col(idCol).as("b")), Seq("band", "sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+  }
+
+  /** Verified Jaccard (round-4, the oracle's exact arithmetic) over an
+    * (aCol, bCol) candidate frame, sets supplied per side.
+    */
+  private def jaccardVerified(cands: DataFrame, aSets: DataFrame, bSets: DataFrame,
+                              idCol: String, aCol: String, bCol: String): DataFrame =
     cands
-      .join(sets.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
-      .join(sets.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .join(aSets.select(col(idCol).as(aCol), col("sh").as("sh_a")), aCol)
+      .join(bSets.select(col(idCol).as(bCol), col("sh").as("sh_b")), bCol)
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"), 4))
+
+  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
+                         numPerms: Int = 16, bands: Int = 8, threshold: Double = 0.05): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val sets = portableSets(df, idCol, textCol)
+    val banded = portableBandSigs(sets, idCol, numPerms, bands)
+    val cands = banded.select(col("band"), col("sig"), col(idCol).as("a"))
+      .join(banded.select(col("band"), col("sig"), col(idCol).as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    jaccardVerified(cands, sets, sets, idCol, "a", "b")
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** Incremental dedup gate — the daily-ingest shape at 100 TB: which NEW
+    * docs survive against an EXISTING corpus? A delta doc is dropped when it
+    * is an exact duplicate (normalized fingerprint, [[Text.fingerprint]]) or
+    * a near-duplicate (banded MinHash candidates, Jaccard-verified at
+    * `threshold`) of ANY corpus doc.
+    *
+    * Scale shape: the corpus contributes its linear signature/fingerprint
+    * index ONCE (in production that index is persisted and this becomes pure
+    * delta-side work); candidates come from delta-bands ⨝ corpus-bands only
+    * — corpus docs never pair with each other, so per-batch cost scales with
+    * |delta| and its collision volume, never |corpus|².
+    */
+  def incrementalSurvivors(corpus: DataFrame, delta: DataFrame, idCol: String,
+                           textCol: String, numPerms: Int = 16, bands: Int = 8,
+                           threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val cSets = portableSets(corpus, idCol, textCol)
+    val dSets = portableSets(delta, idCol, textCol)
+    val cands = portableBandSigs(dSets, idCol, numPerms, bands)
+      .select(col("band"), col("sig"), col(idCol).as("d"))
+      .join(portableBandSigs(cSets, idCol, numPerms, bands)
+        .select(col("band"), col("sig"), col(idCol).as("c")), Seq("band", "sig"))
+      .select("d", "c").distinct()
+    val nearDrop = jaccardVerified(cands, dSets, cSets, idCol, "d", "c")
+      .filter(col("jaccard") >= threshold)
+      .select(col("d").as(idCol)).distinct()
+    val exactDrop = delta
+      .withColumn("fp", Text.fingerprint(col(textCol)))
+      .join(corpus.select(Text.fingerprint(col(textCol)).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(idCol))
+    delta
+      .join(nearDrop, Seq(idCol), "left_anti")
+      .join(exactDrop, Seq(idCol), "left_anti")
   }
 
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1

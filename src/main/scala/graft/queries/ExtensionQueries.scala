@@ -486,6 +486,21 @@ object ExtensionQueries {
           max(col("chunk_idx")).as("last_idx"))
         .orderBy("media_id")),
 
+    // D8 incremental dedup — the daily-ingest gate: every 10th doc plays the
+    // new batch, the rest the existing corpus; survivors are new docs that
+    // are neither exact (fingerprint) nor near (banded MinHash + Jaccard
+    // >= 0.5) duplicates of any corpus doc. Candidates are delta-bands x
+    // corpus-bands only: per-batch cost never touches corpus x corpus.
+    "d8_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalSurvivors(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          delta = docs.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // SP1 deterministic train/val/test split: md5-hex threshold assignment —
     // membership is a pure function of (salt, doc_id), identical on any
     // engine, stable under reruns/repartitioning (the property a training
@@ -1175,6 +1190,28 @@ object ExtensionQueries {
         |      i -> least(64, n_bytes - i * 48)), 'sum') AS BIGINT) AS sum_chunk_bytes,
         |  n_chunks - 1 AS last_idx
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // d8: the shared verified-pairs CTE covers every band collision, so
+    // restricting to cross-membership pairs reproduces exactly the
+    // delta-bands x corpus-bands candidates the Spark side generates.
+    "d8_incremental_dedup" ->
+      s"""WITH $minhashPairsCtes,
+         |norm AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |near_drop AS (
+         |  SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END AS d
+         |  FROM verified
+         |  WHERE jaccard >= 0.5 AND ((a % 10 = 0) <> (b % 10 = 0))),
+         |exact_drop AS (
+         |  SELECT dd.doc_id AS d
+         |  FROM norm dd JOIN norm cc ON dd.fp = cc.fp
+         |  WHERE dd.doc_id % 10 = 0 AND cc.doc_id % 10 <> 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT d FROM near_drop)
+         |  AND doc_id NOT IN (SELECT d FROM exact_drop)
+         |ORDER BY doc_id""".stripMargin,
 
     // sp1: same md5-hex CASE ladder verbatim — bounds are floor(f*2^32) in
     // lowercase hex (0.8 -> cccccccc, 0.9 -> e6666666); fixed-width same-case

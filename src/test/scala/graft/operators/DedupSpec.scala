@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.3 && j < 1.0 })
   }
 
+  test("incremental gate: exact dup and near dup of the corpus dropped, fresh doc survives") {
+    val corpus = docs.filter($"doc_id" <= 2) // holds the canonical text
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),  // exact
+      (11L, "THE  quick brown fox jumps over the lazy dog and runs away fast", "en"), // exact mod normalization
+      (12L, "the quick brown fox jumps over the lazy dog and walks away fast", "en"), // near
+      (13L, "completely different content about spark distributed engines here", "en") // fresh
+    ).toDF("doc_id", "text", "lang")
+    val kept = Dedup.incrementalSurvivors(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(13L), s"kept=$kept")
+    // survivors against an unrelated corpus: everything passes
+    val all = Dedup.incrementalSurvivors(docs.filter($"doc_id" === 5), delta,
+      "doc_id", "text").count()
+    assert(all == 4)
+  }
+
   test("minhash signatures: deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
