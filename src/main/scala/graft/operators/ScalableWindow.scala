@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
-  /** Exact `NTILE(k) OVER (PARTITION BY part ORDER BY value, tie)` without a
-    * single-task sort per `part` value. Returns the input rows plus an
-    * integer bucket column `as` (1-based, SQL-standard sizing: the first
-    * n%k buckets get one extra row).
+  /** Exact global positions (`ROW_NUMBER() OVER (PARTITION BY part ORDER BY
+    * value, tie)`) without a single-task sort per `part` value — the shared
+    * machinery under [[ntile]] and any rank-family rewrite. Returns the
+    * input plus `as` (1-based position) and `_n` (group size; callers that
+    * don't need it should drop it).
     *
     * Contract: (value, tie) is a total order within each part group (same
     * requirement the plain-window form needs for a deterministic result).
@@ -33,9 +34,8 @@ object ScalableWindow {
     * (part, slice) and one within-slice sort), one broadcast of the
     * (|part| x slices)-row offset table, zero single-task big sorts.
     */
-  def ntile(df: DataFrame, part: String, value: String, tie: String,
-            k: Int, as: String = "ntile", slices: Int = 64): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
+  def rowNumber(df: DataFrame, part: String, value: String, tie: String,
+                as: String = "row_number", slices: Int = 64): DataFrame = {
     require(slices > 1, s"slices must be > 1, got $slices")
 
     // 1. Per-part approximate slice boundaries on the order value. Balanced
@@ -74,18 +74,31 @@ object ScalableWindow {
       .orderBy(col(value), col(tie))
     val numbered = sliced.withColumn("_rn", row_number().over(wSlice))
 
-    // 5. Global position -> SQL-standard NTILE arithmetic. q = floor(n/k),
-    //    r = n%k; buckets 1..r hold q+1 rows, buckets r+1..k hold q rows.
-    //    (q=0 i.e. n<k: the `big` branch covers all rows, so the q division
-    //    below is unreachable; greatest(q,1) guards it anyway.)
-    val pos = col("_off") + col("_rn")
+    // 5. Global position = slice offset + within-slice rank.
+    numbered.join(broadcast(offs), Seq(part, "_slice"))
+      .withColumn(as, col("_off") + col("_rn"))
+      .drop("_slice", "_rn", "_off")
+  }
+
+  /** Exact `NTILE(k) OVER (PARTITION BY part ORDER BY value, tie)` without a
+    * single-task sort per `part` value: [[rowNumber]] positions plus the
+    * SQL-standard bucket arithmetic. Returns the input rows plus an integer
+    * bucket column `as` (1-based; the first n%k buckets get one extra row).
+    */
+  def ntile(df: DataFrame, part: String, value: String, tie: String,
+            k: Int, as: String = "ntile", slices: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // q = floor(n/k), r = n%k; buckets 1..r hold q+1 rows, the rest q.
+    // (q=0 i.e. n<k: the `big` branch covers all rows, so the q division
+    // below is unreachable; greatest(q,1) guards it anyway.)
+    val pos = col("_pos")
     val q = floor(col("_n") / lit(k)).cast("long")
     val r = col("_n") % lit(k.toLong)
     val big = (q + lit(1L)) * r
     val bucket = when(pos <= big, ceil(pos.cast("double") / (q + lit(1L)).cast("double")))
       .otherwise(r + ceil((pos - big).cast("double") / greatest(q, lit(1L)).cast("double")))
-    numbered.join(broadcast(offs), Seq(part, "_slice"))
+    rowNumber(df, part, value, tie, as = "_pos", slices = slices)
       .withColumn(as, bucket.cast("int"))
-      .drop("_slice", "_rn", "_off", "_n")
+      .drop("_pos", "_n")
   }
 }

@@ -55,6 +55,18 @@ class ScalableWindowSpec extends SparkSpec {
     check(rows, k = 7, slices = 8)
   }
 
+  test("rowNumber matches built-in row_number over (value, tie)") {
+    val rows = for { p <- Seq("a", "b"); i <- 1 to 50 }
+      yield (p, (i % 5).toDouble, i.toLong)
+    val df = rows.toDF("p", "v", "t")
+    val ref = df.withColumn("ref",
+      row_number().over(Window.partitionBy(col("p")).orderBy(col("v"), col("t"))))
+    val got = ScalableWindow.rowNumber(df, "p", "v", "t", as = "got", slices = 4)
+    val joined = ref.join(got, Seq("p", "v", "t"))
+    assert(joined.filter(col("ref") =!= col("got")).isEmpty)
+    assert(joined.count() == rows.size)
+  }
+
   test("matches built-in ntile on the events table at sf0.001") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type").as("p"), col("value").as("v"), col("event_id").as("t"))
