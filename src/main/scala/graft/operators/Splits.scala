@@ -34,6 +34,26 @@ object Splits {
     df.withColumn(as, assigned)
   }
 
+  /** Deterministic fractional upsampling (dataset mixture weighting): each
+    * row is emitted `floor(factor)` times, plus one more iff the row's
+    * md5-hex draw falls under the fractional remainder — so multiplicity is
+    * a pure function of (salt, id, factor) with expectation exactly
+    * `factor`, reproducible across engines, reruns, and partitionings
+    * (sampling with a random seed is not: Spark ties it to partition
+    * layout). The hex bound is `format_string("%08x", floor(frac·2^32))` —
+    * the same printf runs on any SQL engine. Adds `copy_idx` (1-based).
+    */
+  def upsample(df: DataFrame, idCol: String, salt: String, factor: Column): DataFrame = {
+    val h = substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8)
+    val bound = format_string("%08x",
+      floor((factor - floor(factor)) * lit(4294967296.0)).cast("long"))
+    val copies = floor(factor).cast("long") + when(h < bound, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Fixed-context sequence packing (streaming concat-and-cut): within each
     * (group, shard) stream, documents are laid out in id order and cut into
     * `ctxLen`-token windows; a document belongs to the window its FIRST

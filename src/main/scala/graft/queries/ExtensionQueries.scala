@@ -525,6 +525,34 @@ object ExtensionQueries {
         .withColumnRenamed("_shard", "shard")
         .orderBy("lang", "shard", "seq_id")),
 
+    // UP1 mixture weighting + deterministic upsample: per-source repeat
+    // factor equalizing token share (factor = total / (K * src_tokens)),
+    // then the deterministic fractional upsampler materializes the epoch
+    // plan. Readout: per-source factor and post-upsample row/token mass —
+    // the op a dataloader mixture config compiles down to. All arithmetic
+    // is integer-sum-derived doubles with identical expression text on both
+    // engines, and multiplicity is a pure function of (salt, doc_id).
+    "up1_mixture_upsample" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val bySource = toks.groupBy("source")
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+      val wAll = Window.partitionBy()
+      val factors = bySource
+        .withColumn("factor",
+          sum(col("src_tokens")).over(wAll) /
+            (count(lit(1)).over(wAll) * col("src_tokens")))
+        .select("source", "factor")
+      graft.operators.Splits.upsample(
+          toks.join(broadcast(factors), "source"), "doc_id", "up1", col("factor"))
+        .groupBy("source")
+        .agg(round(first(col("factor")), 6).as("factor"),
+          count(lit(1)).as("n_rows_out"),
+          sum(col("n_tokens")).as("n_tokens_out"))
+        .orderBy("source")
+    }),
+
     // T10 repetition filters (Gopher-style): share of all bigram slots taken
     // by the single most frequent bigram, and share of trigram occurrences
     // that are repeats — the signals that catch boilerplate/spam documents
@@ -1212,6 +1240,32 @@ object ExtensionQueries {
          |  AND doc_id NOT IN (SELECT d FROM near_drop)
          |  AND doc_id NOT IN (SELECT d FROM exact_drop)
          |ORDER BY doc_id""".stripMargin,
+
+    // up1: factor arithmetic restated verbatim (integer-sum-derived doubles,
+    // IEEE-identical); per-doc copies reproduce the upsampler's md5-hex draw
+    // against a printf('%08x') bound — deterministic on both engines.
+    "up1_mixture_upsample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |bysrc AS (
+         |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM tok GROUP BY source),
+         |f AS (
+         |  SELECT source,
+         |    (SUM(src_tokens) OVER ()) / ((COUNT(*) OVER ()) * src_tokens) AS factor
+         |  FROM bysrc),
+         |c AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens, f.factor,
+         |    CAST(FLOOR(f.factor) AS BIGINT)
+         |      + CASE WHEN substring(md5('up1:' || t.doc_id), 1, 8)
+         |             < printf('%08x', CAST(FLOOR((f.factor - FLOOR(f.factor)) * 4294967296) AS BIGINT))
+         |        THEN 1 ELSE 0 END AS copies
+         |  FROM tok t JOIN f USING (source))
+         |SELECT source, ROUND(ANY_VALUE(factor), 6) AS factor,
+         |  CAST(SUM(copies) AS BIGINT) AS n_rows_out,
+         |  CAST(SUM(copies * n_tokens) AS BIGINT) AS n_tokens_out
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // sp1: same md5-hex CASE ladder verbatim — bounds are floor(f*2^32) in
     // lowercase hex (0.8 -> cccccccc, 0.9 -> e6666666); fixed-width same-case

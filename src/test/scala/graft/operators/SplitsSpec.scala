@@ -31,6 +31,21 @@ class SplitsSpec extends SparkSpec {
     assert(out.select("split").distinct().as[String].collect().toSeq == Seq("all"))
   }
 
+  test("upsample: integer factor repeats exactly; fractional factor hits expectation") {
+    val ids = (1L to 1000L).toDF("id")
+    val exact = Splits.upsample(ids, "id", "u1", lit(3.0))
+    assert(exact.count() == 3000)
+    assert(exact.groupBy("id").count().filter(col("count") =!= 3).isEmpty)
+    val frac = Splits.upsample(ids, "id", "u1", lit(1.5)).count()
+    assert(math.abs(frac - 1500.0) < 60, s"got $frac") // ±~4σ of Binomial(1000,.5)
+    // deterministic: same salt reproduces the same multiset
+    val again = Splits.upsample(ids, "id", "u1", lit(1.5)).count()
+    assert(frac == again)
+    // sub-1 factor downsamples deterministically
+    val down = Splits.upsample(ids, "id", "u1", lit(0.25)).count()
+    assert(math.abs(down - 250.0) < 60, s"got $down")
+  }
+
   test("packSequences: concat-and-cut window assignment matches hand computation") {
     // one group, one shard; tokens 300,300,300,300 at ctx 512:
     // starts at 0,300,600,900 -> seq_ids 0,0,1,1
