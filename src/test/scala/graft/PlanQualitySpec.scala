@@ -61,22 +61,25 @@ class PlanQualitySpec extends SparkSpec {
     * regression back to `Window.partitionBy(event_type)` over the scan
     * fails here even though the result would still be correct.
     */
-  test("w4_ntile: no single-task-per-key window over the raw scan") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.window.WindowExec
 
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    // Aggregate anywhere strictly below the window's child chain BEFORE a
-    // leaf is reached means the window input is already reduced.
-    def overAggregate(p: SparkPlan): Boolean = {
-      val u = unwrap(p)
-      u.isInstanceOf[BaseAggregateExec] || (u.children.nonEmpty && u.children.forall(overAggregate))
-    }
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** Aggregate anywhere strictly below the window's child chain BEFORE a
+    * leaf is reached means the window input is already reduced.
+    */
+  private def overAggregate(p: SparkPlan): Boolean = {
+    val u = unwrap(p)
+    u.isInstanceOf[BaseAggregateExec] || (u.children.nonEmpty && u.children.forall(overAggregate))
+  }
+
+  test("w4_ntile: no single-task-per-key window over the raw scan") {
     val plan = unwrap(
       SparkEntry.queries("w4_ntile")(spark, sfDir).queryExecution.executedPlan)
     val windows = plan.collect { case w: WindowExec => w }
@@ -84,5 +87,21 @@ class PlanQualitySpec extends SparkSpec {
     val bad = windows.filter(w => w.partitionSpec.size < 2 && !overAggregate(w.child))
     assert(bad.isEmpty,
       s"single-key window over non-aggregated input:\n${bad.mkString("\n")}")
+  }
+
+  /** A window with NO partition key moves every row to one task — the
+    * hardest possible scale killer. The only admissible use is over an
+    * already-aggregated bounded frame (e.g. a pct-of-total readout across
+    * a handful of group rows), so that is exactly what this asserts for
+    * every query on the surface.
+    */
+  test("no query plans a global (unpartitioned) window over non-aggregated input") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = unwrap(fn(spark, sfDir).queryExecution.executedPlan)
+      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty && !overAggregate(w.child) =>
+        s"$name: global window over ${unwrap(w.child).nodeName}"
+      }
+    }
+    assert(offenders.isEmpty, s"global windows over raw input:\n${offenders.mkString("\n")}")
   }
 }
