@@ -220,6 +220,69 @@ object Dedup {
       .join(exactDrop, Seq(idCol), "left_anti")
   }
 
+  // ---------- persisted dedup index (the production incremental form) ----------
+  //
+  // incrementalSurvivors recomputes the corpus index per call — right for a
+  // one-shot backfill, wasteful for a daily/streaming gate. The persisted
+  // form materializes the three linear indexes ONCE (shingle sets, band
+  // signatures, fingerprints — all O(corpus) parquet) and each batch then
+  // costs only delta-side work plus index lookups; accepted docs are
+  // APPENDED so later batches dedup against everything admitted so far.
+
+  /** Build (overwrite) the persisted index for a corpus. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String, dir: String,
+                      numPerms: Int = 16, bands: Int = 8): Unit = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val sets = portableSets(corpus, idCol, textCol)
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    portableBandSigs(sets, idCol, numPerms, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    corpus.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+  }
+
+  /** Gate a delta against a persisted index; returns survivors (same
+    * semantics as [[incrementalSurvivors]]). Does NOT mutate the index —
+    * call [[appendToDedupIndex]] with the survivors to admit them.
+    */
+  def incrementalSurvivorsIndexed(indexDir: String, delta: DataFrame, idCol: String,
+                                  textCol: String, numPerms: Int = 16, bands: Int = 8,
+                                  threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val spark = delta.sparkSession
+    val cSets = spark.read.parquet(s"$indexDir/sets")
+    val dSets = portableSets(delta, idCol, textCol)
+    val cands = portableBandSigs(dSets, idCol, numPerms, bands)
+      .select(col("band"), col("sig"), col(idCol).as("d"))
+      .join(spark.read.parquet(s"$indexDir/bands")
+        .select(col("band"), col("sig"), col(idCol).as("c")), Seq("band", "sig"))
+      .select("d", "c").distinct()
+    val nearDrop = jaccardVerified(cands, dSets, cSets, idCol, "d", "c")
+      .filter(col("jaccard") >= threshold)
+      .select(col("d").as(idCol)).distinct()
+    val exactDrop = delta
+      .withColumn("fp", Text.fingerprint(col(textCol)))
+      .join(spark.read.parquet(s"$indexDir/fps").select("fp").distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(idCol))
+    delta
+      .join(nearDrop, Seq(idCol), "left_anti")
+      .join(exactDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Admit accepted docs into the index (parquet appends — linear in the
+    * accepted batch). Single-writer, like every sink in this engine.
+    */
+  def appendToDedupIndex(accepted: DataFrame, idCol: String, textCol: String,
+                         dir: String, numPerms: Int = 16, bands: Int = 8): Unit = {
+    val sets = portableSets(accepted, idCol, textCol)
+    sets.write.mode("append").parquet(s"$dir/sets")
+    portableBandSigs(sets, idCol, numPerms, bands)
+      .write.mode("append").parquet(s"$dir/bands")
+    accepted.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .write.mode("append").parquet(s"$dir/fps")
+  }
+
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +
     * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost

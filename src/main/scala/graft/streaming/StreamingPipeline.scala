@@ -225,6 +225,43 @@ object StreamingPipeline {
         unix_timestamp(col("click_ts")).as("click_epoch"))
   }
 
+  /** Streaming incremental dedup gate: each micro-batch of documents is
+    * admitted only if it is not an exact/near duplicate of the PERSISTED
+    * dedup index ([[graft.operators.Dedup.buildDedupIndex]]) — which
+    * includes every previously-admitted stream doc, because survivors are
+    * appended to the index before the batch commits. Cross-batch dedup
+    * WITHOUT unbounded executor state: the "state" is the linear parquet
+    * index rather than state-store rows, so it survives restarts and is
+    * shared with the batch gate — one dedup truth for both entries.
+    *
+    * Within a batch: exact self-duplicates keep their lowest id; near-dup
+    * self-pairs drop the higher id of each verified pair (greedy keeper,
+    * same discipline as the batch curation pipeline).
+    */
+  def dedupGateStream(docs: DataFrame, indexDir: String, outDir: String,
+                      checkpointDir: String, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        val exactKeepers = Dedup.exactByFingerprint(batch, textCol, idCol).select(idCol)
+        val selfExact = batch.join(exactKeepers, Seq(idCol), "left_semi")
+        val nearSelfDrop = Dedup
+          .minhashLshPortable(selfExact, idCol, textCol, threshold = threshold)
+          .select(col("b").as(idCol)).distinct()
+        val selfDeduped = selfExact.join(nearSelfDrop, Seq(idCol), "left_anti")
+        // survivors feed two sinks (index append + output); compute once
+        val survivors = Dedup.incrementalSurvivorsIndexed(
+          indexDir, selfDeduped, idCol, textCol, threshold = threshold).localCheckpoint()
+        Dedup.appendToDedupIndex(survivors, idCol, textCol, indexDir)
+        survivors.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming top-k per tumbling window via the native bounded-heap
     * aggregate ([[graft.functions.TopKStruct]]): per-window state is the
     * k-element heap buffer, not the window's rows — so streaming top-k

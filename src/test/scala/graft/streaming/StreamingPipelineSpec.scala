@@ -114,6 +114,41 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(led.length == 1 && led(0).getAs[String]("estatus") == "Completado")
   }
 
+  test("streaming dedup gate: persisted index drops corpus dups, self dups, and CROSS-BATCH dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val canonical = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val fresh = "completely different content about spark distributed engines here"
+    val corpus = Seq((1L, canonical), (2L, canonical)).toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("gate_idx").toString
+    val gOut = Files.createTempDirectory("gate_out").toString
+    val gCk = Files.createTempDirectory("gate_ck").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", idxDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    // batch 1: 10 fresh; 11 near-dup of the corpus; 12 exact self-dup of 10
+    stream.addData((10L, fresh),
+      (11L, "the quick brown fox jumps over the lazy dog and walks away fast"),
+      (12L, fresh))
+    val q1 = StreamingPipeline.dedupGateStream(docs, idxDir, gOut, gCk)
+    q1.awaitTermination(120000)
+    val after1 = spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(10L), s"after batch 1: $after1")
+
+    // batch 2 (fresh drain, same checkpoint + index): 20 duplicates the
+    // ADMITTED doc 10 — only the appended index can know that; 21 is fresh
+    stream.addData((20L, fresh),
+      (21L, "der schnelle braune fuchs springt ueber den faulen hund gerade"))
+    val q2 = StreamingPipeline.dedupGateStream(docs, idxDir, gOut, gCk)
+    q2.awaitTermination(120000)
+    val after2 = spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(10L, 21L), s"after batch 2: $after2")
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
