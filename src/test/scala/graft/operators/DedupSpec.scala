@@ -131,6 +131,20 @@ class DedupSpec extends SparkSpec {
     assert(all == 4)
   }
 
+  test("indexed gate matches the one-shot gate on the same corpus/delta") {
+    val corpus = docs.filter($"doc_id" <= 3)
+    val delta = docs.filter($"doc_id" >= 4)
+      .union(Seq((6L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val oneShot = Dedup.incrementalSurvivors(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("idx_eq").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val indexed = Dedup.incrementalSurvivorsIndexed(dir, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == indexed && indexed == Set(4L, 5L), s"oneShot=$oneShot indexed=$indexed")
+  }
+
   test("minhash signatures: deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
