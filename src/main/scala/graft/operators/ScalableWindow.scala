@@ -29,6 +29,9 @@ object ScalableWindow {
     *
     * Contract: (value, tie) is a total order within each part group (same
     * requirement the plain-window form needs for a deterministic result).
+    * NULL values: `null > boundary` is NULL, so every null-valued row lands
+    * in slice 0 — consistent with ASC NULLS FIRST, which is also how the
+    * within-slice sort orders them, so positions match the plain window.
     *
     * Scale shape: two passes over the input (a map-side-combined count per
     * (part, slice) and one within-slice sort), one broadcast of the

@@ -19,6 +19,9 @@ object Splits {
     * comparison — so the identical CASE ladder runs on any SQL engine.
     * Changing `salt` re-rolls the split without touching ids; membership is
     * a pure function of (salt, id), never of row order or partitioning.
+    * A NULL id hashes to NULL and falls through every `<` test into the
+    * LAST bucket — deterministic, but callers should treat null ids as a
+    * data-quality failure upstream, not rely on that placement.
     */
   def hashSplit(df: DataFrame, idCol: String, salt: String,
                 splits: Seq[(String, Double)], as: String = "split"): DataFrame = {

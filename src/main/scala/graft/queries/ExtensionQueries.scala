@@ -547,6 +547,8 @@ object ExtensionQueries {
       graft.operators.Splits.upsample(
           toks.join(broadcast(factors), "source"), "doc_id", "up1", col("factor"))
         .groupBy("source")
+        // factor is constant within a source group, so first() is
+        // deterministic here (mirrors the oracle's ANY_VALUE)
         .agg(round(first(col("factor")), 6).as("factor"),
           count(lit(1)).as("n_rows_out"),
           sum(col("n_tokens")).as("n_tokens_out"))

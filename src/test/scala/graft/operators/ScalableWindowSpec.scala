@@ -55,6 +55,18 @@ class ScalableWindowSpec extends SparkSpec {
     check(rows, k = 7, slices = 8)
   }
 
+  test("null order values match the plain window's NULLS FIRST placement") {
+    val df = Seq(("a", Option(2.0), 1L), ("a", None, 2L), ("a", Option(1.0), 3L),
+        ("a", None, 4L), ("a", Option(3.0), 5L))
+      .toDF("p", "v", "t")
+    val ref = df.withColumn("ref",
+        ntile(2).over(Window.partitionBy(col("p")).orderBy(col("v"), col("t"))))
+      .select("t", "ref").as[(Long, Int)].collect().toMap
+    val got = ScalableWindow.ntile(df, "p", "v", "t", 2, as = "got", slices = 4)
+      .select("t", "got").as[(Long, Int)].collect().toMap
+    assert(ref == got, s"ref=$ref got=$got")
+  }
+
   test("rowNumber matches built-in row_number over (value, tie)") {
     val rows = for { p <- Seq("a", "b"); i <- 1 to 50 }
       yield (p, (i % 5).toDouble, i.toLong)
