@@ -46,4 +46,18 @@ class PushdownSpec extends SparkSpec {
     assert(factCols == Set("l_orderkey", "l_extendedprice", "l_discount",
       "l_returnflag"), s"fact read: $factCols")
   }
+
+  private def scanCols(p: String): Seq[Set[String]] =
+    """FileScan parquet \[([^\]]*)\]""".r.findAllMatchIn(p).map(_.group(1)
+      .split(",").map(_.takeWhile(_ != '#').trim).filter(_.nonEmpty).toSet).toSeq
+
+  test("sp1/up1: documents scan pruned — md5 split and mixture never read the 5-column row") {
+    // sp1 needs only (doc_id, lang); text/source/n_chars must not be read
+    assert(scanCols(plan("sp1_hash_split")).forall(c =>
+      c.subsetOf(Set("doc_id", "lang"))), scanCols(plan("sp1_hash_split")).toString)
+    // up1 tokenizes text per source: (doc_id, source, text), never lang/n_chars
+    assert(scanCols(plan("up1_mixture_upsample")).forall(c =>
+      c.subsetOf(Set("doc_id", "source", "text"))),
+      scanCols(plan("up1_mixture_upsample")).toString)
+  }
 }
