@@ -89,6 +89,32 @@ object Temporal {
       .select(col("__row.*") +: payload.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** As-of join with a match tolerance — the feature-engineering standard
+    * "latest right row within the trailing window, else null". EXACT as a
+    * post-filter on the plain as-of match: backward picks the LATEST right
+    * row ≤ leftTs, so if that row falls outside the window no earlier row
+    * can fall inside it (they are strictly farther); symmetric for forward.
+    * So tolerance costs nothing extra at scale — same single shuffle as
+    * [[joinAsOf]], then a row-local null-out of payload columns. The
+    * comparison is full-precision (timestamps cast to fractional epoch
+    * seconds), matching SQL INTERVAL semantics at sub-second resolution.
+    * `rightTs` must not clash with a left column (it rides along in the
+    * payload to evaluate the window).
+    */
+  def joinAsOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, payload: Seq[String],
+                     toleranceSec: Double,
+                     direction: String = "backward"): DataFrame = {
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
+    val payAll = (payload :+ rightTs).distinct
+    val out = joinAsOf(left, right, keys, leftTs, rightTs, payAll, direction)
+    val within = col(rightTs).isNotNull &&
+      abs(col(leftTs).cast("double") - col(rightTs).cast("double")) <= toleranceSec
+    val nulled = payAll.foldLeft(out)((df, p) =>
+      df.withColumn(p, when(within, col(p))))
+    if (payload.contains(rightTs)) nulled else nulled.drop(rightTs)
+  }
+
   /** Floor division that is correct for negative values too (Spark's `/` on
     * longs truncates toward zero; bands must tile the whole number line).
     * Uses integral `div` — a double-division quotient loses precision past

@@ -370,6 +370,25 @@ object RelationalQueries {
         .orderBy("buy_id")
     }),
 
+    // Tolerance-bounded as-of: latest click within the trailing 30 minutes,
+    // else null — the attribution-window form (a plain as-of match farther
+    // than the window is discarded row-locally; same single shuffle).
+    "aj3_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+      Temporal.joinAsOfWithin(buys, clicks, Seq("user_id"), "ts", "click_ts",
+          payload = Seq("click_id", "click_ts"), toleranceSec = 1800)
+        .select(col("buy_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("buy_epoch"),
+          col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy("buy_id")
+    }),
+
     // Range (interval) join via band bucketing: returned lineitems shipped
     // in the 7 days up to an urgent order's date — an equi-join on 8-day
     // bands + residual filter, never a nested-loop plan. Oracle: the plain
@@ -898,6 +917,30 @@ object RelationalQueries {
         |  CAST(FLOOR(epoch(n.click_ts)) AS BIGINT) AS click_epoch
         |FROM nxt n LEFT JOIN clicks c
         |  ON c.user_id = n.user_id AND c.click_ts = n.click_ts
+        |ORDER BY buy_id""".stripMargin,
+
+    // aj3: MAX over the window-constrained subquery == the as-of match when
+    // it falls inside the window, and NULL when it does not — the exact
+    // argument joinAsOfWithin's post-filter relies on.
+    "aj3_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |buys AS (
+        |  SELECT event_id AS buy_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |lastw AS (
+        |  SELECT b.buy_id, b.user_id, b.ts,
+        |    (SELECT MAX(c.click_ts) FROM clicks c
+        |     WHERE c.user_id = b.user_id AND c.click_ts <= b.ts
+        |       AND c.click_ts >= b.ts - INTERVAL 30 MINUTE) AS click_ts
+        |  FROM buys b)
+        |SELECT l.buy_id, l.user_id,
+        |  CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS buy_epoch,
+        |  c.click_id,
+        |  CAST(FLOOR(epoch(l.click_ts)) AS BIGINT) AS click_epoch
+        |FROM lastw l LEFT JOIN clicks c
+        |  ON c.user_id = l.user_id AND c.click_ts = l.click_ts
         |ORDER BY buy_id""".stripMargin,
 
     "rj1_range_join" ->

@@ -55,6 +55,22 @@ class TemporalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("joinAsOfWithin nulls matches farther than the tolerance; rightTs dropped when not in payload") {
+    val tol = 50.0
+    val out = Temporal.joinAsOfWithin(leftDf, rightDf, Seq("k"), "t", "rt",
+      payload = Seq("quote_id"), toleranceSec = tol)
+    assert(!out.columns.contains("rt")) // rode along only to evaluate the window
+    val got = out.select("probe_id", "quote_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expect = leftDf.as[(Long, Long, Long)].collect().map { case (pid, k, t) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val best = if (cands.isEmpty) None else Some(cands.maxBy(_._2))
+      pid -> best.filter(b => t - b._2 <= tol).map(_._3)
+    }.toMap
+    assert(got == expect)
+  }
+
   test("joinAsOf ties are inclusive: an equal-ts right row matches") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 10L, 99L)).toDF("k", "rt", "quote_id")
