@@ -299,6 +299,28 @@ object ExtensionQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
         .orderBy("event_type")),
 
+    // SMP2 deterministic fixed-k per-stratum sample: the k docs with the
+    // SMALLEST md5(salt:id) per lang — a pure function of (salt, id), so
+    // the sample is reproducible across engines/reruns AND stable under
+    // corpus growth (a doc stays sampled until k smaller hashes exist).
+    // Scale shape: TopKStruct bounded-heap aggregate — shuffle ≤ k·strata,
+    // no per-stratum window sort (smallest-hash order rides the aggregate's
+    // largest-first contract via nibble-complemented hex).
+    "smp2_deterministic_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", md5(concat(lit("smp2:"), col("doc_id").cast("string"))))
+        .groupBy(col("lang"))
+        .agg(call_function("topk_struct",
+          struct(
+            translate(col("h"), "0123456789abcdef", "fedcba9876543210").as("inv"),
+            (-col("doc_id")).as("neg_id")),
+          struct(col("doc_id"), col("h")),
+          lit(5)).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.doc_id").as("doc_id"), col("col.h").as("h"))
+        .orderBy("lang", "rn")),
+
     // T7 sentence segmentation: split on terminal punctuation runs, per-doc
     // sentence count + average sentence length (trimmed, empties dropped) —
     // the chunking granularity most curation filters run at.
@@ -1242,6 +1264,16 @@ object ExtensionQueries {
          |  AND doc_id NOT IN (SELECT d FROM near_drop)
          |  AND doc_id NOT IN (SELECT d FROM exact_drop)
          |ORDER BY doc_id""".stripMargin,
+
+    // smp2: the window form is the oracle's spec; the engine runs the
+    // bounded-heap aggregate instead — same rows, bounded shuffle.
+    "smp2_deterministic_sample" ->
+      """SELECT lang, rn, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5('smp2:' || doc_id) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('smp2:' || doc_id), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
 
     // up1: factor arithmetic restated verbatim (integer-sum-derived doubles,
     // IEEE-identical); per-doc copies reproduce the upsampler's md5-hex draw
