@@ -204,11 +204,16 @@ object Pipeline {
   /** [[JdbcReplace.Upsert]]: stage the merged frame, apply it with ONE
     * set-based upsert statement (bulk, not row-at-a-time — the staging
     * write is a normal parallel `df.write.jdbc`, and the DB merges
-    * internally). First batch (no target table yet) degenerates to a plain
-    * create-and-append.
+    * internally). First batch (no target table yet) creates the table via
+    * explicit DDL WITH `PRIMARY KEY (email)` before appending: Spark's JDBC
+    * writer emits no key constraint, and on MySQL a keyless table makes
+    * every later `ON DUPLICATE KEY UPDATE` degenerate to plain INSERT —
+    * duplicate emails would silently accumulate each batch (Derby's MERGE
+    * matches on the ON clause and would mask the defect in tests).
     */
   private def jdbcUpsertVisitantes(df: DataFrame, m: SinkMode.Jdbc): Unit = {
     if (!jdbcTableExists(m, "visitantes")) {
+      jdbcExec(m, createKeyedTableDdl(m.url, "visitantes", df.schema, "email"))
       writeJdbc(df, m, "visitantes", "append")
       return
     }
@@ -216,6 +221,41 @@ object Pipeline {
     jdbcExec(m, upsertStatement(m.url, "visitantes", "email",
       df.columns.toSeq, "visitantes_upsert_src"))
     jdbcExec(m, "DROP TABLE visitantes_upsert_src")
+  }
+
+  /** Dialect-gated CREATE TABLE with a declared primary key — what the
+    * upsert path's first batch runs instead of letting the JDBC writer
+    * create a keyless table. Identifiers are quoted exactly as the writer
+    * would quote them (backticks on MySQL, double quotes elsewhere) so the
+    * subsequent `df.write.jdbc(..., "append")` resolves the same column
+    * names. Types mirror the reference schema's choices
+    * (database/schema.sql:19-39: VARCHAR(255) keys, DATETIME timestamps).
+    */
+  private[graft] def createKeyedTableDdl(url: String, table: String,
+                                         schema: org.apache.spark.sql.types.StructType,
+                                         pk: String): String = {
+    import org.apache.spark.sql.types._
+    require(schema.fieldNames.contains(pk), s"pk column $pk not in ${schema.fieldNames.toSeq}")
+    val mysql = url.startsWith("jdbc:mysql")
+    def q(c: String) = if (mysql) s"`$c`" else "\"" + c + "\""
+    def sqlType(t: DataType): String = t match {
+      case StringType => "VARCHAR(255)"
+      case IntegerType | ShortType | ByteType => "INT"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case TimestampType => if (mysql) "DATETIME" else "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BooleanType => "BOOLEAN"
+      case other => throw new IllegalArgumentException(
+        s"no JDBC type mapping for $other in $table DDL")
+    }
+    val cols = schema.fields.map { f =>
+      val notNull = if (f.name == pk) " NOT NULL" else ""
+      s"${q(f.name)} ${sqlType(f.dataType)}$notNull"
+    }.mkString(", ")
+    s"CREATE TABLE $table ($cols, PRIMARY KEY (${q(pk)}))"
   }
 
   /** Dialect-gated set-based upsert text. Column identifiers are quoted

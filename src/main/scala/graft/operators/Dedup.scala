@@ -244,17 +244,27 @@ object Dedup {
   /** Gate a delta against a persisted index; returns survivors (same
     * semantics as [[incrementalSurvivors]]). Does NOT mutate the index —
     * call [[appendToDedupIndex]] with the survivors to admit them.
+    *
+    * `excludeIds` (one id column named `idCol`) removes those ids from the
+    * index's side of every lookup before gating. The streaming gate passes
+    * the delta's own ids here: a replayed at-least-once batch whose docs a
+    * crashed attempt already appended to the index must NOT be filtered out
+    * by its own index entries — exclusion makes the replay recompute the
+    * identical survivor set (restart idempotency, round-8 advice).
     */
   def incrementalSurvivorsIndexed(indexDir: String, delta: DataFrame, idCol: String,
                                   textCol: String, numPerms: Int = 16, bands: Int = 8,
-                                  threshold: Double = 0.5): DataFrame = {
+                                  threshold: Double = 0.5,
+                                  excludeIds: Option[DataFrame] = None): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val spark = delta.sparkSession
-    val cSets = spark.read.parquet(s"$indexDir/sets")
+    def excl(index: DataFrame): DataFrame =
+      excludeIds.fold(index)(ids => index.join(ids, Seq(idCol), "left_anti"))
+    val cSets = excl(spark.read.parquet(s"$indexDir/sets"))
     val dSets = portableSets(delta, idCol, textCol)
     val cands = portableBandSigs(dSets, idCol, numPerms, bands)
       .select(col("band"), col("sig"), col(idCol).as("d"))
-      .join(spark.read.parquet(s"$indexDir/bands")
+      .join(excl(spark.read.parquet(s"$indexDir/bands"))
         .select(col("band"), col("sig"), col(idCol).as("c")), Seq("band", "sig"))
       .select("d", "c").distinct()
     val nearDrop = jaccardVerified(cands, dSets, cSets, idCol, "d", "c")
@@ -262,7 +272,7 @@ object Dedup {
       .select(col("d").as(idCol)).distinct()
     val exactDrop = delta
       .withColumn("fp", Text.fingerprint(col(textCol)))
-      .join(spark.read.parquet(s"$indexDir/fps").select("fp").distinct(),
+      .join(excl(spark.read.parquet(s"$indexDir/fps")).select("fp").distinct(),
         Seq("fp"), "left_semi")
       .select(col(idCol))
     delta

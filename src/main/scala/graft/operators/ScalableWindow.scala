@@ -54,10 +54,17 @@ object ScalableWindow {
     //    monotone in value, so slice order == value order, and equal values
     //    always land in the same slice (ties never straddle a boundary, which
     //    is what keeps within-slice ranks composable into global positions).
+    //    coalesce guards the all-NULL group: percentile_approx yields a NULL
+    //    boundary array there, aggregate(NULL, ...) a NULL slice, and the
+    //    (part, _slice) inner joins below would silently drop every row of
+    //    the group — the plain window it replaces still ranks them (NULLS
+    //    FIRST), so they must land in slice 0 like any other null value.
     val sliced = df.join(broadcast(bounds), part)
       .withColumn("_slice",
-        aggregate(col("_bnds"), lit(0),
-          (acc: Column, b: Column) => acc + when(col(value) > b, 1).otherwise(0)))
+        coalesce(
+          aggregate(col("_bnds"), lit(0),
+            (acc: Column, b: Column) => acc + when(col(value) > b, 1).otherwise(0)),
+          lit(0)))
       .drop("_bnds")
 
     // 3. Slice sizes -> per-slice global offsets. Computed from `sliced`

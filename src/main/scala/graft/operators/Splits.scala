@@ -43,14 +43,20 @@ object Splits {
     * a pure function of (salt, id, factor) with expectation exactly
     * `factor`, reproducible across engines, reruns, and partitionings
     * (sampling with a random seed is not: Spark ties it to partition
-    * layout). The hex bound is `format_string("%08x", floor(frac·2^32))` —
-    * the same printf runs on any SQL engine. Adds `copy_idx` (1-based).
+    * layout). The hex bound is `format_string("%08x", floor(frac·2^32))`,
+    * clamped to 2^32−1 like [[hashSplit]] — without the clamp, a fractional
+    * part within 2^-33 of 1.0 rounds to 2^32 and prints as the 9-char
+    * '100000000', inverting the lexicographic `h < bound` test. The same
+    * printf runs on any SQL engine. Adds `copy_idx` (1-based). Negative
+    * factors are clamped to 0 (the row is dropped), the only multiplicity
+    * a negative weight can mean.
     */
   def upsample(df: DataFrame, idCol: String, salt: String, factor: Column): DataFrame = {
+    val f = greatest(factor, lit(0.0))
     val h = substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8)
     val bound = format_string("%08x",
-      floor((factor - floor(factor)) * lit(4294967296.0)).cast("long"))
-    val copies = floor(factor).cast("long") + when(h < bound, 1L).otherwise(0L)
+      least(floor((f - floor(f)) * lit(4294967296.0)).cast("long"), lit(4294967295L)))
+    val copies = floor(f).cast("long") + when(h < bound, 1L).otherwise(0L)
     df.withColumn("_copies", copies)
       .filter(col("_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(1L), col("_copies"))))

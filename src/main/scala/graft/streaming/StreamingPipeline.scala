@@ -229,7 +229,7 @@ object StreamingPipeline {
     * admitted only if it is not an exact/near duplicate of the PERSISTED
     * dedup index ([[graft.operators.Dedup.buildDedupIndex]]) — which
     * includes every previously-admitted stream doc, because survivors are
-    * appended to the index before the batch commits. Cross-batch dedup
+    * appended to the index when the batch commits. Cross-batch dedup
     * WITHOUT unbounded executor state: the "state" is the linear parquet
     * index rather than state-store rows, so it survives restarts and is
     * shared with the batch gate — one dedup truth for both entries.
@@ -237,6 +237,12 @@ object StreamingPipeline {
     * Within a batch: exact self-duplicates keep their lowest id; near-dup
     * self-pairs drop the higher id of each verified pair (greedy keeper,
     * same discipline as the batch curation pipeline).
+    *
+    * Restart-safe for real (round-8 advice): foreachBatch is at-least-once,
+    * so the whole per-batch body ([[dedupGateBatch]]) is idempotent — see
+    * its scaladoc for the replay protocol. Output lands under
+    * `outDir/batch=<id>/` (partition-discovered as a `batch` column;
+    * `spark.read.parquet(outDir)` still reads the union).
     */
   def dedupGateStream(docs: DataFrame, indexDir: String, outDir: String,
                       checkpointDir: String, idCol: String = "doc_id",
@@ -245,22 +251,51 @@ object StreamingPipeline {
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.operators.Dedup
-        val exactKeepers = Dedup.exactByFingerprint(batch, textCol, idCol).select(idCol)
-        val selfExact = batch.join(exactKeepers, Seq(idCol), "left_semi")
-        val nearSelfDrop = Dedup
-          .minhashLshPortable(selfExact, idCol, textCol, threshold = threshold)
-          .select(col("b").as(idCol)).distinct()
-        val selfDeduped = selfExact.join(nearSelfDrop, Seq(idCol), "left_anti")
-        // survivors feed two sinks (index append + output); compute once
-        val survivors = Dedup.incrementalSurvivorsIndexed(
-          indexDir, selfDeduped, idCol, textCol, threshold = threshold).localCheckpoint()
-        Dedup.appendToDedupIndex(survivors, idCol, textCol, indexDir)
-        survivors.write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold)
       }
       .start()
+
+  /** One idempotent micro-batch of the dedup gate. Replay protocol, in
+    * order, so an at-least-once replay of batch N re-emits rather than
+    * re-filters (no silent loss at any crash point):
+    *
+    *  1. Gate against the index EXCLUDING this batch's own ids — a crashed
+    *     attempt may already have appended them, and self-filtering on
+    *     replay is exactly the silent-loss bug; exclusion makes the
+    *     recomputed survivor set identical on every attempt.
+    *  2. Write survivors to the batch-scoped `outDir/batch=<id>` with
+    *     OVERWRITE — replays rewrite the same rows instead of appending
+    *     duplicates.
+    *  3. Append survivors to the index, guarded by a committed-batch marker
+    *     (`indexDir/_committed/batch-<id>`): a replay that finds the marker
+    *     skips the append. A crash between append and marker can leave
+    *     duplicate index rows for this batch — harmless by construction
+    *     (every index lookup is distinct/semi-join based), and the gate
+    *     result is still exact because of the step-1 exclusion.
+    */
+  def dedupGateBatch(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
+    val exactKeepers = Dedup.exactByFingerprint(batch, textCol, idCol).select(idCol)
+    val selfExact = batch.join(exactKeepers, Seq(idCol), "left_semi")
+    val nearSelfDrop = Dedup
+      .minhashLshPortable(selfExact, idCol, textCol, threshold = threshold)
+      .select(col("b").as(idCol)).distinct()
+    val selfDeduped = selfExact.join(nearSelfDrop, Seq(idCol), "left_anti")
+    // survivors feed two sinks (output + index append); compute once
+    val survivors = Dedup.incrementalSurvivorsIndexed(
+      indexDir, selfDeduped, idCol, textCol, threshold = threshold,
+      excludeIds = Some(selfDeduped.select(idCol))).localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
+    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Dedup.appendToDedupIndex(survivors, idCol, textCol, indexDir)
+      fs.mkdirs(marker)
+    }
+  }
 
   /** Streaming top-k per tumbling window via the native bounded-heap
     * aggregate ([[graft.functions.TopKStruct]]): per-window state is the

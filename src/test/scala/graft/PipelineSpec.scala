@@ -247,6 +247,22 @@ class JdbcUpsertSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("first-batch DDL declares PRIMARY KEY(email) per dialect") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("email", StringType), StructField("visitasTotales", IntegerType),
+      StructField("fechaUltimaVisita", TimestampType)))
+    val my = Pipeline.createKeyedTableDdl("jdbc:mysql://h/db", "visitantes", schema, "email")
+    assert(my == "CREATE TABLE visitantes (`email` VARCHAR(255) NOT NULL, " +
+      "`visitasTotales` INT, `fechaUltimaVisita` DATETIME, PRIMARY KEY (`email`))")
+    val de = Pipeline.createKeyedTableDdl("jdbc:derby:/x", "visitantes", schema, "email")
+    assert(de == "CREATE TABLE visitantes (\"email\" VARCHAR(255) NOT NULL, " +
+      "\"visitasTotales\" INT, \"fechaUltimaVisita\" TIMESTAMP, PRIMARY KEY (\"email\"))")
+    intercept[IllegalArgumentException] {
+      Pipeline.createKeyedTableDdl("jdbc:derby:/x", "v", schema, "nope")
+    }
+  }
+
   test("upsert run 1 creates the table; run 2 updates + inserts in place, no staging leftovers") {
     val s1 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
       Date.valueOf("2024-02-15"), sink = sink)
@@ -273,6 +289,14 @@ class JdbcUpsertSpec extends SparkSpec with BeforeAndAfterAll {
       rs.close()
       assert(!names.contains("visitantes_upsert_src"), names)
       assert(!names.contains("visitantes_staging"), names) // upsert path never stages+renames
+      // first-batch DDL must have declared the key the upsert statement
+      // relies on — a keyless table silently breaks MySQL's ON DUPLICATE KEY
+      val pkCols = Seq("visitantes", "VISITANTES").flatMap { t =>
+        val pk = conn.getMetaData.getPrimaryKeys(null, null, t)
+        try Iterator.continually(pk).takeWhile(_.next()).map(_.getString(4)).toList
+        finally pk.close()
+      }.toSet
+      assert(pkCols == Set("email"), s"primary key columns: $pkCols")
     } finally conn.close()
   }
 }

@@ -67,6 +67,22 @@ class ScalableWindowSpec extends SparkSpec {
     assert(ref == got, s"ref=$ref got=$got")
   }
 
+  test("a part group whose order values are ALL null keeps its rows (slice 0)") {
+    // percentile_approx returns a NULL boundary array for such a group; an
+    // unguarded slice id would be NULL and the inner joins would silently
+    // drop the whole group. The plain window still ranks them NULLS FIRST.
+    val df = Seq(("a", Option(2.0), 1L), ("a", Option(1.0), 2L),
+        ("z", Option.empty[Double], 3L), ("z", None, 4L), ("z", None, 5L))
+      .toDF("p", "v", "t")
+    val ref = df.withColumn("ref",
+        ntile(2).over(Window.partitionBy(col("p")).orderBy(col("v"), col("t"))))
+      .select("t", "ref").as[(Long, Int)].collect().toMap
+    val got = ScalableWindow.ntile(df, "p", "v", "t", 2, as = "got", slices = 4)
+      .select("t", "got").as[(Long, Int)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"rows dropped: $got")
+    assert(ref == got, s"ref=$ref got=$got")
+  }
+
   test("rowNumber matches built-in row_number over (value, tie)") {
     val rows = for { p <- Seq("a", "b"); i <- 1 to 50 }
       yield (p, (i % 5).toDouble, i.toLong)

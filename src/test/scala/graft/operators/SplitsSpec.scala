@@ -46,6 +46,18 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(down - 250.0) < 60, s"got $down")
   }
 
+  test("upsample: near-1.0 fractional part clamps instead of inverting the bound") {
+    val ids = (1L to 1000L).toDF("id")
+    // nextDown(1.0) is the one double < 1 whose product with 2^32 rounds to
+    // exactly 2^32: unclamped, format_string prints the 9-char '100000000'
+    // and `h < bound` flips to matching only hashes that start with '0'
+    // (~1/16 of rows). Clamped to ffffffff, every row draws its copy.
+    val n = Splits.upsample(ids, "id", "u1", lit(Math.nextDown(1.0))).count()
+    assert(n == 1000L, s"got $n")
+    // negative factor: clamped to 0 — rows drop, nothing explodes
+    assert(Splits.upsample(ids, "id", "u1", lit(-2.5)).count() == 0L)
+  }
+
   test("packSequences: concat-and-cut window assignment matches hand computation") {
     // one group, one shard; tokens 300,300,300,300 at ctx 512:
     // starts at 0,300,600,900 -> seq_ids 0,0,1,1

@@ -149,6 +149,46 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(after2 == Set(10L, 21L), s"after batch 2: $after2")
   }
 
+  test("dedup gate replay re-emits survivors instead of re-filtering (at-least-once safety)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val canonical = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val fresh1 = "completely different content about spark distributed engines here"
+    val fresh2 = "unrelated text on tokenizer vocabularies and training data mixtures"
+    val idxDir = Files.createTempDirectory("rp_idx").toString
+    val out = Files.createTempDirectory("rp_out").toString
+    Dedup.buildDedupIndex(Seq((1L, canonical)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+
+    // 10/12 fresh, 11 near-dups the corpus doc
+    val batch = Seq((10L, fresh1),
+      (11L, "the quick brown fox jumps over the lazy dog and walks away fast"),
+      (12L, fresh2)).toDF("doc_id", "text")
+    StreamingPipeline.dedupGateBatch(batch, 0L, idxDir, out)
+    def emitted() = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(emitted() == Set(10L, 12L), s"first run: ${emitted()}")
+
+    // replay AFTER full commit (index has 10/12, marker present): the old
+    // append-then-write order would find the docs in the index, filter them
+    // all out, and overwrite the output empty — survivors must re-emit
+    StreamingPipeline.dedupGateBatch(batch, 0L, idxDir, out)
+    assert(emitted() == Set(10L, 12L), s"after committed replay: ${emitted()}")
+
+    // replay after the WORST crash point: index appended but marker lost —
+    // self-exclusion must still re-admit 10/12, and the re-append (duplicate
+    // index rows) must not corrupt later gating
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_committed/batch-0")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, true)
+    StreamingPipeline.dedupGateBatch(batch, 0L, idxDir, out)
+    assert(emitted() == Set(10L, 12L), s"after marker-loss replay: ${emitted()}")
+
+    // next batch still dedups against everything admitted so far
+    StreamingPipeline.dedupGateBatch(
+      Seq((20L, fresh1), (21L, "brand new prose about watermark state expiry"))
+        .toDF("doc_id", "text"), 1L, idxDir, out)
+    assert(emitted() == Set(10L, 12L, 21L), s"after batch 1: ${emitted()}")
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
