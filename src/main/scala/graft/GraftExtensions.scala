@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotF32, LevBounded, TopKStruct, VectorizeDotProduct}
+import graft.functions.{DotF32, LevBounded, MisraGries, TopKStruct, VectorizeDotProduct}
 
 /** Session extensions: registers the engine's native expressions and
   * optimizer rules (SparkSessionExtensions is the supported injection
@@ -47,6 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_struct k must be an INT literal, got $other")
         }
         TopKStruct(children.head, children(1), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"mg_sketch requires exactly 2 arguments (item, k), got ${children.size}")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"mg_sketch k must be an INT literal, got $other")
+        }
+        MisraGries(children.head, k)
       }))
     // HOF-form dot products (user-written or Vectors.dotHof) compile down
     // to the native expression automatically.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, LanguageModel, Multimodal, Prepare, Similarity}
+import graft.operators.{Dedup, Frequency, LanguageModel, Multimodal, Prepare, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -121,6 +121,16 @@ object ExtensionQueries {
         .select(explode(Text.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("word")).limit(20)),
+
+    // HH1 heavy hitters over the token stream: one bounded-state
+    // Misra-Gries pass (shuffle = k entries/partition, never |vocab| rows)
+    // generates ≤k candidates, then an exact verify pass keeps the tokens
+    // with freq·(k+1) > n — the final set is exact, deterministic, and
+    // oracle-checked even though the sketch itself has no SQL twin.
+    "hh1_heavy_hitters" -> ((s, d) =>
+      Frequency.heavyHitters(
+        Tables.documents(s, d).select(explode(Text.tokens(col("text"))).as("word")),
+        col("word"), k = 28, as = "word")),
 
     // E5 top error types from the parity errores relation.
     "e5_topk_error_types" -> ((s, d) =>
@@ -952,6 +962,13 @@ object ExtensionQueries {
       s"""SELECT word, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS word FROM documents) t
          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "hh1_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)
+         |SELECT word, COUNT(*) AS freq FROM w
+         |GROUP BY word
+         |HAVING COUNT(*) * 29 > (SELECT COUNT(*) FROM w)
+         |ORDER BY freq DESC, word""".stripMargin,
 
     "e5_topk_error_types" -> (
       s"WITH ${v},\n${f},\n${ParityQueries.erroresCte}\n" +

@@ -621,6 +621,26 @@ object RelationalQueries {
     "ra1_regression_stats" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("l_ra1")
       s.sql(regressionSql("l_ra1"))
+    }),
+
+    // SCD Type-2 dimension versioning ([[graft.operators.Scd]]): customers
+    // crossing an order-volume threshold re-segment to 'VIP' effective at
+    // their latest order date — the operator closes the old segment row and
+    // opens the new one, leaving history queryable by time. One open-slice
+    // equi-join + union; the update side is aggregate-sized, so AQE
+    // broadcasts it.
+    "scd1_dim_versioning" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val updates = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("eff"))
+        .filter(col("n_orders") >= 14)
+        .select(col("c_custkey"), lit("VIP").as("segment"), col("eff"))
+      graft.operators.Scd.applyBatch(dim, updates, "c_custkey", Seq("segment"), "eff")
+        .orderBy(col("c_custkey"), col("valid_from"))
     }))
 
   /** ra1's exact-sums regression SQL — shared verbatim with the oracle so
@@ -1061,5 +1081,30 @@ object RelationalQueries {
         |GROUP BY r_name, l_returnflag
         |ORDER BY r_name, l_returnflag""".stripMargin,
 
-    "ra1_regression_stats" -> regressionSql("lineitem"))
+    "ra1_regression_stats" -> regressionSql("lineitem"),
+
+    // scd1: the full Type-2 apply in ANSI SQL. The first-seen branch of the
+    // operator is provably empty here (every o_custkey exists in customer),
+    // so the oracle covers close + open + pass-through.
+    "scd1_dim_versioning" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |         TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+        |         CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT o_custkey AS c_custkey, 'VIP' AS segment, MAX(o_orderdate) AS eff
+        |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14),
+        |chg AS (
+        |  SELECT d.c_custkey, u.segment AS new_segment, u.eff
+        |  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+        |  WHERE d.valid_to IS NULL AND d.segment IS DISTINCT FROM u.segment)
+        |SELECT * FROM (
+        |  SELECT d.c_custkey, d.segment, d.valid_from,
+        |         CASE WHEN d.valid_to IS NULL THEN c.eff ELSE d.valid_to END AS valid_to
+        |  FROM dim d LEFT JOIN chg c ON d.c_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT c_custkey, new_segment, eff, CAST(NULL AS TIMESTAMP)
+        |  FROM chg) t
+        |ORDER BY c_custkey, valid_from""".stripMargin)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SCD Type-2 apply: close-changed / open-new / insert-first-seen /
+  * pass-through, against a hand-computed scenario.
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("one batch: change closes+opens, no-op passes, new key inserts, history untouched") {
+    val dim = Seq(
+      // key 1: one closed historical row + one open row (will change)
+      (1L, "bronze", ts("2020-01-01 00:00:00"), Option(ts("2022-01-01 00:00:00"))),
+      (1L, "silver", ts("2022-01-01 00:00:00"), Option.empty[Timestamp]),
+      // key 2: open row, update carries the SAME attrs -> no-op
+      (2L, "gold", ts("2021-06-01 00:00:00"), Option.empty[Timestamp]),
+      // key 3: open row, no update at all
+      (3L, "bronze", ts("2021-01-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "gold", ts("2024-03-01 00:00:00")),   // real change
+      (2L, "gold", ts("2024-03-01 00:00:00")),   // no-op
+      (9L, "silver", ts("2024-03-01 00:00:00"))  // first-seen key
+    ).toDF("k", "tier", "eff")
+
+    val out = Scd.applyBatch(dim, updates, "k", Seq("tier"), "eff")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+
+    assert(out == Seq(
+      (1L, "bronze", ts("2020-01-01 00:00:00"), Some(ts("2022-01-01 00:00:00"))),
+      (1L, "silver", ts("2022-01-01 00:00:00"), Some(ts("2024-03-01 00:00:00"))),
+      (1L, "gold", ts("2024-03-01 00:00:00"), None),
+      (2L, "gold", ts("2021-06-01 00:00:00"), None),
+      (3L, "bronze", ts("2021-01-01 00:00:00"), None),
+      (9L, "silver", ts("2024-03-01 00:00:00"), None)), out.mkString("\n"))
+  }
+
+  test("null-safe attr comparison: null -> value and value -> null both version") {
+    val dim = Seq(
+      (1L, Option.empty[String], ts("2020-01-01 00:00:00"), Option.empty[Timestamp]),
+      (2L, Option("a"), ts("2020-01-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, Option("b"), ts("2024-01-01 00:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 00:00:00"))
+    ).toDF("k", "tier", "eff")
+    val out = Scd.applyBatch(dim, updates, "k", Seq("tier"), "eff")
+    assert(out.count() == 4) // both keys: one closed + one opened
+    val open = out.filter(col("valid_to").isNull).orderBy("k")
+      .select("k", "tier").as[(Long, Option[String])].collect().toSeq
+    assert(open == Seq((1L, Some("b")), (2L, None)), open)
+  }
+
+  test("invariant: exactly one open row per key after apply") {
+    val dim = Seq((1L, "x", ts("2020-01-01 00:00:00"), Option.empty[Timestamp]))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq((1L, "y", ts("2024-01-01 00:00:00")),
+      (2L, "z", ts("2024-01-01 00:00:00"))).toDF("k", "tier", "eff")
+    val out = Scd.applyBatch(dim, updates, "k", Seq("tier"), "eff")
+    val opens = out.filter(col("valid_to").isNull)
+      .groupBy("k").count().filter(col("count") =!= 1)
+    assert(opens.isEmpty)
+  }
+}
