@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content integrity at table scale: an order-insensitive, engine-portable
+  * checksum over a relation, for sink-parity and replica checks (does the
+  * JDBC copy equal the parquet truth? did a migration lose rows?) without
+  * ever moving the data — each side aggregates locally and compares two
+  * numbers.
+  *
+  * Shape: one map-side-combined aggregate (COUNT + SUM of a per-row 64-bit
+  * hash). Addition is commutative, so the checksum is independent of row
+  * order, partitioning, and parallelism — and the per-row hash is defined
+  * as arithmetic every SQL engine reproduces (md5 bytes, not xxhash64),
+  * so the SAME number comes out of Spark and the DuckDB oracle.
+  */
+object Integrity {
+
+  /** Lower 64 bits of md5(c) as an unsigned DECIMAL(20,0) — the md5 digest's
+    * LAST 8 bytes read little-endian, matching DuckDB's `md5_number_lower`
+    * so checks can run cross-engine without custom UDFs on either side.
+    * Implemented by reversing the tail byte pairs of the hex form and
+    * radix-converting (`conv` treats 16 hex chars as unsigned 64-bit).
+    */
+  def md5Lower64(c: Column): Column = {
+    val h = md5(c)
+    val le = concat((0 until 8).map(i => substring(h, 31 - 2 * i, 2)): _*)
+    conv(le, 16, 10).cast("decimal(20,0)")
+  }
+
+  /** Canonical row image for hashing: values cast to string, joined with a
+    * U+0001 separator, NULL encoded as U+0002 (distinct from the empty
+    * string, and concat_ws would otherwise silently drop nulls). Callers
+    * pick columns whose string form is engine-stable — integers and
+    * strings are; raw doubles/timestamps need explicit formatting first.
+    */
+  def canonicalRow(cols: Seq[String]): Column =
+    concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+
+  /** (n_rows, checksum): row count plus the sum of per-row hashes. Equal
+    * checksums and counts mean equal multisets of canonical rows (up to
+    * md5-collision odds, ~2^-64 per pair). The checksum is emitted as its
+    * decimal-digit STRING: it is an opaque token to compare, and decimals
+    * past 2^63 degrade to float64 in common client bridges (pandas), which
+    * would corrupt exactly the digits the comparison is for.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
+        .cast("string").as("checksum"))
+  }
+}

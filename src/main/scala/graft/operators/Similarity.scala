@@ -276,4 +276,30 @@ object Similarity {
     val planes = planesForCorpus(corpus.count(), targetPop)
     cosineNearDupPairsBanded(corpus, threshold, planes, nBands, dims)
   }
+
+  /** Per-label embedding centroids in exact fixed point: each component is
+    * floored to `2^scaleBits` units (power-of-two scaling of a float is
+    * EXACT in double arithmetic, and floor is unambiguous on every engine),
+    * then summed as integers — so the result is bit-identical under any
+    * partitioning, merge order, or engine, unlike a double SUM whose last
+    * ulps are merge-order-dependent. At 2^-20 resolution the quantization
+    * error (≤ 1e-6 per component) is far below float32's own noise floor —
+    * reproducibility costs nothing real.
+    *
+    * Long-form output (label, pos, n, sum_fp, mean_fp): one row per
+    * (label, dimension), mean in the same fixed-point units via exact
+    * integer division. One posexplode + one map-side-combined aggregate;
+    * shuffle is |labels|·dims rows.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 30, s"scaleBits in [0,30], got $scaleBits")
+    val unit = (1L << scaleBits).toDouble
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("q", floor(col("x").cast("double") * lit(unit)).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_fp"))
+      .withColumn("mean_fp", expr("sum_fp div n"))
+      .orderBy("label", "pos")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Frequency, LanguageModel, Multimodal, Prepare, Similarity}
+import graft.operators.{Dedup, Frequency, Integrity, LanguageModel, Multimodal, Prepare, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -121,6 +121,22 @@ object ExtensionQueries {
         .select(explode(Text.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("word")).limit(20)),
+
+    // EMB1 per-label embedding centroids in exact fixed point
+    // ([[Similarity.labelCentroids]]): power-of-two scaling + floor makes
+    // every component an exact integer, so the centroid sums are
+    // bit-identical under any partitioning or engine — run-to-run
+    // reproducibility a double SUM cannot give.
+    "emb1_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label", "embedding")),
+
+    // CHK1 order-insensitive table checksum ([[Integrity.tableChecksum]]):
+    // COUNT + SUM of a portable per-row 64-bit hash (md5 low bits, matching
+    // DuckDB's md5_number_lower) — sink-parity verification without moving
+    // the data.
+    "chk1_table_checksum" -> ((s, d) =>
+      Integrity.tableChecksum(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))),
 
     // HH1 heavy hitters over the token stream: one bounded-state
     // Misra-Gries pass (shuffle = k entries/partition, never |vocab| rows)
@@ -962,6 +978,27 @@ object ExtensionQueries {
       s"""SELECT word, COUNT(*) AS n FROM (
          |  SELECT unnest($toksSql) AS word FROM documents) t
          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "emb1_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, pos, COUNT(*) AS n,
+        |       CAST(SUM(q) AS BIGINT) AS sum_fp,
+        |       CAST(SUM(q) AS BIGINT) // COUNT(*) AS mean_fp
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "chk1_table_checksum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(md5_number_lower(concat_ws(chr(1),
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        |    coalesce(lang, chr(2)),
+        |    coalesce(source, chr(2)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM documents""".stripMargin,
 
     "hh1_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)

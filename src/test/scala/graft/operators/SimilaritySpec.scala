@@ -185,6 +185,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"kmeans IVF recall@5 = $recall")
   }
 
+  test("labelCentroids: fixed-point means track the true means, bit-stable across partitionings") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(i => (i % 3, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .select("label", "pos", "mean_fp").as[(Int, Int, Long)].collect()
+      .map { case (l, p, m) => (l, p) -> m / 1048576.0 }.toMap
+    // truth via driver-side doubles
+    val truth = rows.groupBy(_._1).flatMap { case (l, g) =>
+      (0 until 4).map(p => (l, p) -> g.map(_._2(p).toDouble).sum / g.size)
+    }
+    truth.foreach { case (k, t) =>
+      assert(math.abs(got(k) - t) < 1e-5, s"$k: got ${got(k)} vs $t")
+    }
+    // exact reproducibility: a different partitioning yields identical rows
+    val again = Similarity.labelCentroids(
+      spark.sparkContext.parallelize(rows.reverse, 3).toDF("label", "embedding"),
+      "label", "embedding")
+    assert(Similarity.labelCentroids(df, "label", "embedding").collect().toSeq ==
+      again.collect().toSeq)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
