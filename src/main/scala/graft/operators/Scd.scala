@@ -40,10 +40,16 @@ object Scd {
     val outCols: Seq[Column] =
       (key +: attrs).map(col) :+ col(validFrom) :+ col(validTo)
 
+    // The update batch feeds three branches (close, open, first-seen); if it
+    // is itself derived from a fact-table aggregate, lazy recompute would
+    // scan the fact table three times — materialize once (it is at most
+    // dimension-sized by contract).
+    val u0 = updates.localCheckpoint()
+
     val differs = attrs.map(a => !(col(s"d.$a") <=> col(s"u.$a"))).reduce(_ || _)
     // changed = (key, eff, new attr values) for keys whose OPEN row differs
     val changed = dim.filter(col(validTo).isNull).alias("d")
-      .join(updates.alias("u"), col(s"d.$key") === col(s"u.$key"))
+      .join(u0.alias("u"), col(s"d.$key") === col(s"u.$key"))
       .filter(differs)
       .select(col(s"u.$key").as(key) +:
         attrs.map(a => col(s"u.$a").as(a)) :+
@@ -63,7 +69,7 @@ object Scd {
     val opened = changed
       .select(col(key) +: attrs.map(col) :+
         col("_eff").as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
-    val firstSeen = updates
+    val firstSeen = u0
       .join(dim.select(key).distinct(), Seq(key), "left_anti")
       .select(col(key) +: attrs.map(col) :+
         col(effCol).as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)

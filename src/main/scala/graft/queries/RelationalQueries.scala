@@ -629,19 +629,41 @@ object RelationalQueries {
     // opens the new one, leaving history queryable by time. One open-slice
     // equi-join + union; the update side is aggregate-sized, so AQE
     // broadcasts it.
-    "scd1_dim_versioning" -> ((s, d) => {
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
-          lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
-          lit(null).cast("timestamp").as("valid_to"))
-      val updates = Tables.orders(s, d)
-        .groupBy(col("o_custkey").as("c_custkey"))
-        .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("eff"))
-        .filter(col("n_orders") >= 14)
-        .select(col("c_custkey"), lit("VIP").as("segment"), col("eff"))
-      graft.operators.Scd.applyBatch(dim, updates, "c_custkey", Seq("segment"), "eff")
-        .orderBy(col("c_custkey"), col("valid_from"))
+    "scd1_dim_versioning" -> ((s, d) =>
+      versionedSegments(s, d).orderBy(col("c_custkey"), col("valid_from"))),
+
+    // Point-in-time (as-of) lookup against the Type-2 dimension: each order
+    // resolves the segment version VALID AT its order date — key equi-join
+    // plus interval predicates, so the plan is a plain hash join (the range
+    // test is a post-join filter, never a cross product). The companion to
+    // scd1: versioning is only useful if facts can time-travel against it.
+    "scd2_pointintime" -> ((s, d) => {
+      val ver = versionedSegments(s, d)
+      val o = Tables.orders(s, d)
+      o.join(ver, o("o_custkey") === ver("c_custkey") &&
+          o("o_orderdate") >= ver("valid_from") &&
+          (ver("valid_to").isNull || o("o_orderdate") < ver("valid_to")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy("segment")
     }))
+
+  /** scd1/scd2's shared fixture: the customer segment dimension versioned by
+    * an order-volume promotion batch ([[graft.operators.Scd.applyBatch]]).
+    */
+  private def versionedSegments(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+    val updates = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderdate")).as("eff"))
+      .filter(col("n_orders") >= 14)
+      .select(col("c_custkey"), lit("VIP").as("segment"), col("eff"))
+    graft.operators.Scd.applyBatch(dim, updates, "c_custkey", Seq("segment"), "eff")
+  }
 
   /** ra1's exact-sums regression SQL — shared verbatim with the oracle so
     * the double arithmetic is bit-identical on both engines. Zero-variance
@@ -1087,24 +1109,41 @@ object RelationalQueries {
     // operator is provably empty here (every o_custkey exists in customer),
     // so the oracle covers close + open + pass-through.
     "scd1_dim_versioning" ->
-      """WITH dim AS (
-        |  SELECT c_custkey, c_mktsegment AS segment,
-        |         TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
-        |         CAST(NULL AS TIMESTAMP) AS valid_to
-        |  FROM customer),
-        |upd AS (
-        |  SELECT o_custkey AS c_custkey, 'VIP' AS segment, MAX(o_orderdate) AS eff
-        |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14),
-        |chg AS (
-        |  SELECT d.c_custkey, u.segment AS new_segment, u.eff
-        |  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
-        |  WHERE d.valid_to IS NULL AND d.segment IS DISTINCT FROM u.segment)
-        |SELECT * FROM (
-        |  SELECT d.c_custkey, d.segment, d.valid_from,
-        |         CASE WHEN d.valid_to IS NULL THEN c.eff ELSE d.valid_to END AS valid_to
-        |  FROM dim d LEFT JOIN chg c ON d.c_custkey = c.c_custkey
-        |  UNION ALL
-        |  SELECT c_custkey, new_segment, eff, CAST(NULL AS TIMESTAMP)
-        |  FROM chg) t
-        |ORDER BY c_custkey, valid_from""".stripMargin)
+      s"WITH $scdVerSql\nSELECT * FROM ver ORDER BY c_custkey, valid_from",
+
+    // scd2: point-in-time resolution of each order against the versioned
+    // dimension (one version matches per order by interval construction).
+    "scd2_pointintime" ->
+      s"""WITH $scdVerSql
+         |SELECT segment, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM orders o JOIN ver v ON o.o_custkey = v.c_custkey
+         |  AND o.o_orderdate >= v.valid_from
+         |  AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+         |GROUP BY segment ORDER BY segment""".stripMargin)
+
+  /** The scd1/scd2 versioned-dimension fixture as SQL CTEs (`ver` = the
+    * Type-2 output relation) — shared so the point-in-time oracle reads the
+    * exact relation the versioning oracle checks.
+    */
+  private def scdVerSql: String =
+    """dim AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |         TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+      |         CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT o_custkey AS c_custkey, 'VIP' AS segment, MAX(o_orderdate) AS eff
+      |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14),
+      |chg AS (
+      |  SELECT d.c_custkey, u.segment AS new_segment, u.eff
+      |  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+      |  WHERE d.valid_to IS NULL AND d.segment IS DISTINCT FROM u.segment),
+      |ver AS (
+      |  SELECT d.c_custkey, d.segment, d.valid_from,
+      |         CASE WHEN d.valid_to IS NULL THEN c.eff ELSE d.valid_to END AS valid_to
+      |  FROM dim d LEFT JOIN chg c ON d.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, new_segment, eff, CAST(NULL AS TIMESTAMP)
+      |  FROM chg)""".stripMargin
 }

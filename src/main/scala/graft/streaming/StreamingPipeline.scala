@@ -297,6 +297,27 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming frequent-item candidates per tumbling window via the
+    * mergeable Misra-Gries aggregate ([[graft.functions.MisraGries]]):
+    * per-window state is the k-entry sketch, not the window's item
+    * multiset — O(k) state per open window at any event volume, same
+    * discipline as [[hourlyTopK]]. Emits (hour_epoch, candidates) when the
+    * watermark closes a window; candidates are a guaranteed SUPERSET of
+    * every item with in-window frequency > n/(k+1) (MG completeness), with
+    * the exact verify pass left to the batch side
+    * ([[graft.operators.Frequency.heavyHitters]]) on windows worth the
+    * second look.
+    */
+  def hourlyFrequentItems(events: DataFrame, k: Int, itemCol: String = "item",
+                          tsCol: String = "ts",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"))
+      .agg(call_function("mg_sketch", col(itemCol).cast("string"), lit(k)).as("sk"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("sk.item").as("candidates"))
+
   /** Streaming top-k per tumbling window via the native bounded-heap
     * aggregate ([[graft.functions.TopKStruct]]): per-window state is the
     * k-element heap buffer, not the window's rows — so streaming top-k

@@ -310,6 +310,35 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((h10, List(2L, 3L)))) // top-2 by value, rank order
   }
 
+  test("streaming frequent items: MG sketch state across micro-batches keeps the heavy item") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = StreamingPipeline.hourlyFrequentItems(
+      mem.toDF().toDF("item", "ts"), k = 3, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("freq")
+      .outputMode("append").start()
+    // hour-10 items split across micro-batches: the sketch must merge
+    // through state-store round-trips; 'hot' is 8/14 > n/(k+1) = 3.5
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(Seq.fill(4)("hot").map(x => (x, t(5))) ++
+      Seq("a", "b", "c").map(x => (x, t(10))): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(4)("hot").map(x => (x, t(20))) ++
+      Seq("d", "e", "f").map(x => (x, t(25))): _*)
+    q.processAllAvailable()
+    mem.addData(("z", Timestamp.valueOf("2024-01-01 15:00:00"))) // close hour 10
+    q.processAllAvailable()
+    val rows = spark.table("freq").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    q.stop()
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(rows.length == 1 && rows(0)._1 == h10, rows.mkString(","))
+    assert(rows(0)._2.contains("hot"), s"candidates: ${rows(0)._2}") // MG completeness
+    assert(rows(0)._2.size <= 3)
+  }
+
   test("stream-stream interval join pairs buys with trailing-window clicks across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
