@@ -138,6 +138,18 @@ object ExtensionQueries {
       Integrity.tableChecksum(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // Z1 z-order (Morton) layout keys ([[graft.operators.ZCurve]]): the
+    // interleave is pure shift/mask arithmetic in one codegen'd expression,
+    // verified bucket-by-bucket against the oracle computing the identical
+    // bit algebra — the write-side key for two-dimensional data skipping.
+    "z1_zorder_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .select((col("user_id") % 64).as("a"), (col("event_id") % 64).as("b"))
+        .withColumn("z", graft.operators.ZCurve.interleave(col("a"), col("b"), 6))
+        .groupBy(expr("z div 64").as("zbucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("zbucket")),
+
     // HH1 heavy hitters over the token stream: one bounded-state
     // Misra-Gries pass (shuffle = k entries/partition, never |vocab| rows)
     // generates ≤k candidates, then an exact verify pass keeps the tokens
@@ -999,6 +1011,19 @@ object ExtensionQueries {
         |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS DECIMAL(38,0)))
         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
+
+    "z1_zorder_key" -> {
+      // the same interleave algebra the Spark expression composes
+      val zExpr = (0 until 6).flatMap(i => Seq(
+        s"(((a >> $i) & 1) << ${2 * i})",
+        s"(((b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH ab AS (
+         |  SELECT user_id % 64 AS a, event_id % 64 AS b FROM events),
+         |zz AS (SELECT ($zExpr) AS z FROM ab)
+         |SELECT z // 64 AS zbucket, COUNT(*) AS n,
+         |       MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM zz GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
 
     "hh1_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)
