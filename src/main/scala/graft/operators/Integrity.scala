@@ -53,4 +53,34 @@ object Integrity {
       sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
         .cast("string").as("checksum"))
   }
+
+  /** Key-level diff of two table versions — [[tableChecksum]] says WHETHER
+    * two snapshots diverged; this says WHERE: one row per key that was
+    * added, removed, or changed between `oldDf` and `newDf`, with both
+    * versions' attribute values side by side (old_ and new_ prefixes).
+    * Unchanged keys
+    * are dropped, so output is proportional to the delta, not the table.
+    *
+    * Shape: ONE full-outer equi-join on the key (AQE broadcasts a small
+    * side) plus a null-safe attr comparison — no windows, no second pass.
+    * At most one row per key per side (snapshot contract; pre-aggregate
+    * versioned tables to their open slice first).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "attrs must be non-empty")
+    val o = oldDf.select((key +: attrs).map(col): _*).alias("o")
+    val n = newDf.select((key +: attrs).map(col): _*).alias("n")
+    val differs = attrs.map(a => !(col(s"o.$a") <=> col(s"n.$a"))).reduce(_ || _)
+    val changeType = when(col(s"o.$key").isNull, "added")
+      .when(col(s"n.$key").isNull, "removed")
+      .when(differs, "changed")
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key) +:
+        col("change_type") +:
+        (attrs.map(a => col(s"o.$a").as(s"old_$a")) ++
+          attrs.map(a => col(s"n.$a").as(s"new_$a"))): _*)
+  }
 }

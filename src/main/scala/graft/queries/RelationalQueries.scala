@@ -632,6 +632,21 @@ object RelationalQueries {
     "scd1_dim_versioning" -> ((s, d) =>
       versionedSegments(s, d).orderBy(col("c_custkey"), col("valid_from"))),
 
+    // Snapshot diff ([[graft.operators.Integrity.snapshotDiff]]): WHERE two
+    // table versions diverge — one full-outer key join, output proportional
+    // to the delta. Versions here: per-customer order rollups before vs
+    // including 1997 (so the diff mixes 'added' and 'changed' keys).
+    "diff1_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def snap(df: DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      val oldV = snap(o.filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")))
+      graft.operators.Integrity.snapshotDiff(oldV, snap(o), "o_custkey",
+          Seq("n_orders", "total_price"))
+        .orderBy("o_custkey")
+    }),
+
     // Point-in-time (as-of) lookup against the Type-2 dimension: each order
     // resolves the segment version VALID AT its order date — key equi-join
     // plus interval predicates, so the plan is a plain hash join (the range
@@ -1104,6 +1119,29 @@ object RelationalQueries {
         |ORDER BY r_name, l_returnflag""".stripMargin,
 
     "ra1_regression_stats" -> regressionSql("lineitem"),
+
+    "diff1_snapshot_diff" ->
+      """WITH oldv AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |newv AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_custkey, n.o_custkey) AS o_custkey,
+        |    CASE WHEN o.o_custkey IS NULL THEN 'added'
+        |         WHEN n.o_custkey IS NULL THEN 'removed'
+        |         WHEN o.n_orders IS DISTINCT FROM n.n_orders
+        |           OR o.total_price IS DISTINCT FROM n.total_price THEN 'changed'
+        |    END AS change_type,
+        |    o.n_orders AS old_n_orders, o.total_price AS old_total_price,
+        |    n.n_orders AS new_n_orders, n.total_price AS new_total_price
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.o_custkey = n.o_custkey) t
+        |WHERE change_type IS NOT NULL
+        |ORDER BY o_custkey""".stripMargin,
 
     // scd1: the full Type-2 apply in ANSI SQL. The first-seen branch of the
     // operator is provably empty here (every o_custkey exists in customer),

@@ -31,6 +31,23 @@ class IntegritySpec extends SparkSpec {
     assert(c.getLong(0) == a.getLong(0) && c.getString(1) != a.getString(1))
   }
 
+  test("snapshotDiff: added/removed/changed classified; unchanged and null-equal keys dropped") {
+    val oldV = Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Option.empty[String], 30),
+      (4L, Some("gone"), 40)).toDF("k", "attr", "v")
+    val newV = Seq((1L, Some("a"), 10),            // unchanged
+      (2L, Some("B"), 20),                         // changed attr
+      (3L, Option.empty[String], 30),              // unchanged (null == null)
+      (5L, Some("fresh"), 50)).toDF("k", "attr", "v") // added; 4 removed
+    val out = Integrity.snapshotDiff(oldV, newV, "k", Seq("attr", "v"))
+      .orderBy("k")
+      .select("k", "change_type", "old_attr", "new_attr")
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (2L, "changed", Some("b"), Some("B")),
+      (4L, "removed", Some("gone"), None),
+      (5L, "added", None, Some("fresh"))), out.mkString("\n"))
+  }
+
   test("null vs empty string hash differently; literal sentinel collides with null (documented)") {
     def sum1(v: Option[String]) =
       Integrity.tableChecksum(Seq((1L, v)).toDF("id", "s"), Seq("id", "s"))
