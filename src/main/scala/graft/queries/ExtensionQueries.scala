@@ -312,6 +312,33 @@ object ExtensionQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // T12 BM25 ranking (Robertson/Spärck Jones, k1=1.2 b=0.75) of documents
+    // against a fixed query-term set: tf/df/doclen/avgdl are all distributed
+    // aggregates, the per-term score is row-local double arithmetic with the
+    // IDENTICAL expression text as the oracle (t6's log discipline), and the
+    // final top-20 has a total order. Corpus scalars (N, avgdl) broadcast.
+    "t12_bm25" -> ((s, d) => {
+      val qTerms = Seq("join", "filter", "stream")
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .localCheckpoint() // feeds tf AND doclen; one tokenize pass
+      val tf = toks.filter(col("word").isin(qTerms: _*))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val ad = dl.agg(avg(col("dl")).as("avgdl")) // exact long sum / count
+      tf.join(dl, "doc_id").join(broadcast(dfreq), "word")
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(ad))
+        .withColumn("s",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }),
+
     // A5b approximate percentiles (Greenwald-Khanna sketch) — the mergeable
     // single-shuffle scale path next to a5's exact sort-based percentiles.
     // No oracle: the approximation is engine-specific (rows-only check).
@@ -1248,6 +1275,22 @@ object ExtensionQueries {
          |      ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, word) AS rn
          |  FROM tf JOIN dfreq USING (word) CROSS JOIN nd) t
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "t12_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+         |       WHERE word IN ('join', 'filter', 'stream') GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |ad AS (SELECT AVG(dl) AS avgdl FROM dl)
+         |SELECT doc_id,
+         |  ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (word)
+         |CROSS JOIN nd CROSS JOIN ad
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, lang AS blk, $toksSql AS toks FROM documents),

@@ -28,6 +28,9 @@ class PlanQualitySpec extends SparkSpec {
     *    centroid-assignment crosses (16 broadcast centroids).
     *  - t9_bigram_lm: one-row vocabulary-size aggregate (same shape as
     *    t6_tfidf's corpus-size scalar).
+    *  - t12_bm25: TWO one-row corpus scalars (doc count N and average
+    *    document length) crossed into the per-term score — both bounded by
+    *    construction, same shape as t6's.
     */
   private val boundedBroadcastBnl: Map[String, Int] = Map(
     "t6_tfidf" -> 1,
@@ -35,7 +38,8 @@ class PlanQualitySpec extends SparkSpec {
     "e2d_ann_ivf" -> 2,
     "e2e_ann_recall" -> 1,
     "e2f_ivf_recall" -> 3,
-    "t9_bigram_lm" -> 1)
+    "t9_bigram_lm" -> 1,
+    "t12_bm25" -> 2)
 
   private def countBnl(plan: String): Int =
     "BroadcastNestedLoop".r.findAllMatchIn(plan).size
