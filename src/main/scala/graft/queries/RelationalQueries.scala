@@ -456,6 +456,22 @@ object RelationalQueries {
           max(col("o_totalprice")).as("hi"))
         .orderBy("bucket")),
 
+    // H2 equi-depth (equal-frequency) histogram over a high-cardinality
+    // column via [[ScalableWindow.ntile]] on a CONSTANT partition key — the
+    // single-group global sort is exactly the one-task shape the sliced
+    // rewrite exists to kill (parallelism = slices, never 1), and h1's
+    // equal-width twin shows the two binning policies side by side.
+    "h2_equidepth_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("all").as("g"))
+      ScalableWindow.ntile(o, "g", "o_totalprice", "o_orderkey", k = 10, as = "bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket")
+    }),
+
     // Moment-based statistics (stddev, correlation) from EXACT decimal
     // power sums — the mergeable formulation: partial aggregation combines
     // by addition, so the result is order-insensitive under any partitioning
@@ -1031,6 +1047,14 @@ object RelationalQueries {
       """SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "h2_equidepth_histogram" ->
+      """SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |      FROM orders) t
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "a6_moment_stats" ->
       """WITH m AS (

@@ -297,6 +297,24 @@ object StreamingPipeline {
     }
   }
 
+  /** Sliding-window aggregate (the tumbling [[hourlyWindow]]'s overlapping
+    * twin): each event contributes to size/slide overlapping windows, state
+    * is one aggregate row per OPEN window (bounded by watermark ÷ slide),
+    * and windows finalize exactly once when the watermark passes their end.
+    * Decimal sum keeps the emitted totals order-insensitive, same
+    * discipline as the batch side.
+    */
+  def slidingWindow(events: DataFrame, size: String = "1 hour",
+                    slide: String = "15 minutes", tsCol: String = "ts",
+                    valueCol: String = "value",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_epoch"), col("n"), col("sum_value"))
+
   /** Streaming frequent-item candidates per tumbling window via the
     * mergeable Misra-Gries aggregate ([[graft.functions.MisraGries]]):
     * per-window state is the k-entry sketch, not the window's item

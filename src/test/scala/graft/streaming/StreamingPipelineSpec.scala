@@ -310,6 +310,32 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((h10, List(2L, 3L)))) // top-2 by value, rank order
   }
 
+  test("sliding windows: each event lands in every overlapping window, finalized once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val out = StreamingPipeline.slidingWindow(
+      mem.toDF().toDF("ts", "value"), size = "1 hour", slide = "30 minutes",
+      watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),  // [9:30,10:30) + [10:00,11:00)
+      (Timestamp.valueOf("2024-01-01 10:50:00"), 2.0))  // [10:00,11:00) + [10:30,11:30)
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 0.0)) // close them all
+    q.processAllAvailable()
+    def ep(s: String) = Timestamp.valueOf(s).getTime / 1000
+    val rows = spark.table("slide").orderBy("window_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    assert(rows == Seq(
+      (ep("2024-01-01 09:30:00"), 1L, 1.0),
+      (ep("2024-01-01 10:00:00"), 2L, 3.0),
+      (ep("2024-01-01 10:30:00"), 1L, 2.0)), rows.mkString("\n"))
+  }
+
   test("streaming frequent items: MG sketch state across micro-batches keeps the heavy item") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
