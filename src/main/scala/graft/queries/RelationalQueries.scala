@@ -648,6 +648,24 @@ object RelationalQueries {
     "scd1_dim_versioning" -> ((s, d) =>
       versionedSegments(s, d).orderBy(col("c_custkey"), col("valid_from"))),
 
+    // CDC apply ([[graft.operators.Cdc.applyLog]]): the events stream read
+    // as a change log over the customer snapshot — 'error' events tombstone
+    // the key, anything else upserts the segment; last writer (ts, then
+    // event_id) wins. The log collapses through the k=1 bounded-heap
+    // aggregate (shuffle ≤ 1 row per key, never a full-log sort).
+    "cdc1_apply_log" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      val log = Tables.events(s, d).select(
+        col("user_id").as("k"),
+        when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+        col("event_type").as("segment"),
+        col("ts"), col("event_id"))
+      graft.operators.Cdc.applyLog(base, log, "k", Seq("segment"),
+          "op", "ts", "event_id")
+        .orderBy("k")
+    }),
+
     // Snapshot diff ([[graft.operators.Integrity.snapshotDiff]]): WHERE two
     // table versions diverge — one full-outer key join, output proportional
     // to the delta. Versions here: per-customer order rollups before vs
@@ -1143,6 +1161,25 @@ object RelationalQueries {
         |ORDER BY r_name, l_returnflag""".stripMargin,
 
     "ra1_regression_stats" -> regressionSql("lineitem"),
+
+    "cdc1_apply_log" ->
+      """WITH log AS (
+        |  SELECT user_id AS k,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |    event_type AS segment, ts, event_id
+        |  FROM events),
+        |latest AS (
+        |  SELECT k, op, segment FROM (
+        |    SELECT k, op, segment,
+        |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1),
+        |base AS (SELECT c_custkey AS k, c_mktsegment AS segment FROM customer)
+        |SELECT COALESCE(b.k, l.k) AS k,
+        |  CASE WHEN l.k IS NOT NULL THEN l.segment ELSE b.segment END AS segment
+        |FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY k""".stripMargin,
 
     "diff1_snapshot_diff" ->
       """WITH oldv AS (
