@@ -138,6 +138,27 @@ object ExtensionQueries {
       Integrity.tableChecksum(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // C2 end-to-end training-set assembly: exact dedup -> deterministic
+    // train/val split -> fixed-context sequence packing, each stage the
+    // already-oracle-checked operator (e1b keeper, sp1 ladder, pk1 cumsum) —
+    // the composition is what a real pretraining data pipeline runs, and
+    // every stage stays a hash-group / pure-function / sharded-window shape.
+    "c2_training_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = graft.operators.Dedup.exactByFingerprint(docs, "text", "doc_id")
+        .select("doc_id")
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val split = graft.operators.Splits.hashSplit(deduped, "doc_id", "c2",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      graft.operators.Splits
+        .packSequences(split, "split", "doc_id", col("n_toks"), ctxLen = 512,
+          shardSize = 1024)
+        .groupBy(col("split"), col("_shard").as("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tokens")).as("seq_tokens"))
+        .orderBy("split", "shard", "seq_id")
+    }),
+
     // Z1 z-order (Morton) layout keys ([[graft.operators.ZCurve]]): the
     // interleave is pure shift/mask arithmetic in one codegen'd expression,
     // verified bucket-by-bucket against the oracle computing the identical
@@ -1038,6 +1059,27 @@ object ExtensionQueries {
         |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS DECIMAL(38,0)))
         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
+
+    "c2_training_assembly" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents JOIN keep USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, n_toks,
+         |    CASE WHEN substring(md5('c2:' || doc_id), 1, 8) < 'e6666666' THEN 'train'
+         |         ELSE 'val' END AS split
+         |  FROM d),
+         |c AS (
+         |  SELECT split, doc_id // 1024 AS shard, doc_id, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY split, doc_id // 1024 ORDER BY doc_id) AS cum
+         |  FROM s)
+         |SELECT split, shard, CAST(FLOOR((cum - n_toks) / 512.0) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY split, shard, seq_id
+         |ORDER BY split, shard, seq_id""".stripMargin,
 
     "z1_zorder_key" -> {
       // the same interleave algebra the Spark expression composes
