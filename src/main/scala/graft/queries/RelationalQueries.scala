@@ -472,6 +472,47 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    // O1 3-sigma outlier screen (data-quality gate): per-group mean/stddev
+    // from EXACT decimal power sums (a6 discipline — order-insensitive,
+    // engine-identical), broadcast back over the fact scan to count rows
+    // outside mean ± 3σ. Two passes, both map-side-combined; the stats side
+    // is |groups| rows.
+    "o1_outliers" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val stats = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sx"),
+          sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+            .cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1))))
+      l.join(broadcast(stats), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") > col("mean") + lit(3.0) * col("sd"), 1L)
+            .when(col("l_extendedprice") < col("mean") - lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
+    // F1 funnel analysis: users progressing view -> click -> purchase in
+    // timestamp order (first-touch mins per stage, strict ordering) — ONE
+    // conditional aggregate over the events scan, one tiny rollup. The
+    // standard product-analytics shape, shuffle = |users| rows.
+    "f1_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      perUser.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+    }),
+
     // Moment-based statistics (stddev, correlation) from EXACT decimal
     // power sums — the mergeable formulation: partial aggregation combines
     // by addition, so the result is order-insensitive under any partitioning
@@ -1073,6 +1114,36 @@ object RelationalQueries {
         |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "o1_outliers" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |s2 AS (
+        |  SELECT l_returnflag, sx / n AS mean,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |  FROM stats)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > s2.mean + 3.0 * s2.sd THEN 1
+        |                WHEN l.l_extendedprice < s2.mean - 3.0 * s2.sd THEN 1
+        |                ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN s2 USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "f1_funnel" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM pu""".stripMargin,
 
     "a6_moment_stats" ->
       """WITH m AS (
