@@ -297,6 +297,77 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous CDC materialization: apply each micro-batch of changes to a
+    * persisted keyed state table via [[graft.operators.Cdc.applyLog]] —
+    * the streaming form of Delta/Hudi-style upsert materialization, with
+    * the state on plain versioned parquet instead of executor state-store
+    * rows (unbounded key spaces stay off-heap, restarts re-read parquet).
+    *
+    * Replay protocol (same at-least-once discipline as [[dedupGateBatch]]):
+    * the batch reads the newest version STRICTLY OLDER than its own batchId
+    * (never the pointer — a crashed attempt of THIS batch may already have
+    * written/pointed its version), rewrites `stateDir/v=<batchId>` whole,
+    * then swaps the `_CURRENT` pointer for external readers. Every step is
+    * an overwrite keyed by batchId, so replays converge on identical state.
+    */
+  def cdcApplyStream(changes: DataFrame, stateDir: String, checkpointDir: String,
+                     key: String, attrs: Seq[String], opCol: String = "op",
+                     tsCol: String = "ts", tieCol: String = "seq"): StreamingQuery =
+    changes.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcApplyBatch(batch, batchId, stateDir, key, attrs, opCol, tsCol, tieCol)
+      }
+      .start()
+
+  /** One idempotent CDC micro-batch (see [[cdcApplyStream]]). */
+  def cdcApplyBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                    key: String, attrs: Seq[String], opCol: String = "op",
+                    tsCol: String = "ts", tieCol: String = "seq"): Unit = {
+    import graft.operators.Cdc
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+        .filter(_ < batchId)
+    val base = prior.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+      case None => batch.select((key +: attrs).map(col): _*).limit(0)
+    }
+    val next = Cdc.applyLog(base, batch, key, attrs, opCol, tsCol, tieCol)
+    next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // pointer swap for external readers (same temp+rename discipline as the
+    // batch pipeline's versioned visitantes); replays rewrite it identically
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v=$batchId".getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+    // retain two prior versions for readers mid-swap; GC the rest
+    prior.sorted.dropRight(2).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
+    }
+  }
+
+  /** Read the CDC state table an external reader would see (pointer). */
+  def cdcCurrentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      val v = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine().trim
+      finally in.close()
+      Some(spark.read.parquet(s"$stateDir/$v"))
+    }
+  }
+
   /** Sliding-window aggregate (the tumbling [[hourlyWindow]]'s overlapping
     * twin): each event contributes to size/slide overlapping windows, state
     * is one aggregate row per OPEN window (bounded by watermark ÷ slide),

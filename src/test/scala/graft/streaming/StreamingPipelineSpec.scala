@@ -310,6 +310,58 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((h10, List(2L, 3L)))) // top-2 by value, rank order
   }
 
+  test("streaming CDC: state accumulates across batches; replay of a committed batch converges") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("cdc_state").toString
+    def state() = StreamingPipeline.cdcCurrentState(spark, stateDir).get
+      .orderBy("k").as[(Long, String)].collect().toSeq
+
+    // batch 0: two inserts
+    StreamingPipeline.cdcApplyBatch(
+      Seq((1L, "upsert", "a", Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (2L, "upsert", "b", Timestamp.valueOf("2024-01-01 10:00:00"), 2L))
+        .toDF("k", "op", "v", "ts", "seq"),
+      0L, stateDir, "k", Seq("v"))
+    assert(state() == Seq((1L, "a"), (2L, "b")), state())
+
+    // batch 1: update 1, delete 2, insert 3
+    val b1 = Seq((1L, "upsert", "a2", Timestamp.valueOf("2024-01-01 11:00:00"), 3L),
+      (2L, "delete", "x", Timestamp.valueOf("2024-01-01 11:00:00"), 4L),
+      (3L, "upsert", "c", Timestamp.valueOf("2024-01-01 11:00:00"), 5L))
+      .toDF("k", "op", "v", "ts", "seq")
+    StreamingPipeline.cdcApplyBatch(b1, 1L, stateDir, "k", Seq("v"))
+    assert(state() == Seq((1L, "a2"), (3L, "c")), state())
+
+    // at-least-once replay of the COMMITTED batch 1 (pointer already at
+    // v=1): must rebuild from v=0, not double-apply on top of v=1
+    StreamingPipeline.cdcApplyBatch(b1, 1L, stateDir, "k", Seq("v"))
+    assert(state() == Seq((1L, "a2"), (3L, "c")), s"after replay: ${state()}")
+
+    // batch 2 continues from the converged state
+    StreamingPipeline.cdcApplyBatch(
+      Seq((3L, "delete", "x", Timestamp.valueOf("2024-01-01 12:00:00"), 6L))
+        .toDF("k", "op", "v", "ts", "seq"),
+      2L, stateDir, "k", Seq("v"))
+    assert(state() == Seq((1L, "a2")), state())
+  }
+
+  test("streaming CDC end-to-end: memory-stream changes drain into the state table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("cdcs_state").toString
+    val ck = Files.createTempDirectory("cdcs_ck").toString
+    val mem = MemoryStream[(Long, String, String, Timestamp, Long)]
+    mem.addData((1L, "upsert", "a", Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, "upsert", "b", Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      (1L, "delete", "x", Timestamp.valueOf("2024-01-01 11:00:00"), 3L))
+    val q = StreamingPipeline.cdcApplyStream(
+      mem.toDF().toDF("k", "op", "v", "ts", "seq"), stateDir, ck, "k", Seq("v"))
+    q.awaitTermination(120000)
+    val got = StreamingPipeline.cdcCurrentState(spark, stateDir).get
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "b")), got) // 1 tombstoned by its later change
+  }
+
   test("sliding windows: each event lands in every overlapping window, finalized once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
