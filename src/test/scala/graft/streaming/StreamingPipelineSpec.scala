@@ -187,6 +187,18 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
       Seq((20L, fresh1), (21L, "brand new prose about watermark state expiry"))
         .toDF("doc_id", "text"), 1L, idxDir, out)
     assert(emitted() == Set(10L, 12L, 21L), s"after batch 1: ${emitted()}")
+
+    // index REBUILD clears the committed markers: a fresh stream restarting
+    // at batch 0 must append to the new index, not skip on a stale marker
+    Dedup.buildDedupIndex(Seq((1L, canonical)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    val out2 = Files.createTempDirectory("rp_out2").toString
+    StreamingPipeline.dedupGateBatch(
+      Seq((30L, fresh1)).toDF("doc_id", "text"), 0L, idxDir, out2)
+    StreamingPipeline.dedupGateBatch(
+      Seq((31L, fresh1)).toDF("doc_id", "text"), 1L, idxDir, out2)
+    val emitted2 = spark.read.parquet(out2).select("doc_id").as[Long].collect().toSet
+    assert(emitted2 == Set(30L), s"rebuilt-index gate: $emitted2") // 31 caught by 30's append
   }
 
   test("watermarked hourly window emits finalized buckets in append mode") {
