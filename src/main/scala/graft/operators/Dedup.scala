@@ -288,6 +288,48 @@ object Dedup {
       .join(exactDrop, Seq(idCol), "left_anti")
   }
 
+  /** Compact the persisted dedup index in place: appends accumulate one
+    * parquet file set per admitted batch, and the streaming gate's crash
+    * window (append-then-marker) tolerates — but stores — duplicate rows.
+    * Compaction rewrites each sub-index exactly DISTINCT into few files,
+    * using the same rename-aside swap + entry-time crash recovery as
+    * [[PostProcess.compactParquet]] (the index stays readable at every
+    * crash point). Single-writer: serialize against gate batches.
+    * Returns (rows before, rows after) per sub-index.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, numFiles: Int = 4): Map[String, (Long, Long)] = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    def deleteTree(p: Path): Unit = {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    Seq("sets", "bands", "fps").map { sub =>
+      val d = Paths.get(dir, sub)
+      val tmp = d.resolveSibling(s"$sub.compact.tmp")
+      val old = d.resolveSibling(s"$sub.compact.old")
+      // entry-time recovery, same ladder as PostProcess.compactParquet
+      if (!Files.exists(d)) {
+        if (Files.exists(tmp)) Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+        else if (Files.exists(old)) Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+      }
+      if (Files.exists(old)) deleteTree(old)
+      if (Files.exists(tmp)) deleteTree(tmp)
+      val cur = spark.read.parquet(d.toString)
+      val before = cur.count()
+      val distinctRows = cur.dropDuplicates().coalesce(numFiles)
+      distinctRows.write.mode("overwrite").parquet(tmp.toString)
+      val after = spark.read.parquet(tmp.toString).count()
+      Files.move(d, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+      deleteTree(old)
+      sub -> (before, after)
+    }.toMap
+  }
+
   /** Admit accepted docs into the index (parquet appends — linear in the
     * accepted batch). Single-writer, like every sink in this engine.
     */

@@ -145,6 +145,29 @@ class DedupSpec extends SparkSpec {
     assert(oneShot == indexed && indexed == Set(4L, 5L), s"oneShot=$oneShot indexed=$indexed")
   }
 
+  test("compactDedupIndex: duplicate appends collapse to distinct rows, gate unchanged") {
+    val corpus = docs.filter($"doc_id" <= 2)
+    val dir = java.nio.file.Files.createTempDirectory("idx_cp").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val admitted = Seq((40L, "totally novel sentence about columnar shuffles and page indexes"))
+      .toDF("doc_id", "text")
+    // simulate the crash window: the same batch appended twice
+    Dedup.appendToDedupIndex(admitted, "doc_id", "text", dir)
+    Dedup.appendToDedupIndex(admitted, "doc_id", "text", dir)
+    val report = Dedup.compactDedupIndex(spark, dir)
+    report.foreach { case (sub, (before, after)) =>
+      assert(after < before, s"$sub: $before -> $after (no shrink)")
+    }
+    // the compacted index still gates: dup of the admitted doc dropped, fresh kept
+    val survivors = Dedup.incrementalSurvivorsIndexed(dir,
+      Seq((50L, "totally novel sentence about columnar shuffles and page indexes"),
+        (51L, "and now for something completely different entirely"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(51L), survivors)
+  }
+
   test("minhash signatures: deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
