@@ -472,6 +472,41 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    // TPC-H Q4 shape: order-priority check — EXISTS over the fact table
+    // plans as ONE semi-join on l_orderkey (no per-row subquery), then a
+    // small aggregate.
+    "q4_priority_check" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("o_q4")
+      Tables.lineitem(s, d).createOrReplaceTempView("l_q4")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM o_q4
+          |WHERE EXISTS (SELECT 1 FROM l_q4
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // R3 cohort retention (product analytics): users bucketed by first-seen
+    // week, counted in each later active week — two map-side-combined
+    // aggregates plus one key join, shuffle = |users| + |user-weeks|. The
+    // week arithmetic is exact integer epoch math (both week-truncations
+    // are multiples of 604800 s apart, and `div` truncates identically on
+    // both engines).
+    "r3_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val first = e.groupBy(col("user_id"))
+        .agg(unix_timestamp(date_trunc("week", min(col("ts")))).as("cohort_epoch"))
+      val active = e
+        .select(col("user_id"), unix_timestamp(date_trunc("week", col("ts"))).as("wk_epoch"))
+        .distinct()
+      active.join(first, "user_id")
+        .withColumn("week_no", expr("(wk_epoch - cohort_epoch) div 604800"))
+        .groupBy("cohort_epoch", "week_no")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_epoch", "week_no")
+    }),
+
     // O1 3-sigma outlier screen (data-quality gate): per-group mean/stddev
     // from EXACT decimal power sums (a6 discipline — order-insensitive,
     // engine-identical), broadcast back over the fact scan to count rows
@@ -1114,6 +1149,28 @@ object RelationalQueries {
         |        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "r3_cohort_retention" ->
+      """WITH first AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_epoch
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk_epoch
+        |  FROM events)
+        |SELECT cohort_epoch, (wk_epoch - cohort_epoch) // 604800 AS week_no,
+        |  COUNT(*) AS n_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "o1_outliers" ->
       """WITH stats AS (
