@@ -90,6 +90,20 @@ object ScalableWindow {
       .drop("_slice", "_rn", "_off")
   }
 
+  /** Exact `PERCENT_RANK() OVER (PARTITION BY part ORDER BY value, tie)` on
+    * the sliced [[rowNumber]] machinery: (pos−1)/(n−1), 0 for a 1-row
+    * group (SQL convention). The (value, tie) total-order contract makes
+    * RANK equal ROW_NUMBER, so this matches the built-in exactly while the
+    * sort parallelism stays |part|·slices.
+    */
+  def percentRank(df: DataFrame, part: String, value: String, tie: String,
+                  as: String = "percent_rank", slices: Int = 64): DataFrame =
+    rowNumber(df, part, value, tie, as = "_pos", slices = slices)
+      .withColumn(as,
+        when(col("_n") === 1L, lit(0.0))
+          .otherwise((col("_pos") - lit(1L)).cast("double") / (col("_n") - lit(1L)).cast("double")))
+      .drop("_pos", "_n")
+
   /** Exact `NTILE(k) OVER (PARTITION BY part ORDER BY value, tie)` without a
     * single-task sort per `part` value: [[rowNumber]] positions plus the
     * SQL-standard bucket arithmetic. Returns the input rows plus an integer

@@ -34,6 +34,22 @@ object ZCurve {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** N-dimensional Morton interleave: dimension j's bit i lands at result
+    * bit i·n + j (round-robin placement, the 2-D [[interleave]] generalized).
+    * n·bits ≤ 62 keeps the key in a positive long. Same use: sort/range-
+    * partition by the one key, stay clustered in every dimension.
+    */
+  def interleaveN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be in [2, 62], got ${n * bits}")
+    val terms: Seq[Column] = for {
+      i <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Inverse of [[interleave]]: extract dimension `dim` (0 = even bits,
     * 1 = odd bits). Used by tests to prove the roundtrip; production reads
     * never need it (the original columns are still there).

@@ -548,6 +548,19 @@ object RelationalQueries {
           .otherwise(0L)).as("n_full_funnel"))
     }),
 
+    // PR1 top-half-percent screen via the scalable PERCENT_RANK (same
+    // constant-key regime as h2 — global order statistics at parallelism =
+    // slices). Filter on the unrounded rank: (pos-1)/(n-1) is the identical
+    // integer-derived double on both engines.
+    "pr1_percent_rank" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("all").as("g"))
+      ScalableWindow.percentRank(o, "g", "o_totalprice", "o_orderkey", as = "pr")
+        .filter(col("pr") >= 0.995)
+        .select(col("o_orderkey"), col("o_totalprice"), round(col("pr"), 6).as("pr"))
+        .orderBy("o_orderkey")
+    }),
+
     // Moment-based statistics (stddev, correlation) from EXACT decimal
     // power sums — the mergeable formulation: partial aggregation combines
     // by addition, so the result is order-insensitive under any partitioning
@@ -1171,6 +1184,14 @@ object RelationalQueries {
         |  COUNT(*) AS n_users
         |FROM act JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pr1_percent_rank" ->
+      """SELECT o_orderkey, o_totalprice, ROUND(pr, 6) AS pr FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+        |  FROM orders) t
+        |WHERE pr >= 0.995
+        |ORDER BY o_orderkey""".stripMargin,
 
     "o1_outliers" ->
       """WITH stats AS (

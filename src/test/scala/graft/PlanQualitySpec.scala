@@ -31,10 +31,11 @@ class PlanQualitySpec extends SparkSpec {
     *  - t12_bm25: TWO one-row corpus scalars (doc count N and average
     *    document length) crossed into the per-term score — both bounded by
     *    construction, same shape as t6's.
-    *  - h2_equidepth_histogram: ScalableWindow over a CONSTANT partition
-    *    key — Catalyst folds the key, so the two broadcast joins (the
-    *    1-row boundary table and the |slices|-row offset table, both
-    *    bounded by construction) lose their equi-keys and plan as BNL.
+    *  - h2_equidepth_histogram / pr1_percent_rank: ScalableWindow over a
+    *    CONSTANT partition key — Catalyst folds the key, so the two
+    *    broadcast joins (the 1-row boundary table and the |slices|-row
+    *    offset table, both bounded by construction) lose their equi-keys
+    *    and plan as BNL.
     */
   private val boundedBroadcastBnl: Map[String, Int] = Map(
     "t6_tfidf" -> 1,
@@ -44,7 +45,8 @@ class PlanQualitySpec extends SparkSpec {
     "e2f_ivf_recall" -> 3,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
-    "h2_equidepth_histogram" -> 2)
+    "h2_equidepth_histogram" -> 2,
+    "pr1_percent_rank" -> 2)
 
   private def countBnl(plan: String): Int =
     "BroadcastNestedLoop".r.findAllMatchIn(plan).size

@@ -95,6 +95,18 @@ class ScalableWindowSpec extends SparkSpec {
     assert(joined.count() == rows.size)
   }
 
+  test("percentRank matches built-in percent_rank, including the 1-row group") {
+    val rows = (for { p <- Seq("a", "b"); i <- 1 to 40 } yield (p, (i % 7).toDouble, i.toLong)) :+
+      (("solo", 1.0, 99L))
+    val df = rows.toDF("p", "v", "t")
+    val ref = df.withColumn("ref",
+      percent_rank().over(Window.partitionBy(col("p")).orderBy(col("v"), col("t"))))
+    val got = ScalableWindow.percentRank(df, "p", "v", "t", as = "got", slices = 4)
+    val joined = ref.join(got, Seq("p", "v", "t"))
+    assert(joined.filter(col("ref") =!= col("got")).isEmpty)
+    assert(joined.count() == rows.size)
+  }
+
   test("matches built-in ntile on the events table at sf0.001") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type").as("p"), col("value").as("v"), col("event_id").as("t"))

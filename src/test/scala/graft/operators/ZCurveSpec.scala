@@ -26,6 +26,18 @@ class ZCurveSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("interleaveN: 2-D case equals interleave; 3-D is bijective on the grid") {
+    val two = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZCurve.interleaveN(Seq(col("a"), col("b")), 3) ===
+        ZCurve.interleave(col("a"), col("b"), 3)).as[Boolean].head()
+    assert(two)
+    val grid3 = (for { a <- 0 until 8; b <- 0 until 8; c <- 0 until 8 }
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+      .withColumn("z", ZCurve.interleaveN(Seq(col("a"), col("b"), col("c")), 3))
+    assert(grid3.select("z").distinct().count() == 512)
+    assert(grid3.agg(max(col("z"))).as[Long].head() == 511) // keys dense in [0, 2^9)
+  }
+
   test("z-sorted chunks are tight on BOTH dimensions; single-key sort is not") {
     val pts = for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong)
     def chunkSpread(sorted: Seq[(Long, Long)]): (Long, Long) = {
