@@ -63,6 +63,35 @@ object Splits {
       .drop("_copies")
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis-Spirakis
+    * A-ES): each row draws a uniform u from the portable 64-bit hash
+    * ([[Integrity.md5Lower64]], so the SAME u on any engine) and takes
+    * priority u^(1/w); the k largest priorities are the sample. Inclusion
+    * probability is proportional to weight, and the draw is a pure function
+    * of (salt, id, weight) — reproducible across engines, reruns, and
+    * partitionings, unlike rand()-keyed sampling.
+    *
+    * Scale shape: ONE global [[graft.functions.TopKStruct]] bounded-heap
+    * aggregate — shuffle ≤ k entries per partition, never a full sort.
+    * Returns (rank, id, priority) with priority rounded to 6 digits for
+    * display; selection uses the unrounded key.
+    */
+  def weightedSample(df: DataFrame, idCol: String, salt: String,
+                     weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // (h+1)/2^64 ∈ (0,1]; 2^64 is a power of two, exactly representable
+    val u = (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      .cast("double") + lit(1.0)) / lit(18446744073709551616.0)
+    val key = pow(u, lit(1.0) / weightCol.cast("double"))
+    df.agg(call_function("topk_struct",
+        struct(key.as("k"), col(idCol).as("id")),
+        struct(col(idCol).as("id"), round(key, 6).as("priority")),
+        lit(k)).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "s")))
+      .select((col("rank0") + 1).cast("long").as("rank"),
+        col("s.id").as(idCol), col("s.priority").as("priority"))
+  }
+
   /** Fixed-context sequence packing (streaming concat-and-cut): within each
     * (group, shard) stream, documents are laid out in id order and cut into
     * `ctxLen`-token windows; a document belongs to the window its FIRST

@@ -138,6 +138,14 @@ object ExtensionQueries {
       Integrity.tableChecksum(Tables.documents(s, d),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // WS1 deterministic weighted sample (A-ES priorities on the portable
+    // hash, collapsed through the bounded-heap aggregate — shuffle ≤ k
+    // entries/partition). Longer documents proportionally likelier; the
+    // identical arithmetic reproduces in the oracle via md5_number_lower.
+    "ws1_weighted_sample" -> ((s, d) =>
+      graft.operators.Splits.weightedSample(
+        Tables.documents(s, d), "doc_id", "ws1", col("n_chars"), k = 20)),
+
     // C2 end-to-end training-set assembly: exact dedup -> deterministic
     // train/val split -> fixed-context sequence packing, each stage the
     // already-oracle-checked operator (e1b keeper, sp1 ladder, pk1 cumsum) —
@@ -1059,6 +1067,20 @@ object ExtensionQueries {
         |    coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS DECIMAL(38,0)))
         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
         |FROM documents""".stripMargin,
+
+    "ws1_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    POW((CAST(md5_number_lower('ws1:' || CAST(doc_id AS VARCHAR)) AS DOUBLE) + 1.0)
+        |          / 18446744073709551616.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS k
+        |  FROM documents)
+        |SELECT rank, doc_id, priority FROM (
+        |  SELECT doc_id, ROUND(k, 6) AS priority,
+        |    ROW_NUMBER() OVER (ORDER BY k DESC, doc_id DESC) AS rank
+        |  FROM s) t
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
 
     "c2_training_assembly" ->
       s"""WITH keep AS (

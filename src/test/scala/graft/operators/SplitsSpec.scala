@@ -58,6 +58,26 @@ class SplitsSpec extends SparkSpec {
     assert(Splits.upsample(ids, "id", "u1", lit(-2.5)).count() == 0L)
   }
 
+  test("weightedSample: weight-biased, deterministic, partitioning-invariant") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 100) 1000 else 1))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("id", "w")
+    val got = Splits.weightedSample(df, "id", "s1", col("w"), k = 50)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq
+    assert(got.size == 50 && got.map(_._1) == (1L to 50L))
+    // 100 heavy ids (x1000 weight) should dominate the sample
+    assert(got.count(_._2 <= 100L) > 40, s"heavy ids in sample: ${got.count(_._2 <= 100L)}")
+    // identical under a different partitioning and input order
+    val again = Splits.weightedSample(
+      spark.sparkContext.parallelize(rows.reverse, 3).toDF("id", "w"),
+      "id", "s1", col("w"), k = 50)
+      .select("rank", "id").as[(Long, Long)].collect().toSeq
+    assert(got == again)
+    // re-salting re-rolls the selection
+    val other = Splits.weightedSample(df, "id", "s2", col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(other != got.map(_._2).toSet)
+  }
+
   test("packSequences: concat-and-cut window assignment matches hand computation") {
     // one group, one shard; tokens 300,300,300,300 at ctx 512:
     // starts at 0,300,600,900 -> seq_ids 0,0,1,1
