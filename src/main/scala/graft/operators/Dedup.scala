@@ -299,33 +299,36 @@ object Dedup {
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         dir: String, numFiles: Int = 4): Map[String, (Long, Long)] = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    def deleteTree(p: Path): Unit = {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
-    }
+    // Hadoop FileSystem API (not java.nio) so an index on HDFS/S3A works for
+    // compaction the same way it does for build/gate/append. Every rename
+    // here targets a non-existent destination (the ladder deletes first), so
+    // checked FileSystem.rename is sufficient — no overwrite semantics needed.
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compactDedupIndex: rename $src -> $dst failed")
     Seq("sets", "bands", "fps").map { sub =>
-      val d = Paths.get(dir, sub)
-      val tmp = d.resolveSibling(s"$sub.compact.tmp")
-      val old = d.resolveSibling(s"$sub.compact.old")
+      val d = new Path(base, sub)
+      val tmp = new Path(base, s"$sub.compact.tmp")
+      val old = new Path(base, s"$sub.compact.old")
       // entry-time recovery, same ladder as PostProcess.compactParquet
-      if (!Files.exists(d)) {
-        if (Files.exists(tmp)) Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-        else if (Files.exists(old)) Files.move(old, d, StandardCopyOption.ATOMIC_MOVE)
+      if (!fs.exists(d)) {
+        if (fs.exists(tmp)) mv(tmp, d)
+        else if (fs.exists(old)) mv(old, d)
       }
-      if (Files.exists(old)) deleteTree(old)
-      if (Files.exists(tmp)) deleteTree(tmp)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       val cur = spark.read.parquet(d.toString)
       val before = cur.count()
       val distinctRows = cur.dropDuplicates().coalesce(numFiles)
       distinctRows.write.mode("overwrite").parquet(tmp.toString)
       val after = spark.read.parquet(tmp.toString).count()
-      Files.move(d, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-      deleteTree(old)
+      mv(d, old)
+      mv(tmp, d)
+      fs.delete(old, true)
       sub -> (before, after)
     }.toMap
   }
@@ -430,6 +433,44 @@ object Dedup {
     // tiny frame (one row per doc) consumed by both self-join sides
     val sigs = simhash64(df, idCol, textCol).localCheckpoint()
     simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 64)
+  }
+
+  /** Portable SimHash signatures — the simhash family's correctness witness
+    * (the [[minhashLshPortable]] discipline): bit j of the per-token hash is
+    * bit (j mod 4) of hex digit (j div 4) of `md5(token)`, pure hex-string
+    * arithmetic an ANSI engine reproduces digit for digit, and the 32-bit
+    * signature packs into [0, 2^32) so the oracle's plain BIGINT sums agree
+    * exactly. The SCALE path stays [[simhash64]] (xxhash64 longs, 2^16 band
+    * keys); this twin exists so banding + xor/popcount verification are
+    * oracle-checked end to end. Tokenless docs are dropped (inner explode,
+    * matching SQL `unnest`) — they can contribute no meaningful signature.
+    */
+  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 32
+    val tok = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val bitSums: Seq[org.apache.spark.sql.Column] = (0 until bits).map { j =>
+      val nibble = conv(substring(col("hx"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nibble, j % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"bit_$j")
+    }
+    val voted = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"bit_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    voted.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs over the portable 32-bit signatures ([[simhashPortableSigs]]):
+    * the same pigeonhole banding + Hamming verify as the 64-bit scale path,
+    * 8-bit bands at the default maxDist=3. Witness only — 256 band keys is
+    * a constant bucket space, quadratic at corpus scale (see [[simhash32]]).
+    */
+  def simhashPortableNearDup(df: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int = 3): DataFrame = {
+    val sigs = simhashPortableSigs(df, idCol, textCol).localCheckpoint()
+    simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 32)
   }
 
   /** Edit-distance near-duplicate pairs within a blocking key. Candidates

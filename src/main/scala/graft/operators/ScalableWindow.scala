@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
+  /** Adaptive slice count: `max(64, 2 x defaultParallelism)`. The big sort's
+    * parallelism in the constant-key regime (global order statistics) is
+    * exactly `|part| x slices`, so a constant default would cap a 100 TB
+    * global percentile at 64 tasks (~1.5 TB each on a 1000-executor
+    * cluster); deriving it from the cluster keeps per-task slice volume
+    * bounded as the cluster grows, while the 64 floor preserves the
+    * local-mode task shape (local[32] -> max(64, 64) = 64). The offset
+    * table stays |part| x slices rows — broadcast-trivial at any realistic
+    * cluster size.
+    */
+  def defaultSlices(df: DataFrame): Int =
+    math.max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact global positions (`ROW_NUMBER() OVER (PARTITION BY part ORDER BY
     * value, tie)`) without a single-task sort per `part` value — the shared
     * machinery under [[ntile]] and any rank-family rewrite. Returns the
@@ -38,15 +51,16 @@ object ScalableWindow {
     * (|part| x slices)-row offset table, zero single-task big sorts.
     */
   def rowNumber(df: DataFrame, part: String, value: String, tie: String,
-                as: String = "row_number", slices: Int = 64): DataFrame = {
-    require(slices > 1, s"slices must be > 1, got $slices")
+                as: String = "row_number", slices: Int = 0): DataFrame = {
+    val nSlices = if (slices == 0) defaultSlices(df) else slices
+    require(nSlices > 1, s"slices must be > 1, got $nSlices")
 
     // 1. Per-part approximate slice boundaries on the order value. Balanced
     //    even under skew; any boundary set is CORRECT (see scaladoc), so the
     //    sketch accuracy only tunes slice-size variance — 1/accuracy rank
     //    error vs a 1/slices slice width leaves sizes within ~6% of even at
     //    64 slices, far below what the within-slice sort would notice.
-    val probs = (1 until slices).map(_.toDouble / slices)
+    val probs = (1 until nSlices).map(_.toDouble / nSlices)
     val bounds = df.groupBy(col(part))
       .agg(percentile_approx(col(value), typedlit(probs), lit(1000)).as("_bnds"))
 
@@ -97,7 +111,7 @@ object ScalableWindow {
     * sort parallelism stays |part|·slices.
     */
   def percentRank(df: DataFrame, part: String, value: String, tie: String,
-                  as: String = "percent_rank", slices: Int = 64): DataFrame =
+                  as: String = "percent_rank", slices: Int = 0): DataFrame =
     rowNumber(df, part, value, tie, as = "_pos", slices = slices)
       .withColumn(as,
         when(col("_n") === 1L, lit(0.0))
@@ -110,7 +124,7 @@ object ScalableWindow {
     * bucket column `as` (1-based; the first n%k buckets get one extra row).
     */
   def ntile(df: DataFrame, part: String, value: String, tie: String,
-            k: Int, as: String = "ntile", slices: Int = 64): DataFrame = {
+            k: Int, as: String = "ntile", slices: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     // q = floor(n/k), r = n%k; buckets 1..r hold q+1 rows, the rest q.
     // (q=0 i.e. n<k: the `big` branch covers all rows, so the q division

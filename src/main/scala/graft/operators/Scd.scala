@@ -14,12 +14,76 @@ import org.apache.spark.sql.functions._
   * update batch on the business key plus a union — no windows, no
   * per-key iteration. Updates are typically dimension-sized or smaller, so
   * AQE broadcasts them; at worst this is a key-partitioned shuffle join.
-  * History rows (valid_to set) are never rewritten — at 100 TB the closed
-  * extent is append-only cold data, and only the open slice joins.
+  * Only the open slice ever joins; whether the closed extent is also kept
+  * untouched ON DISK depends on the write path — [[applyBatch]] returns the
+  * whole dimension (a caller that overwrites the full table rewrites cold
+  * history every batch), while [[applyBatchDelta]] returns just the frames
+  * an open/closed-partitioned layout needs, so the closed extent is
+  * append-only at any scale.
   */
 object Scd {
 
-  /** Apply one update batch to a Type-2 dimension.
+  /** The three change frames one Type-2 batch produces, plus the complete
+    * new open slice. Write protocol for a dimension laid out as an
+    * append-only closed extent + a small open slice:
+    * {{{
+    *   closedDelta.write.mode("append").parquet(closedDir)   // cold extent grows
+    *   newOpen.write.mode("overwrite").parquet(openDir)      // small slice rewritten
+    * }}}
+    * The closed extent's existing files are never touched. `opened` and
+    * `firstSeen` are the two disjoint sources of new open rows (changed
+    * keys vs keys with no open row); both are already contained in
+    * `newOpen` and exposed for callers that audit or notify on them.
+    */
+  final case class ScdDelta(closedDelta: DataFrame, opened: DataFrame,
+                            firstSeen: DataFrame, newOpen: DataFrame)
+
+  /** Shared core: per-batch change detection against the OPEN slice only.
+    * Returns (open slice, changed keys with new attrs + `_eff`, opened rows,
+    * firstSeen rows) — every output column list is `key, attrs*, validFrom,
+    * validTo` except `changed` which carries `_eff` for the close join.
+    */
+  private def changeParts(dim: DataFrame, updates: DataFrame, key: String,
+                          attrs: Seq[String], effCol: String,
+                          validFrom: String, validTo: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(attrs.nonEmpty, "attrs must be non-empty")
+    // The update batch feeds three branches (close, open, first-seen); if it
+    // is itself derived from a fact-table aggregate, lazy recompute would
+    // scan the fact table three times — materialize once (it is at most
+    // dimension-sized by contract).
+    val u0 = updates.localCheckpoint()
+    val open = dim.filter(col(validTo).isNull)
+
+    val differs = attrs.map(a => !(col(s"d.$a") <=> col(s"u.$a"))).reduce(_ || _)
+    // changed = (key, eff, new attr values) for keys whose OPEN row differs
+    val changed = open.alias("d")
+      .join(u0.alias("u"), col(s"d.$key") === col(s"u.$key"))
+      .filter(differs)
+      .select(col(s"u.$key").as(key) +:
+        attrs.map(a => col(s"u.$a").as(a)) :+
+        col(s"u.$effCol").as("_eff"): _*)
+
+    // new open rows: one per changed key...
+    val opened = changed
+      .select(col(key) +: attrs.map(col) :+
+        col("_eff").as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
+    // ...plus first rows for keys with NO open row. Anti-join against OPEN
+    // keys only (not all keys): a key whose rows are all closed (tombstoned)
+    // must reopen on its next update, not vanish — it matches neither
+    // `changed` (open-row join) nor an all-keys anti.
+    val firstSeen = u0
+      .join(open.select(key), Seq(key), "left_anti")
+      .select(col(key) +: attrs.map(col) :+
+        col(effCol).as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
+
+    (open, changed, opened, firstSeen)
+  }
+
+  /** Apply one update batch to a Type-2 dimension, returning the FULL new
+    * dimension (history rows pass through the union unchanged; use
+    * [[applyBatchDelta]] when the table layout lets you avoid rewriting
+    * them on disk).
     *
     * `dim` carries `key`, the tracked `attrs`, and [`validFrom`, `validTo`]
     * timestamps where a NULL `validTo` marks each key's single open row.
@@ -29,31 +93,19 @@ object Scd {
     *
     * Per key: an update whose attrs differ (null-safely) from the open
     * row's closes that row at `effCol` and inserts a new open row; an
-    * identical update is a no-op; an update for an unseen key inserts its
-    * first open row; closed history rows pass through untouched.
+    * identical update is a no-op; an update for a key with NO open row —
+    * never seen, or previously tombstoned (all rows closed) — inserts a
+    * fresh open row effective at `effCol`; closed history rows pass
+    * through untouched.
     */
   def applyBatch(dim: DataFrame, updates: DataFrame, key: String,
                  attrs: Seq[String], effCol: String,
                  validFrom: String = "valid_from",
                  validTo: String = "valid_to"): DataFrame = {
-    require(attrs.nonEmpty, "attrs must be non-empty")
     val outCols: Seq[Column] =
       (key +: attrs).map(col) :+ col(validFrom) :+ col(validTo)
-
-    // The update batch feeds three branches (close, open, first-seen); if it
-    // is itself derived from a fact-table aggregate, lazy recompute would
-    // scan the fact table three times — materialize once (it is at most
-    // dimension-sized by contract).
-    val u0 = updates.localCheckpoint()
-
-    val differs = attrs.map(a => !(col(s"d.$a") <=> col(s"u.$a"))).reduce(_ || _)
-    // changed = (key, eff, new attr values) for keys whose OPEN row differs
-    val changed = dim.filter(col(validTo).isNull).alias("d")
-      .join(u0.alias("u"), col(s"d.$key") === col(s"u.$key"))
-      .filter(differs)
-      .select(col(s"u.$key").as(key) +:
-        attrs.map(a => col(s"u.$a").as(a)) :+
-        col(s"u.$effCol").as("_eff"): _*)
+    val (_, changed, opened, firstSeen) =
+      changeParts(dim, updates, key, attrs, effCol, validFrom, validTo)
 
     // existing rows: open-and-changed rows get their interval closed at eff
     val closed = dim.alias("d")
@@ -65,17 +117,47 @@ object Scd {
           when(col(s"d.$validTo").isNull, col("_eff"))
             .otherwise(col(s"d.$validTo")).as(validTo): _*)
 
-    // new open rows: one per changed key, plus first rows for unseen keys
-    val opened = changed
-      .select(col(key) +: attrs.map(col) :+
-        col("_eff").as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
-    val firstSeen = u0
-      .join(dim.select(key).distinct(), Seq(key), "left_anti")
-      .select(col(key) +: attrs.map(col) :+
-        col(effCol).as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
-
     closed.select(outCols: _*)
       .unionByName(opened)
       .unionByName(firstSeen)
+  }
+
+  /** Delta form of [[applyBatch]] for open/closed-partitioned layouts: the
+    * same per-key semantics, but instead of the full dimension it returns
+    * [[ScdDelta]] — the rows to APPEND to the closed extent and the
+    * complete new open slice to overwrite — so the closed extent's files
+    * are never rewritten. At 100 TB the closed extent is the bulk of the
+    * dimension and strictly cold; this is the write path that keeps it so.
+    *
+    * Equivalence contract (spec-checked): for any (dim, updates),
+    * `dim.filter(validTo.isNotNull) ∪ closedDelta ∪ newOpen` ==
+    * `applyBatch(dim, updates, ...)` as a multiset.
+    */
+  def applyBatchDelta(dim: DataFrame, updates: DataFrame, key: String,
+                      attrs: Seq[String], effCol: String,
+                      validFrom: String = "valid_from",
+                      validTo: String = "valid_to"): ScdDelta = {
+    val outCols: Seq[Column] =
+      (key +: attrs).map(col) :+ col(validFrom) :+ col(validTo)
+    val (open, changed, opened, firstSeen) =
+      changeParts(dim, updates, key, attrs, effCol, validFrom, validTo)
+
+    // just-closed rows: the changed keys' previously-open rows, interval
+    // closed at eff — the only rows that move from the open slice to the
+    // closed extent this batch.
+    val closedDelta = open.alias("d")
+      .join(changed.select(col(key), col("_eff")).alias("c"),
+        col(s"d.$key") === col(s"c.$key"))
+      .select(
+        (key +: attrs).map(a => col(s"d.$a").as(a)) :+
+          col(s"d.$validFrom").as(validFrom) :+
+          col("_eff").as(validTo): _*)
+
+    val survivors = open
+      .join(changed.select(key), Seq(key), "left_anti")
+      .select(outCols: _*)
+    val newOpen = survivors.unionByName(opened).unionByName(firstSeen)
+
+    ScdDelta(closedDelta.select(outCols: _*), opened, firstSeen, newOpen)
   }
 }

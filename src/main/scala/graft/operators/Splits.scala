@@ -75,6 +75,11 @@ object Splits {
     * aggregate — shuffle ≤ k entries per partition, never a full sort.
     * Returns (rank, id, priority) with priority rounded to 6 digits for
     * display; selection uses the unrounded key.
+    *
+    * Rows with NULL or non-positive weight are excluded before the draw:
+    * w=0 has inclusion probability 0 by definition, and w<0 would flip the
+    * exponent sign so u^(1/w) ≥ 1, outranking every legitimate row — the
+    * same reason [[upsample]] clamps negative factors to 0.
     */
   def weightedSample(df: DataFrame, idCol: String, salt: String,
                      weightCol: Column, k: Int): DataFrame = {
@@ -83,7 +88,8 @@ object Splits {
     val u = (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
       .cast("double") + lit(1.0)) / lit(18446744073709551616.0)
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
-    df.agg(call_function("topk_struct",
+    df.filter(weightCol.cast("double") > 0)
+      .agg(call_function("topk_struct",
         struct(key.as("k"), col(idCol).as("id")),
         struct(col(idCol).as("id"), round(key, 6).as("priority")),
         lit(k)).as("top"))

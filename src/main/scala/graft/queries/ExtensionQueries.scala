@@ -384,14 +384,31 @@ object ExtensionQueries {
 
     // SMP1 stratified sample: per-stratum Bernoulli sampling with a fixed
     // seed — the standard training-data downsampling op. Selection hashes
-    // are engine-specific (rows-only check).
-    "smp1_stratified_sample" -> ((s, d) =>
+    // are engine-specific, so the oracle checks a bounded QUALITY GATE
+    // (the e2e_ann_recall pattern): per stratum, emit the exact population
+    // (oracle-recomputable) plus whether the realized sample count sits
+    // within 6 standard deviations of the exact binomial mean f*n
+    // (sd = sqrt(n*f*(1-f)); P(miss) ~ 2e-9 per stratum, deterministic for
+    // a fixed seed). The oracle pins the gate TRUE, so a seeding or
+    // sampling regression turns the row red. f=1.0 strata degenerate to
+    // sd=0: the gate then requires n_sampled == n exactly.
+    "smp1_stratified_sample" -> ((s, d) => {
+      val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
+        "signup" -> 0.1, "error" -> 0.05)
+      val fCol = element_at(typedlit(fractions), col("event_type"))
+      val sampled = Tables.events(s, d)
+        .stat.sampleBy("event_type", fractions, 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("_n_sampled"))
       Tables.events(s, d)
-        .stat.sampleBy("event_type",
-          Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
-            "signup" -> 0.1, "error" -> 0.05), 42L)
-        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
-        .orderBy("event_type")),
+        .groupBy("event_type").agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_total"),
+          (abs(coalesce(col("_n_sampled"), lit(0L)).cast("double")
+              - fCol * col("n_total").cast("double"))
+            <= lit(6.0) * sqrt(col("n_total").cast("double") * fCol * (lit(1.0) - fCol))
+          ).as("within_bounds"))
+        .orderBy("event_type")
+    }),
 
     // SMP2 deterministic fixed-k per-stratum sample: the k docs with the
     // SMALLEST md5(salt:id) per lang — a pure function of (salt, id), so
@@ -473,6 +490,16 @@ object ExtensionQueries {
     // No oracle: xxhash64-based, like d3 (rows-only check).
     "d3b_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+        .orderBy("a", "b")),
+
+    // D3c portable SimHash witness (the d2b discipline): md5-nibble votes,
+    // 32-bit signature, the SAME pigeonhole banding + xor/popcount verify
+    // as d3b — every arithmetic step reproduces in ANSI SQL, so the simhash
+    // family's banding machinery is oracle-checked end to end. d3/d3b stay
+    // the scale path (xxhash64, 2^16 band keys).
+    "d3c_simhash_portable" -> ((s, d) =>
+      Dedup.simhashPortableNearDup(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 3)
         .orderBy("a", "b")),
 
     // D4 exact n-gram Jaccard pairs over a shingle inverted index — the
@@ -1176,6 +1203,34 @@ object ExtensionQueries {
          |SELECT train_id, eval_id, n_shared FROM pairs
          |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
 
+    // d3c: the portable simhash restated digit for digit — md5-nibble
+    // votes, BIGINT bit packing, 8-bit pigeonhole bands, xor/popcount
+    // verify. Every step is the identical integer arithmetic the Spark
+    // operator runs, so the pair set hash-matches exactly.
+    "d3c_simhash_portable" -> {
+      val votes = (0 until 32).map { j =>
+        s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(hx, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(",\n    ")
+      val pack = (0 until 32).map { j =>
+        s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+         |votes AS (SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $pack AS s FROM votes),
+         |banded AS (
+         |  SELECT doc_id, s, band, (s >> (8 * band)) & 255 AS key
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+         |   AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+    },
+
     "d5_levenshtein_neardup" ->
       """SELECT blk, a, b, dist FROM (
         |  SELECT x.lang AS blk, x.doc_id AS a, y.doc_id AS b,
@@ -1450,6 +1505,13 @@ object ExtensionQueries {
          |  AND doc_id NOT IN (SELECT d FROM near_drop)
          |  AND doc_id NOT IN (SELECT d FROM exact_drop)
          |ORDER BY doc_id""".stripMargin,
+
+    // smp1: the oracle recomputes each stratum's exact population and pins
+    // the binomial gate TRUE — the seeded Bernoulli draw is engine-specific,
+    // but its 6-sigma concentration around f*n is not.
+    "smp1_stratified_sample" ->
+      """SELECT event_type, COUNT(*) AS n_total, TRUE AS within_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // smp2: the window form is the oracle's spec; the engine runs the
     // bounded-heap aggregate instead — same rows, bounded shuffle.

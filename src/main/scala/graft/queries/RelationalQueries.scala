@@ -298,11 +298,24 @@ object RelationalQueries {
         .orderBy("l_returnflag")),
 
     // HLL++ approximate distinct — the 100 TB path (single shuffle, sketch
-    // mergeable). No SQL oracle: estimate is engine-specific (rows-only check).
-    "e4_approx_distinct" -> ((s, d) =>
+    // mergeable). The estimate itself is engine-specific, so the oracle
+    // checks a bounded QUALITY GATE instead (the e2e_ann_recall pattern):
+    // per group, emit the exact distinct count (oracle-recomputable) plus
+    // whether the HLL estimate landed within 3x the configured rsd of it —
+    // the oracle pins the gate TRUE, so HLL drift past the bound turns the
+    // row red. 3x rsd because rsd is ONE standard error (a ~68% interval
+    // per group); 3 sigma holds deterministically for the seeds/cardinali-
+    // ties here while still failing on any real estimator regression.
+    "e4_approx_distinct" -> ((s, d) => {
+      val rsd = 0.02
       Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-        .orderBy("event_type")),
+        .agg(approx_count_distinct(col("user_id"), rsd).as("_approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users")).cast("double")
+            <= lit(3 * rsd) * col("exact_users").cast("double")).as("within_bound"))
+        .orderBy("event_type")
+    }),
 
     // Correlated scalar subquery (TPC-H Q17 shape) — exercises Catalyst's
     // decorrelation into an aggregate+join plan. Quantities are small
@@ -968,6 +981,15 @@ object RelationalQueries {
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e4: the oracle recomputes the exact side and pins the HLL quality
+    // gate TRUE — the estimate itself is engine-specific, but its bounded
+    // accuracy against the exact count is not.
+    "e4_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s1_scalar_subquery" ->

@@ -341,13 +341,21 @@ object StreamingPipeline {
     val next = Cdc.applyLog(base, batch, key, attrs, opCol, tsCol, tieCol)
     next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
     // pointer swap for external readers (same temp+rename discipline as the
-    // batch pipeline's versioned visitantes); replays rewrite it identically
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp")
+    // batch pipeline's versioned visitantes); replays rewrite it identically.
+    // The swap must be a single overwrite-rename: delete-then-rename opens a
+    // window where cdcCurrentState sees NO pointer and returns None, so use
+    // FileContext.rename(OVERWRITE) — atomic on HDFS-like stores — and it
+    // throws (rather than returning false like FileSystem.rename) if the
+    // swap fails, so a broken pointer is loud, not silent.
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT.tmp"))
     val out = fs.create(tmp, true)
     try out.write(s"v=$batchId".getBytes("UTF-8")) finally out.close()
-    val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
-    if (fs.exists(cur)) fs.delete(cur, false)
-    fs.rename(tmp, cur)
+    val cur = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // retain two prior versions for readers mid-swap; GC the rest
     prior.sorted.dropRight(2).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)

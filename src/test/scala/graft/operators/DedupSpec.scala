@@ -65,6 +65,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("portable simhash (d3c witness): sigs in [0, 2^32), pairs == brute force") {
+    // signature range: 32 bits packed from md5 nibbles — always non-negative
+    // and < 2^32, so the oracle's signed BIGINT arithmetic agrees
+    val sigs = Dedup.simhashPortableSigs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.size == 5)
+    sigs.values.foreach(s => assert(s >= 0L && s < (1L << 32), s))
+    assert(sigs(1L) == sigs(2L)) // identical text, identical signature
+    // equivalence property: banded pairs == brute-force Hamming <= 3 pairs
+    // over the same signatures (completeness AND exactness of the witness)
+    val got = Dedup.simhashPortableNearDup(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.exists(_._3 == 0), "exact-dup pair should appear at distance 0")
+  }
+
   test("pigeonhole banding is COMPLETE and EXACT for Hamming <= k on seeded 64-bit sigs") {
     // property (verdict item): pairs found by banding == brute-force pairs
     // with bit_count(sig_a ^ sig_b) <= maxDist. The corpus mixes random

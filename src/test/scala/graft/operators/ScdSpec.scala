@@ -68,4 +68,72 @@ class ScdSpec extends SparkSpec {
       .groupBy("k").count().filter(col("count") =!= 1)
     assert(opens.isEmpty)
   }
+
+  test("tombstoned key (all rows closed) reopens on its next update") {
+    val dim = Seq(
+      // key 1 was closed out entirely (e.g. a delete was modeled by closing
+      // the open row) — its next update must insert a fresh open row, not
+      // silently vanish
+      (1L, "bronze", ts("2020-01-01 00:00:00"), Option(ts("2022-01-01 00:00:00"))),
+      (2L, "gold", ts("2021-06-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq((1L, "silver", ts("2024-03-01 00:00:00")))
+      .toDF("k", "tier", "eff")
+    val out = Scd.applyBatch(dim, updates, "k", Seq("tier"), "eff")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+    assert(out == Seq(
+      (1L, "bronze", ts("2020-01-01 00:00:00"), Some(ts("2022-01-01 00:00:00"))),
+      (1L, "silver", ts("2024-03-01 00:00:00"), None),
+      (2L, "gold", ts("2021-06-01 00:00:00"), None)), out.mkString("\n"))
+  }
+
+  test("applyBatchDelta: closed-extent files untouched on disk, union == applyBatch") {
+    val dim = Seq(
+      (1L, "bronze", ts("2020-01-01 00:00:00"), Option(ts("2022-01-01 00:00:00"))),
+      (1L, "silver", ts("2022-01-01 00:00:00"), Option.empty[Timestamp]),
+      (2L, "gold", ts("2021-06-01 00:00:00"), Option.empty[Timestamp]),
+      (3L, "bronze", ts("2021-01-01 00:00:00"), Option.empty[Timestamp])
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "gold", ts("2024-03-01 00:00:00")),   // change: closes + opens
+      (2L, "gold", ts("2024-03-01 00:00:00")),   // no-op
+      (9L, "silver", ts("2024-03-01 00:00:00"))  // first-seen
+    ).toDF("k", "tier", "eff")
+
+    val root = java.nio.file.Files.createTempDirectory("scd_delta").toString
+    val (closedDir, openDir) = (s"$root/closed", s"$root/open")
+    dim.filter(col("valid_to").isNotNull).write.parquet(closedDir)
+    dim.filter(col("valid_to").isNull).write.parquet(openDir)
+    def closedFiles() = new java.io.File(closedDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = closedFiles()
+    assert(before.nonEmpty)
+
+    val delta = Scd.applyBatchDelta(dim, updates, "k", Seq("tier"), "eff")
+    // the partitioned write protocol from the scaladoc
+    delta.closedDelta.write.mode("append").parquet(closedDir)
+    delta.newOpen.write.mode("overwrite").parquet(openDir)
+
+    // every pre-existing closed file still present, byte-untouched (mtime)
+    val after = closedFiles()
+    before.foreach { case (name, mtime) =>
+      assert(after.get(name).contains(mtime), s"closed file $name rewritten")
+    }
+
+    // the two extents together equal the full applyBatch result (multiset)
+    val fromDisk = spark.read.parquet(closedDir)
+      .unionByName(spark.read.parquet(openDir))
+    val full = Scd.applyBatch(dim, updates, "k", Seq("tier"), "eff")
+    assert(fromDisk.count() == full.count())
+    assert(fromDisk.exceptAll(full).isEmpty && full.exceptAll(fromDisk).isEmpty)
+
+    // delta components line up: one closed row (key 1), opened = key 1,
+    // firstSeen = key 9, newOpen covers keys 1,2,3,9
+    assert(delta.closedDelta.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(delta.opened.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(delta.firstSeen.select("k").as[Long].collect().toSeq == Seq(9L))
+    assert(delta.newOpen.select("k").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L, 9L))
+  }
 }

@@ -78,6 +78,17 @@ class SplitsSpec extends SparkSpec {
     assert(other != got.map(_._2).toSet)
   }
 
+  test("weightedSample: non-positive and null weights are excluded, not top-ranked") {
+    // w < 0 flips the exponent sign (u^(1/w) >= 1), which without the guard
+    // would put every invalid row ahead of every legitimate one
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, -10.0), (4L, 0.0))
+      .toDF("id", "w")
+      .union(Seq((5L, Option.empty[Double])).toDF("id", "w"))
+    val got = Splits.weightedSample(df, "id", "s1", col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), got)
+  }
+
   test("packSequences: concat-and-cut window assignment matches hand computation") {
     // one group, one shard; tokens 300,300,300,300 at ctx 512:
     // starts at 0,300,600,900 -> seq_ids 0,0,1,1
