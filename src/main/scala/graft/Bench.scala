@@ -50,15 +50,40 @@ object Bench {
     def jmap(m: Map[String, Double]): String =
       keys.map(k => "\"" + k + "\":" + fmt(m(k))).mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Pinned per-query baseline (quiet-host min-of-3 at sf0.1, recorded in
+    // BASELINE.md and mirrored as a flat {"query": sec} classpath resource):
+    // the 2x gate and regression calls become one-number reads instead of a
+    // manual re-timing session. Ratios are only meaningful at the baseline's
+    // scale factor; at other SFs they are emitted anyway and readers ignore
+    // them. Queries newer than the pin simply have no ratio.
+    val baseline: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/graft/bench_baseline.json")
+      if (in == null) Map.empty
+      else try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally in.close()
+    }
+    val common = keys.filter(baseline.contains)
+    val ratios = common.map(k => k -> results(k) / baseline(k)).toMap
+    val vsBaseline =
+      if (common.isEmpty) -1.0
+      else common.map(results).sum / common.map(baseline).sum
     // Output contract: the driver's tail capture truncates long stdout (82
     // queries overflowed a single line in round 3 -> BENCH parsed:null), so
     // the per-query detail lines go FIRST and the short machine-readable
     // total line goes LAST where tail capture is guaranteed to retain it.
     println(s"""{"metric":"detail_min","queries":${jmap(results)},"sf":"$sfDir"}""")
     println(s"""{"metric":"detail_median","queries":${jmap(medians)},"sf":"$sfDir"}""")
+    if (common.nonEmpty) {
+      val worst = common.sortBy(k => -ratios(k)).take(10)
+        .map(k => "\"" + k + "\":" + fmt(ratios(k))).mkString("{", ",", "}")
+      println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","queries":$worst,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
+    }
     val slowest = keys.sortBy(k => -results(k)).take(10)
       .map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vs_baseline":${fmt(vsBaseline)},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -500,6 +500,60 @@ object RelationalQueries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // TPC-H Q7 shape (volume shipping): revenue between two nations by ship
+    // year. Scale shape: BOTH dimension chains are pre-filtered to the two
+    // nations BEFORE touching the fact table (supplier and the orders side
+    // shrink ~12x), every dim join broadcasts, and the only shuffle is the
+    // lineitem ⨝ orders equi-join. The pair condition reduces to
+    // supp_nation <> cust_nation once both sides are restricted to the pair.
+    "q7_volume_shipping" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey", "cust_nation")
+      val ord = Tables.orders(s, d)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 shape (returned items): top-20 customers by lost revenue in
+    // a quarter. Scale shape: both filters (returnflag, date window) push
+    // to the scans, dims broadcast, and the final top-k plans as
+    // TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    // heads), never a global sort. c_custkey tiebreak makes the cut
+    // deterministic across engines.
+    "q10_returned_items" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // R3 cohort retention (product analytics): users bucketed by first-seen
     // week, counted in each later active week — two map-side-combined
     // aggregates plus one key join, shuffle = |users| + |user-weeks|. The
@@ -1192,6 +1246,41 @@ object RelationalQueries {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name
+        |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                       AND TIMESTAMP '1997-12-31 00:00:00') t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "r3_cohort_retention" ->
       """WITH first AS (
