@@ -371,16 +371,34 @@ object ExtensionQueries {
     // A5b approximate percentiles (Greenwald-Khanna sketch) — the mergeable
     // single-shuffle scale path next to a5's exact sort-based percentiles.
     // No oracle: the approximation is engine-specific (rows-only check).
-    "a5b_approx_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+    // A5b approximate percentiles (GK sketch — the mergeable 100 TB path;
+    // a5 is the exact twin). The returned elements are engine-specific, so
+    // the oracle checks a bounded QUALITY GATE (the e4 pattern), and unlike
+    // the probabilistic gates this one rides GK's DETERMINISTIC rank
+    // guarantee: the value returned for quantile p has rank within n/acc of
+    // p*n. With ties, "rank of a value" is the interval [count_lt+1,
+    // count_le], so the gate asserts p*n lands inside that interval widened
+    // by the error budget (+2 covers the p*(n-1)-style position
+    // convention). Oracle recomputes n exactly and pins the gates TRUE.
+    "a5b_approx_percentiles" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val approx = l.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_quantity"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
-        .select(col("l_returnflag"),
-          element_at(col("ps"), 1).as("p25"),
-          element_at(col("ps"), 2).as("p50"),
-          element_at(col("ps"), 3).as("p75"))
-        .orderBy("l_returnflag")),
+      def ok(p: Double, i: Int) = {
+        val a = element_at(col("ps"), i)
+        val lt = sum(when(col("l_quantity") < a, 1L).otherwise(0L))
+        val le = sum(when(col("l_quantity") <= a, 1L).otherwise(0L))
+        val slack = count(lit(1)).cast("double") / 10000.0 + 2.0
+        val target = lit(p) * count(lit(1)).cast("double")
+        ((lt.cast("double") - slack <= target) &&
+          (target <= le.cast("double") + slack)).as(s"ok_p${(p * 100).toInt}")
+      }
+      l.join(broadcast(approx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), ok(0.25, 1), ok(0.5, 2), ok(0.75, 3))
+        .orderBy("l_returnflag")
+    }),
 
     // SMP1 stratified sample: per-stratum Bernoulli sampling with a fixed
     // seed — the standard training-data downsampling op. Selection hashes
@@ -1505,6 +1523,14 @@ object ExtensionQueries {
          |  AND doc_id NOT IN (SELECT d FROM near_drop)
          |  AND doc_id NOT IN (SELECT d FROM exact_drop)
          |ORDER BY doc_id""".stripMargin,
+
+    // a5b: the oracle recomputes each group's exact count and pins the GK
+    // rank-guarantee gates TRUE — the sketch's returned elements are
+    // engine-specific, but their bounded rank error is not.
+    "a5b_approx_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // smp1: the oracle recomputes each stratum's exact population and pins
     // the binomial gate TRUE — the seeded Bernoulli draw is engine-specific,
