@@ -98,6 +98,30 @@ object ExtensionQueries {
           round(sum(col("n_hit")).cast("double") / sum(col("n_true")), 4).as("recall_at_5"))
     }),
 
+    // E2h PRODUCTION-IVF recall gate: e2f oracle-checks the IVF chain with
+    // the oracle-expressible firstN quantizer; this gate covers the path a
+    // user actually runs — sampled k-means centroids (e2d) — whose recall
+    // value is engine-specific (centroids from the deterministic 2048-row
+    // sample), so the oracle pins n_true (SQL-recomputable) plus
+    // recall_ok at a 0.5 floor (measured 0.625 on this corpus at
+    // nProbe=4/16 cells — deterministic per dataset, and the testdata is
+    // byte-stable across rounds: e2e/e2f emit exact recall values that
+    // hash-match every round). A quantizer or probe regression turns the
+    // row red.
+    "e2h_ivf_sampled_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"))
+      val approx = Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("_n_hit"))
+        .select(col("n_true"),
+          (col("_n_hit").cast("double") / col("n_true").cast("double")
+            >= lit(0.5)).as("recall_ok"))
+    }),
+
     // E2c embedding-cosine near-dup pairs, multi-band SRP blocking with the
     // plane count scaled to the corpus (expected bucket population ≤ 64 at
     // ANY N — the old fixed-4-planes form was 16 constant buckets, i.e.
@@ -1040,6 +1064,12 @@ object ExtensionQueries {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "e2_cosine_topk" -> e2Sql,
+
+    // e2h: the oracle recomputes the ground-truth pair count and pins the
+    // sampled-centroid recall gate TRUE (the quality-gate pattern — the
+    // k-means centroids themselves are engine-specific).
+    "e2h_ivf_sampled_recall" ->
+      s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok FROM ($e2Sql) x""",
 
     "e2e_ann_recall" ->
       s"""WITH exact AS (SELECT a_id, b_id FROM ($e2Sql) x),

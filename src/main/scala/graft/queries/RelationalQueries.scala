@@ -500,6 +500,38 @@ object RelationalQueries {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure scan + one map-side-
+    // combined aggregate, every predicate pushed to the parquet reader —
+    // the simplest possible 100 TB plan (zero shuffles beyond the final
+    // 1-row combine). Discounts are exact hundredths stored as doubles, so
+    // the range literals compare bit-identically on both engines.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q14 shape (promotion effect): one broadcast dim join + one
+    // conditional aggregate; the promo share is a single IEEE division of
+    // two exact decimal sums, deterministic across engines.
+    "q14_promo_effect" -> ((s, d) => {
+      val rev = dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)")))
+            .as("_promo"),
+          sum(rev).as("_all"))
+        .select(
+          round(lit(100.0) * col("_promo").cast("double") / col("_all").cast("double"), 6)
+            .as("promo_pct"),
+          col("_all").cast("double").as("total_revenue"))
+    }),
+
     // TPC-H Q7 shape (volume shipping): revenue between two nations by ship
     // year. Scale shape: BOTH dimension chains are pre-filtered to the two
     // nations BEFORE touching the fact table (supplier and the orders side
@@ -1246,6 +1278,30 @@ object RelationalQueries {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT
+        |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE), 6) AS promo_pct,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        |FROM (
+        |  SELECT p_type, CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00') t""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,

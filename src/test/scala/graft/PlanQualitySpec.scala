@@ -43,6 +43,10 @@ class PlanQualitySpec extends SparkSpec {
     "e2d_ann_ivf" -> 2,
     "e2e_ann_recall" -> 1,
     "e2f_ivf_recall" -> 3,
+    // e2h composes brute-force (1 scalar BNL, e2's shape) with the sampled
+    // IVF path (2, e2d's shape) — all one-row/|cells|-row broadcasts,
+    // bounded by construction.
+    "e2h_ivf_sampled_recall" -> 3,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
     "h2_equidepth_histogram" -> 2,
