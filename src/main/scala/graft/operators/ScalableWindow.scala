@@ -21,18 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
-  /** Adaptive slice count: `max(64, 2 x defaultParallelism)`. The big sort's
-    * parallelism in the constant-key regime (global order statistics) is
-    * exactly `|part| x slices`, so a constant default would cap a 100 TB
-    * global percentile at 64 tasks (~1.5 TB each on a 1000-executor
-    * cluster); deriving it from the cluster keeps per-task slice volume
-    * bounded as the cluster grows, while the 64 floor preserves the
-    * local-mode task shape (local[32] -> max(64, 64) = 64). The offset
-    * table stays |part| x slices rows — broadcast-trivial at any realistic
+  /** Adaptive slice count: `max(64, 2 x defaultParallelism)`, capped at
+    * 4096. The big sort's parallelism in the constant-key regime (global
+    * order statistics) is exactly `|part| x slices`, so a constant default
+    * would cap a 100 TB global percentile at 64 tasks (~1.5 TB each on a
+    * 1000-executor cluster); deriving it from the cluster keeps per-task
+    * slice volume bounded as the cluster grows, while the 64 floor
+    * preserves the local-mode task shape (local[32] -> max(64, 64) = 64).
+    * The 4096 cap bounds the two slice-count-linear terms — the per-row
+    * boundary scan in step 2 and the sketch accuracy below — on very large
+    * clusters (4096 tasks x a few GB per slice covers the charter scale;
+    * past that, slices is the caller's explicit knob). The offset table
+    * stays |part| x slices rows — broadcast-trivial at any realistic
     * cluster size.
     */
   def defaultSlices(df: DataFrame): Int =
-    math.max(64, 2 * df.sparkSession.sparkContext.defaultParallelism)
+    math.min(4096,
+      math.max(64, 2 * df.sparkSession.sparkContext.defaultParallelism))
 
   /** Exact global positions (`ROW_NUMBER() OVER (PARTITION BY part ORDER BY
     * value, tie)`) without a single-task sort per `part` value — the shared
@@ -57,12 +62,16 @@ object ScalableWindow {
 
     // 1. Per-part approximate slice boundaries on the order value. Balanced
     //    even under skew; any boundary set is CORRECT (see scaladoc), so the
-    //    sketch accuracy only tunes slice-size variance — 1/accuracy rank
-    //    error vs a 1/slices slice width leaves sizes within ~6% of even at
-    //    64 slices, far below what the within-slice sort would notice.
+    //    sketch accuracy only tunes slice-size variance. Accuracy must SCALE
+    //    with the slice count (a fixed 1000 cannot distinguish more than
+    //    ~1000 quantiles — boundaries would duplicate and leave empty
+    //    slices, silently capping effective parallelism): 16x slices keeps
+    //    the 1/accuracy rank error at ~6% of the 1/slices width at any
+    //    slice count, the same evenness the old 64-slice/1000 pairing had.
+    val accuracy = math.max(1000, 16 * nSlices)
     val probs = (1 until nSlices).map(_.toDouble / nSlices)
     val bounds = df.groupBy(col(part))
-      .agg(percentile_approx(col(value), typedlit(probs), lit(1000)).as("_bnds"))
+      .agg(percentile_approx(col(value), typedlit(probs), lit(accuracy)).as("_bnds"))
 
     // 2. Slice id = number of boundaries strictly below this row's value —
     //    monotone in value, so slice order == value order, and equal values

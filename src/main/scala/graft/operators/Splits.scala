@@ -88,7 +88,11 @@ object Splits {
     val u = (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
       .cast("double") + lit(1.0)) / lit(18446744073709551616.0)
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
-    df.filter(weightCol.cast("double") > 0)
+    // NaN needs its own test: Spark orders NaN ABOVE every number, so
+    // `NaN > 0` is true and pow(u, 1/NaN) = NaN would float to the top of
+    // the heap — the exact failure the positivity guard exists to stop.
+    val w = weightCol.cast("double")
+    df.filter(w > 0 && !isnan(w))
       .agg(call_function("topk_struct",
         struct(key.as("k"), col(idCol).as("id")),
         struct(col(idCol).as("id"), round(key, 6).as("priority")),

@@ -437,7 +437,11 @@ object ExtensionQueries {
     "smp1_stratified_sample" -> ((s, d) => {
       val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
         "signup" -> 0.1, "error" -> 0.05)
-      val fCol = element_at(typedlit(fractions), col("event_type"))
+      // A stratum absent from the map is sampled at fraction 0 by sampleBy
+      // (no rows kept); coalescing the lookup to 0.0 makes the gate expect
+      // exactly that (target 0, sd 0) instead of yielding NULL and going
+      // red on a domain drift that sampling itself handles fine.
+      val fCol = coalesce(element_at(typedlit(fractions), col("event_type")), lit(0.0))
       val sampled = Tables.events(s, d)
         .stat.sampleBy("event_type", fractions, 42L)
         .groupBy("event_type").agg(count(lit(1)).as("_n_sampled"))

@@ -517,8 +517,7 @@ object RelationalQueries {
     // conditional aggregate; the promo share is a single IEEE division of
     // two exact decimal sums, deterministic across engines.
     "q14_promo_effect" -> ((s, d) => {
-      val rev = dec2(col("l_extendedprice")) *
-        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
+      val rev = revenue
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01")
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))

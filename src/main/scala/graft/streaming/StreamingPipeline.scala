@@ -353,9 +353,22 @@ object StreamingPipeline {
     try out.write(s"v=$batchId".getBytes("UTF-8")) finally out.close()
     val cur = fs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT"))
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      cur.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        cur.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // Object stores without an AbstractFileSystem binding (e.g. s3a by
+      // default) can't serve FileContext; fall back to delete+rename with
+      // the rename CHECKED. The no-pointer window reopens there, but those
+      // stores' "atomic" rename is delete+copy anyway — readers on such
+      // stores should treat a missing pointer as transient and retry.
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(cur)) fs.delete(cur, false)
+        if (!fs.rename(tmp, cur))
+          throw new java.io.IOException(
+            s"cdcApplyBatch: pointer swap $tmp -> $cur failed")
+    }
     // retain two prior versions for readers mid-swap; GC the rest
     prior.sorted.dropRight(2).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)

@@ -81,7 +81,7 @@ class SplitsSpec extends SparkSpec {
   test("weightedSample: non-positive and null weights are excluded, not top-ranked") {
     // w < 0 flips the exponent sign (u^(1/w) >= 1), which without the guard
     // would put every invalid row ahead of every legitimate one
-    val df = Seq((1L, 5.0), (2L, 5.0), (3L, -10.0), (4L, 0.0))
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, -10.0), (4L, 0.0), (6L, Double.NaN))
       .toDF("id", "w")
       .union(Seq((5L, Option.empty[Double])).toDF("id", "w"))
     val got = Splits.weightedSample(df, "id", "s1", col("w"), k = 5)
