@@ -36,6 +36,18 @@ class ScalableWindowSpec extends SparkSpec {
     check(rows, k = 3, slices = 5)
   }
 
+  test("slice count far above the old fixed accuracy stays exact (scaled sketch)") {
+    // 300 slices forces accuracy = 16*300 = 4800 > the old pinned 1000; a
+    // non-scaling sketch would duplicate boundaries (empty slices) — which
+    // is still CORRECT by construction, so the real check is value identity
+    // plus the adaptive default resolving inside [64, 4096].
+    val rows = (1 to 2000).map(i => ("a", (i % 611).toDouble, i.toLong))
+    check(rows, k = 10, slices = 300)
+    val d = rows.toDF("p", "v", "t")
+    val ds = ScalableWindow.defaultSlices(d)
+    assert(ds >= 64 && ds <= 4096, s"defaultSlices out of range: $ds")
+  }
+
   test("n < k degenerates to one row per bucket (SQL semantics)") {
     val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L))
     check(rows, k = 10, slices = 4)
