@@ -585,6 +585,122 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q21 shape (waiting suppliers): the classic EXISTS + NOT EXISTS
+    // decorrelation where BOTH subqueries are self-joins on the FACT table —
+    // "lines of the same order from a DIFFERENT supplier". Adapted predicate:
+    // the testdata lacks l_commitdate/l_receiptdate, so the per-line "problem"
+    // marker is l_returnflag = 'R' (suppliers solely responsible for a
+    // returned line in a multi-supplier finished order). Scale shape: the
+    // probe side shrinks FIRST (returnflag filter + broadcast nation-filtered
+    // supplier, ~1/|nations| of suppliers), then ALL THREE remaining joins —
+    // the 'F'-orders semi, the other-supplier-exists semi, and the
+    // other-R-supplier anti — are shuffled equi-joins keyed on l_orderkey
+    // with the supplier inequality as a residual, so one exchange partitioning
+    // is reused and the fact-sized build sides never broadcast (merge hints
+    // pin the 100 TB plan at test scale too; no BNL, no cartesian).
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+      // Probe shrinks FIRST via a broadcast LEFT SEMI (an inner join here
+      // gets floated above the merge joins by Catalyst's join reorder, making
+      // the shuffled probe |nations| times larger); s_name attaches AFTER the
+      // aggregation, when the result is |suppliers-of-one-nation| rows.
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .join(broadcast(sup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val others = l.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+      val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_orderkey")
+      l1
+        .join(fOrders.hint("merge"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(others.hint("merge"),
+          col("l_orderkey") === col("x_orderkey") && col("l_suppkey") =!= col("x_suppkey"),
+          "left_semi")
+        .join(othersR.hint("merge"),
+          col("l_orderkey") === col("y_orderkey") && col("l_suppkey") =!= col("y_suppkey"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+    }),
+
+    // TPC-H Q8 shape (national market share): ratio-of-conditional-aggregate
+    // over TWO independent dimension chains meeting at the fact — supplier
+    // side tags the volume's nation, customer→nation→region side restricts
+    // the market. Scale shape: every dim chain broadcasts (region filter
+    // shrinks customers before the orders join), the only shuffle is
+    // lineitem ⨝ orders, and the share is one IEEE division of two exact
+    // decimal sums (q14 discipline).
+    "q8_market_share" -> ((s, d) => {
+      val rev = revenue
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      val n1 = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("_nat"),
+          sum(rev).as("_all"))
+        .select(col("o_year"),
+          round(col("_nat").cast("double") / col("_all").cast("double"), 6).as("mkt_share"),
+          col("_all").cast("double").as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): nation × order-year profit over a
+    // 5-way join with a part-name filter. Adapted amount: the testdata has no
+    // partsupp/ps_supplycost, so cost = p_retailprice × l_quantity (exact
+    // decimal product). Cross-engine determinism: revenue and cost are summed
+    // as SEPARATE exact decimals and subtracted once as doubles — sidestepping
+    // engine-specific decimal-subtraction precision/scale coercion entirely.
+    // Scale shape: part filter broadcasts (it prunes the fact ~1/4 before
+    // anything shuffles), supplier/nation broadcast, single lineitem ⨝ orders
+    // shuffle for the year column.
+    "q9_product_profit" -> ((s, d) => {
+      val rev = revenue
+      val cost = dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(rev).as("_rev"), sum(cost).as("_cost"), count(lit(1)).as("n_items"))
+        .select(col("nation"), col("o_year"),
+          (col("_rev").cast("double") - col("_cost").cast("double")).as("sum_profit"),
+          col("n_items"))
+        .orderBy("nation", "o_year")
+    }),
+
     // R3 cohort retention (product analytics): users bucketed by first-seen
     // week, counted in each later active week — two map-side-combined
     // aggregates plus one key join, shuffle = |users| + |user-weeks|. The
@@ -1336,6 +1452,63 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation   ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(vol) AS DOUBLE) AS total_volume
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region   ON r_regionkey = n1.n_regionkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |    AND p_type = 'STANDARD'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                        AND TIMESTAMP '1997-12-31 00:00:00') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |  - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+        |    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part     ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders   ON o_orderkey = l_orderkey
+        |JOIN nation   ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "r3_cohort_retention" ->
       """WITH first AS (
