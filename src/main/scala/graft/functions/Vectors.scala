@@ -79,4 +79,36 @@ object Vectors {
     // into bucket 0 — null buckets drop out of equi-joins instead
     when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
   }
+
+  /** [[lshBucketFast]]'s PORTABLE twin: the same integer-mixed hyperplanes,
+    * but the projection is EXACT BIGINT arithmetic — each coordinate is
+    * floored to `2^scaleBits` fixed-point units (power-of-two scaling of a
+    * float is exact in double, floor is unambiguous on every engine) and
+    * multiplied by the integer plane component, so the sign test
+    * `Σ q_i·c_i ≥ 0` is order-independent and reproduces digit for digit in
+    * ANSI SQL. [[lshBucketFast]]'s float dot stays the scale path (native
+    * codegen, 18x faster); this twin exists so the SRP banding machinery is
+    * oracle-checkable with ZERO ulp risk — a float projection's sign can in
+    * principle flip with summation order when the projection is within ulps
+    * of 0, which a witness must rule out by construction, not by luck.
+    * Quantization changes WHICH side of a plane a borderline vector falls
+    * on vs the float path — irrelevant for a witness, which only needs both
+    * engines to agree with EACH OTHER.
+    */
+  def lshBucketFixedPoint(emb: Column, nPlanes: Int, dims: Int,
+                          firstPlane: Int = 0, scaleBits: Int = 20): Column = {
+    require(scaleBits >= 0 && scaleBits <= 30, s"scaleBits in [0,30], got $scaleBits")
+    val unit = (1L << scaleBits).toDouble
+    val bits = (0 until nPlanes).map { j =>
+      val plane = Array.tabulate(dims) { idx =>
+        Math.floorMod((idx + 1) * 2654435761L + (firstPlane + j).toLong * 40503L, 7L) - 3L
+      }
+      val proj = aggregate(
+        zip_with(emb, typedLit(plane),
+          (x, c) => floor(x.cast("double") * lit(unit)).cast("long") * c),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
+  }
 }

@@ -445,8 +445,14 @@ object Dedup {
     * oracle-checked end to end. Tokenless docs are dropped (inner explode,
     * matching SQL `unnest`) — they can contribute no meaningful signature.
     */
-  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = 32
+  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 32): DataFrame = {
+    // bit j reads hex digit j/4 of the 32-digit md5, so 64 bits consumes the
+    // first 16 digits; 128 would exhaust the digest and 64 is the widest
+    // BIGINT pack both engines share (bit 63 lands on the sign — two's
+    // complement addition of the CASE terms is overflow-free in either
+    // engine because the positive partial sums stay below 2^63).
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
     val tok = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("hx", md5(col("tok")))
@@ -471,6 +477,18 @@ object Dedup {
                              maxDist: Int = 3): DataFrame = {
     val sigs = simhashPortableSigs(df, idCol, textCol).localCheckpoint()
     simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 32)
+  }
+
+  /** The portable witness at the PRODUCTION band width: 64-bit md5-nibble
+    * signatures through the same pigeonhole banding as the scale path
+    * [[simhashNearDupPairs]] — 16-bit bands at the default maxDist=3, the
+    * exact 2^16-key layout d3b runs — so the production banding arithmetic
+    * (not just its 32-bit twin) is oracle-checked digit for digit.
+    */
+  def simhashPortableNearDup64(df: DataFrame, idCol: String, textCol: String,
+                               maxDist: Int = 3): DataFrame = {
+    val sigs = simhashPortableSigs(df, idCol, textCol, bits = 64).localCheckpoint()
+    simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 64)
   }
 
   /** Edit-distance near-duplicate pairs within a blocking key. Candidates

@@ -277,6 +277,50 @@ object Similarity {
     cosineNearDupPairsBanded(corpus, threshold, planes, nBands, dims)
   }
 
+  /** [[cosineNearDupPairsBanded]]'s PORTABLE witness (the d2b/d3c
+    * discipline): the identical multi-band SRP layout — band t uses plane
+    * indices t·b .. t·b+b−1, candidates share a bucket in ANY band, exact
+    * cosine verify — but bucket signs come from
+    * [[graft.functions.Vectors.lshBucketFixedPoint]]'s exact BIGINT
+    * projections instead of the float dot, so every arithmetic step (the
+    * fixed-point floor, the integer plane mix, the sign, the bit pack, the
+    * band equi-join, the rounded cosine) reproduces in ANSI SQL and the
+    * surviving pair set hash-matches the oracle exactly. The scale path
+    * stays [[cosineNearDupPairs]] (codegen'd float dots, corpus-scaled
+    * planes); this twin closes the one operator family whose bucketing
+    * arithmetic had no DuckDB-checked sibling.
+    */
+  def cosineNearDupPairsPortable(corpus: DataFrame, threshold: Double,
+                                 planesPerBand: Int = 6, nBands: Int = 4,
+                                 dims: Int = 64, scaleBits: Int = 20): DataFrame = {
+    require(planesPerBand >= 1 && planesPerBand <= 48, s"planesPerBand=$planesPerBand")
+    require(nBands >= 1, s"nBands=$nBands")
+    val base = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .localCheckpoint()
+    val bandCols = (0 until nBands).map { t =>
+      struct(lit(t).as("band"),
+        Vectors.lshBucketFixedPoint(col("embedding"), planesPerBand, dims,
+          firstPlane = t * planesPerBand, scaleBits = scaleBits).as("bucket"))
+    }
+    val banded = base.select(col("vec_id"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
+      .localCheckpoint()
+    val cands = banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
+      .join(base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** Per-label embedding centroids in exact fixed point: each component is
     * floored to `2^scaleBits` units (power-of-two scaling of a float is
     * EXACT in double arithmetic, and floor is unambiguous on every engine),

@@ -133,6 +133,17 @@ object ExtensionQueries {
         nBands = 8, targetPop = 64)
         .orderBy("a", "b")),
 
+    // E2c2 the SRP family's portable witness (d3c discipline): the SAME
+    // multi-band layout, buckets from EXACT fixed-point BIGINT projections
+    // (floor(x·2^20) × integer plane components — order-independent, zero
+    // ulp risk), every step restated in ANSI SQL → the banding machinery
+    // and the surviving pair set are oracle-checked end to end. e2c stays
+    // the scale path (codegen float dots, corpus-scaled planes).
+    "e2c2_embedding_neardup_portable" -> ((s, d) =>
+      Similarity.cosineNearDupPairsPortable(Tables.embeddings(s, d), 0.4,
+        planesPerBand = 6, nBands = 4)
+        .orderBy("a", "b")),
+
     // T9 corpus bigram-LM document scoring (CCNet-style quality signal):
     // add-k smoothed mean bigram log-probability per document.
     "t9_bigram_lm" -> ((s, d) =>
@@ -548,6 +559,15 @@ object ExtensionQueries {
           maxDist = 3)
         .orderBy("a", "b")),
 
+    // D3d the portable witness at the PRODUCTION band width: 64-bit
+    // md5-nibble signatures, 16-bit pigeonhole bands — the exact 2^16-key
+    // banding layout the scale path d3b runs, hash-checked by the oracle
+    // digit for digit (d3c validates the same machinery at 32/8).
+    "d3d_simhash_portable64" -> ((s, d) =>
+      Dedup.simhashPortableNearDup64(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("a", "b")),
+
     // D4 exact n-gram Jaccard pairs over a shingle inverted index — the
     // oracle-checkable ground truth for the near-dup family.
     "d4_ngram_jaccard" -> ((s, d) =>
@@ -884,6 +904,44 @@ object ExtensionQueries {
 
   /** DuckDB token array matching [[Text.tokens]]. */
   private val toksSql = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** d3c/d3d oracle generator: md5-nibble simhash votes packed into a BIGINT
+    * of `bits` width, pigeonhole-banded at maxDist=3 (band width bits/4),
+    * xor/popcount verified — the exact arithmetic of
+    * `Dedup.simhashPortableSigs` + `simhashPairsFromSigs`. At bits=64 the
+    * top bit lands on the BIGINT sign: the pack's two's-complement addition
+    * is overflow-free (positive partial sums < 2^63), and the band
+    * extraction masks after the arithmetic shift, so sign extension never
+    * reaches a key.
+    */
+  private def simhashPortablePairsSql(bits: Int): String = {
+    val width = bits / 4 // maxDist=3 → 4 equal bands
+    val mask = (1L << width) - 1
+    val votes = (0 until bits).map { j =>
+      s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(hx, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val pack = (0 until bits).map { j =>
+      // 1L<<63 renders as -9223372036854775808, whose unary-minus literal
+      // DuckDB parses via HUGEINT — spell it as an expression instead
+      val bit = if (j == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << j} AS BIGINT)"
+      s"CASE WHEN b$j > 0 THEN $bit ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $pack AS s FROM votes),
+       |banded AS (
+       |  SELECT doc_id, s, band, (s >> ($width * band)) & $mask AS key
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |   AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+  }
   /** 3-shingles matching [[Text.shingles3]] (1-based). */
   private def shinglesSql(t: String) =
     s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, CAST(len($t) AS INTEGER) - 1), i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE CAST([] AS VARCHAR[]) END"
@@ -1255,33 +1313,13 @@ object ExtensionQueries {
          |SELECT train_id, eval_id, n_shared FROM pairs
          |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
 
-    // d3c: the portable simhash restated digit for digit — md5-nibble
-    // votes, BIGINT bit packing, 8-bit pigeonhole bands, xor/popcount
-    // verify. Every step is the identical integer arithmetic the Spark
-    // operator runs, so the pair set hash-matches exactly.
-    "d3c_simhash_portable" -> {
-      val votes = (0 until 32).map { j =>
-        s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(hx, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
-      }.mkString(",\n    ")
-      val pack = (0 until 32).map { j =>
-        s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
-         |votes AS (SELECT doc_id,
-         |    $votes
-         |  FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $pack AS s FROM votes),
-         |banded AS (
-         |  SELECT doc_id, s, band, (s >> (8 * band)) & 255 AS key
-         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
-         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
-         |   AND l.doc_id < r.doc_id)
-         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
-    },
+    // d3c / d3d: the portable simhash restated digit for digit — md5-nibble
+    // votes, BIGINT bit packing, pigeonhole bands, xor/popcount verify
+    // (32-bit/8-bit-band twin and the production 64-bit/16-bit-band
+    // layout). Every step is the identical integer arithmetic the Spark
+    // operator runs, so the pair sets hash-match exactly.
+    "d3c_simhash_portable" -> simhashPortablePairsSql(bits = 32),
+    "d3d_simhash_portable64" -> simhashPortablePairsSql(bits = 64),
 
     "d5_levenshtein_neardup" ->
       """SELECT blk, a, b, dist FROM (
@@ -1340,6 +1378,45 @@ object ExtensionQueries {
     // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the
     // approximate path itself is oracle-checkable end to end.
     "e2b_ann_lsh" -> e2bSql,
+
+    // e2c2: the SRP near-dup witness restated digit for digit — fixed-point
+    // BIGINT projections (floor(x·2^20) × the same integer-mixed plane
+    // components), per-band bit pack, band equi-join, rounded-cosine verify.
+    // Every step is the identical integer arithmetic the Spark operator
+    // runs, so the pair set hash-matches exactly.
+    "e2c2_embedding_neardup_portable" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings),
+        |fixq AS (
+        |  SELECT vec_id, i, x, CAST(FLOOR(x * 1048576) AS BIGINT) AS q FROM flat),
+        |planes AS (
+        |  SELECT CAST(b AS INTEGER) AS band, CAST(j AS INTEGER) AS j
+        |  FROM range(0, 4) t(b) CROSS JOIN range(0, 6) u(j)),
+        |proj AS (
+        |  SELECT f.vec_id, p.band, p.j,
+        |    SUM(f.q * (((f.i * 2654435761 + (p.band * 6 + p.j) * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |  FROM fixq f CROSS JOIN planes p GROUP BY 1, 2, 3),
+        |buckets AS (
+        |  SELECT vec_id, band,
+        |    CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM buckets l JOIN buckets r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY 1),
+        |dots AS (
+        |  SELECT c.a, c.b, SUM(fa.x * fb.x) AS dot
+        |  FROM cand c
+        |  JOIN flat fa ON fa.vec_id = c.a
+        |  JOIN flat fb ON fb.vec_id = c.b AND fb.i = fa.i
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT a, b, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b)
+        |SELECT a, b, cosine FROM cos WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
 
 
     "e9c_hourly_gapfill" ->
