@@ -94,4 +94,18 @@ class PostProcessSpec extends AnyFunSuite {
     PostProcess.compactParquet(spark, c.toString, 1L << 30)
     assert(total(c) == 5050L && !Files.exists(cOld))
   }
+
+  test("compactParquet accepts a scheme-qualified file: URI (Hadoop FS path handling)") {
+    import spark.implicits._
+    val raw = Files.createTempDirectory("pp_uri").resolve("t")
+    (1L to 200L).toDF("x").repartition(8).write.parquet(raw.toString)
+    // the URI form java.nio.Paths.get would reject — proves the compaction
+    // path goes through the Hadoop FileSystem resolver end to end
+    val uri = "file:" + raw.toString
+    val (before, after) = PostProcess.compactParquet(spark, uri, targetBytes = 1L << 30)
+    assert(before == 8 && after == 1, s"$before -> $after")
+    val back = spark.read.parquet(raw.toString)
+    assert(back.count() == 200 &&
+      back.agg(org.apache.spark.sql.functions.sum($"x")).head().getLong(0) == 20100L)
+  }
 }
