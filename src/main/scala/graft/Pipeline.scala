@@ -500,10 +500,29 @@ object Pipeline {
       case SinkMode.Parquet =>
         val ptr = Paths.get(outDir, "visitantes", "_CURRENT")
         val nextVersion = f"v${(if (Files.exists(ptr)) Files.readString(ptr).trim.drop(1).toInt else 0) + 1}%06d"
-        merged.write.mode("overwrite").parquet(Paths.get(outDir, "visitantes", nextVersion).toString)
+        val versionDir = Paths.get(outDir, "visitantes", nextVersion).toString
+        merged.write.mode("overwrite").parquet(versionDir)
         Files.createDirectories(ptr.getParent)
         Files.writeString(ptr, nextVersion)
         pruneVisitantesVersions(outDir, keepVersions)
+        // SCD-2 history of the visitantes dimension (SURVEY §2.5 rollover
+        // semantics, kept queryable by time): this batch's updates are the
+        // merged states of the keys the batch touched, effective asOf. The
+        // closed extent under visitantes_scd/closed only ever appends —
+        // existing files stay byte-untouched (the Scd.applyBatchDelta write
+        // path at Pipeline level; cold history never rewrites). Rebased on
+        // the JUST-WRITTEN version dir, not `merged`: the lazy merge plan
+        // reads the PREVIOUS version, which the GC above may already have
+        // pruned. JDBC mode keeps the reference's Type-1 table only: an
+        // operational DB's dimension history is the warehouse's job, not
+        // the OLTP sink's.
+        val touched = spark.read.parquet(versionDir)
+          .join(delta.select("email"), Seq("email"), "left_semi")
+          .withColumn("_eff", lit(asOf))
+        operators.Scd.applyBatchDeltaDirs(spark,
+          Paths.get(outDir, "visitantes_scd", "open").toString,
+          Paths.get(outDir, "visitantes_scd", "closed").toString,
+          touched, "email", Merge.allCols.filterNot(_ == "email"), "_eff")
     }
 
     // bitacora: the per-file ledger, appended last. Files the caller expected

@@ -25,11 +25,14 @@ object Scd {
 
   /** The three change frames one Type-2 batch produces, plus the complete
     * new open slice. Write protocol for a dimension laid out as an
-    * append-only closed extent + a small open slice:
-    * {{{
-    *   closedDelta.write.mode("append").parquet(closedDir)   // cold extent grows
-    *   newOpen.write.mode("overwrite").parquet(openDir)      // small slice rewritten
-    * }}}
+    * append-only closed extent + a small open slice: use [[writeDelta]]
+    * (or [[applyBatchDeltaDirs]] for the whole read-apply-write cycle).
+    * Writing by hand, BOTH frames must be materialized before the open
+    * slice's overwrite — when `dim` was read from `openDir`, every frame
+    * here carries lineage through that path, and
+    * `newOpen.write.mode("overwrite").parquet(openDir)` on the lazy plan
+    * either throws Spark's "Cannot overwrite a path that is also being read
+    * from" or, on stores without that guard, reads deleted files.
     * The closed extent's existing files are never touched. `opened` and
     * `firstSeen` are the two disjoint sources of new open rows (changed
     * keys vs keys with no open row); both are already contained in
@@ -159,5 +162,49 @@ object Scd {
     val newOpen = survivors.unionByName(opened).unionByName(firstSeen)
 
     ScdDelta(closedDelta.select(outCols: _*), opened, firstSeen, newOpen)
+  }
+
+  /** Write one [[ScdDelta]] to an open/closed-partitioned layout. Both
+    * frames are materialized (localCheckpoint) BEFORE any write: when the
+    * dimension was read from `openDir` their lineage still reads that path,
+    * and overwriting a path a pending lazy plan reads either throws or
+    * reads deleted files (see [[ScdDelta]]). The cold extent appends FIRST,
+    * so a crash between the two writes never loses closed history; it does
+    * leave the batch half-applied (closed rows present in the extent AND
+    * still open on disk), and re-running the same batch then re-appends the
+    * same closed rows — a single-writer caller needing exactly-once wraps
+    * the pair in its own versioned-pointer swap (the S5 pattern). Returns
+    * (closed, newOpen) row counts.
+    */
+  def writeDelta(delta: ScdDelta, closedDir: String, openDir: String): (Long, Long) = {
+    val closedM = delta.closedDelta.localCheckpoint()
+    val openM = delta.newOpen.localCheckpoint()
+    closedM.write.mode("append").parquet(closedDir)
+    openM.write.mode("overwrite").parquet(openDir)
+    (closedM.count(), openM.count())
+  }
+
+  /** One whole Type-2 batch against a dimension ON DISK: read the open
+    * slice from `openDir` (absent → empty dimension, so the first batch
+    * bootstraps the layout), [[applyBatchDelta]], [[writeDelta]]. The
+    * closed extent at `closedDir` only ever receives appends — its existing
+    * files stay byte-untouched at any scale (PipelineSpec asserts this
+    * across batches). Single-writer, like every sink in this engine.
+    */
+  def applyBatchDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+                          openDir: String, closedDir: String,
+                          updates: DataFrame, key: String, attrs: Seq[String],
+                          effCol: String, validFrom: String = "valid_from",
+                          validTo: String = "valid_to"): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(openDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dim =
+      if (fs.exists(p)) spark.read.parquet(openDir)
+      else updates.select(
+        (key +: attrs).map(col) :+
+          col(effCol).as(validFrom) :+ col(effCol).as(validTo): _*)
+        .limit(0)
+    val delta = applyBatchDelta(dim, updates, key, attrs, effCol, validFrom, validTo)
+    writeDelta(delta, closedDir, openDir)
   }
 }

@@ -138,6 +138,52 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(vis.filter(col("email") === "eve@example.com").head().getInt(3) == 2)
     assert(vis.count() == 4) // alice, bob, dave, eve
   }
+
+  test("scd history: closed extent byte-untouched across batches, versions correct") {
+    // self-contained layout (fresh dirs): two batches through the REAL sink
+    // path, asserting the visitantes_scd open/closed write protocol at the
+    // Pipeline level — batch 1's closed-extent files must survive batch 2
+    // bit for bit (cold history never rewrites), and the dimension's history
+    // must be queryable by time.
+    val in2 = Files.createTempDirectory("graft_scd_in")
+    val out2 = Files.createTempDirectory("graft_scd_out")
+    Files.write(in2.resolve("report_a.txt"), reportA.mkString("\n").getBytes)
+    Pipeline.runBatch(spark, in2.toString, out2.toString, Date.valueOf("2024-02-15"))
+
+    val closedDir = out2.resolve("visitantes_scd").resolve("closed")
+    val openDir = out2.resolve("visitantes_scd").resolve("open")
+    def closedFiles() = closedDir.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = closedFiles() // batch 1: all first-seen, closed extent empty parts
+    assert(spark.read.parquet(openDir.toString).count() == 2) // alice, bob open
+
+    Files.write(in2.resolve("report_b.txt"), reportB.mkString("\n").getBytes)
+    Pipeline.runBatch(spark, in2.toString, out2.toString, Date.valueOf("2024-03-20"))
+
+    // batch-1 closed files byte-untouched after batch 2's append
+    val after = closedFiles()
+    before.foreach { case (name, mtime) =>
+      assert(after.get(name).contains(mtime), s"closed file $name rewritten")
+    }
+
+    // open slice: alice's NEW state, bob untouched (not in batch 2's delta),
+    // dave first-seen — exactly one open row per key
+    val open = spark.read.parquet(openDir.toString)
+    assert(open.select("email").orderBy("email").collect().map(_.getString(0)).toSeq ==
+      Seq("alice@example.com", "bob@example.com", "dave@example.com"))
+    assert(open.filter(col("email") === "alice@example.com")
+      .head().getAs[Int]("visitasTotales") == 3)
+    assert(open.filter(col("valid_to").isNotNull).count() == 0)
+
+    // closed extent: alice's batch-1 state, interval [2024-02-15, 2024-03-20)
+    val closed = spark.read.parquet(closedDir.toString).collect()
+    assert(closed.length == 1)
+    assert(closed(0).getAs[String]("email") == "alice@example.com" &&
+      closed(0).getAs[Int]("visitasTotales") == 2 &&
+      closed(0).getAs[Date]("valid_from").toString == "2024-02-15" &&
+      closed(0).getAs[Date]("valid_to").toString == "2024-03-20")
+  }
 }
 
 /** The reference's literal sink family (MySQL append loaders + staging

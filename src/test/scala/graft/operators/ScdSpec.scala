@@ -136,4 +136,51 @@ class ScdSpec extends SparkSpec {
     assert(delta.firstSeen.select("k").as[Long].collect().toSeq == Seq(9L))
     assert(delta.newOpen.select("k").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L, 9L))
   }
+
+  test("applyBatchDeltaDirs: dim READ from openDir parquet survives its own overwrite") {
+    // the lineage hazard the write protocol exists for: batch 2's newOpen is
+    // derived from a frame read from openDir, then overwrites that same path
+    // — without the materialize-first protocol Spark throws 'Cannot
+    // overwrite a path that is also being read from' (or reads deleted
+    // files). This test runs the WHOLE cycle from disk, twice.
+    val root = java.nio.file.Files.createTempDirectory("scd_dirs").toString
+    val (openDir, closedDir) = (s"$root/open", s"$root/closed")
+
+    val b1 = Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00")),
+      (2L, "gold", ts("2024-01-01 00:00:00"))).toDF("k", "tier", "eff")
+    val (c1, o1) = Scd.applyBatchDeltaDirs(spark, openDir, closedDir, b1, "k", Seq("tier"), "eff")
+    assert(c1 == 0 && o1 == 2, s"bootstrap: $c1 closed, $o1 open")
+
+    def closedFiles() = new java.io.File(closedDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = closedFiles()
+
+    val b2 = Seq(
+      (1L, "silver", ts("2024-06-01 00:00:00")),  // change: closes + opens
+      (2L, "gold", ts("2024-06-01 00:00:00")),    // no-op
+      (3L, "bronze", ts("2024-06-01 00:00:00"))   // first-seen
+    ).toDF("k", "tier", "eff")
+    val (c2, o2) = Scd.applyBatchDeltaDirs(spark, openDir, closedDir, b2, "k", Seq("tier"), "eff")
+    assert(c2 == 1 && o2 == 3, s"batch 2: $c2 closed, $o2 open")
+
+    // batch-1 closed files byte-untouched after batch 2's append
+    val after = closedFiles()
+    before.foreach { case (name, mtime) =>
+      assert(after.get(name).contains(mtime), s"closed file $name rewritten")
+    }
+
+    val open = spark.read.parquet(openDir)
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq.sortBy(_._1)
+    assert(open == Seq(
+      (1L, "silver", ts("2024-06-01 00:00:00"), None),
+      (2L, "gold", ts("2024-01-01 00:00:00"), None),
+      (3L, "bronze", ts("2024-06-01 00:00:00"), None)), open.mkString("\n"))
+    val closed = spark.read.parquet(closedDir)
+      .as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+    assert(closed == Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-06-01 00:00:00")))),
+      closed.mkString("\n"))
+  }
 }
