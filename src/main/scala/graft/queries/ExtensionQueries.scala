@@ -103,23 +103,27 @@ object ExtensionQueries {
     // user actually runs — sampled k-means centroids (e2d) — whose recall
     // value is engine-specific (centroids from the deterministic 2048-row
     // sample), so the oracle pins n_true (SQL-recomputable) plus
-    // recall_ok at a 0.5 floor (measured 0.625 on this corpus at
-    // nProbe=4/16 cells — deterministic per dataset, and the testdata is
+    // recall_ok at a 0.6 floor. nProbe=8/16 cells, measured 0.85 (sf0.01)
+    // and 0.81 (sf0.1) on this corpus — the 0.2+ margin is what makes the
+    // gate a regression tripwire rather than a knife-edge (the old
+    // nProbe=4 setting measured 0.625 over a 0.5 floor, a 20% silent-
+    // degradation window). Deterministic per dataset, and the testdata is
     // byte-stable across rounds: e2e/e2f emit exact recall values that
-    // hash-match every round). A quantizer or probe regression turns the
+    // hash-match every round. A quantizer or probe regression turns the
     // row red.
     "e2h_ivf_sampled_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
         .select(col("a_id"), col("b_id"))
-      val approx = Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, 5)
+      val approx = Similarity.ivfTopK(emb.filter(col("vec_id") < 32), emb, 5,
+          nCells = 16, nProbe = 8)
         .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_true"),
           sum(coalesce(col("hit"), lit(0L))).as("_n_hit"))
         .select(col("n_true"),
           (col("_n_hit").cast("double") / col("n_true").cast("double")
-            >= lit(0.5)).as("recall_ok"))
+            >= lit(0.6)).as("recall_ok"))
     }),
 
     // E2c embedding-cosine near-dup pairs, multi-band SRP blocking with the
@@ -441,10 +445,14 @@ object ExtensionQueries {
     // (the e2e_ann_recall pattern): per stratum, emit the exact population
     // (oracle-recomputable) plus whether the realized sample count sits
     // within 6 standard deviations of the exact binomial mean f*n
-    // (sd = sqrt(n*f*(1-f)); P(miss) ~ 2e-9 per stratum, deterministic for
-    // a fixed seed). The oracle pins the gate TRUE, so a seeding or
-    // sampling regression turns the row red. f=1.0 strata degenerate to
-    // sd=0: the gate then requires n_sampled == n exactly.
+    // (sd = sqrt(n*f*(1-f)); P(miss) ~ 2e-9 per stratum). The draw is
+    // deterministic for a fixed seed AND partitioning — sampleBy seeds its
+    // rand stream per partition index, so realized counts shift if the file
+    // split layout changes; the 6-sigma gate holds w.h.p. under ANY layout,
+    // which is exactly why the gate (not the counts) is what the oracle
+    // pins TRUE. A seeding or sampling regression turns the row red.
+    // f=1.0 strata degenerate to sd=0: the gate then requires
+    // n_sampled == n exactly.
     "smp1_stratified_sample" -> ((s, d) => {
       val fractions = Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0,
         "signup" -> 0.1, "error" -> 0.05)

@@ -353,21 +353,20 @@ object StreamingPipeline {
     try out.write(s"v=$batchId".getBytes("UTF-8")) finally out.close()
     val cur = fs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT"))
-    try {
+    if (supportsFileContext(cur.toUri, spark.sparkContext.hadoopConfiguration)) {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         cur.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
+    } else {
       // Object stores without an AbstractFileSystem binding (e.g. s3a by
       // default) can't serve FileContext; fall back to delete+rename with
       // the rename CHECKED. The no-pointer window reopens there, but those
-      // stores' "atomic" rename is delete+copy anyway — readers on such
-      // stores should treat a missing pointer as transient and retry.
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(cur)) fs.delete(cur, false)
-        if (!fs.rename(tmp, cur))
-          throw new java.io.IOException(
-            s"cdcApplyBatch: pointer swap $tmp -> $cur failed")
+      // stores' "atomic" rename is delete+copy anyway — cdcCurrentState
+      // re-probes once to absorb the window.
+      if (fs.exists(cur)) fs.delete(cur, false)
+      if (!fs.rename(tmp, cur))
+        throw new java.io.IOException(
+          s"cdcApplyBatch: pointer swap $tmp -> $cur failed")
     }
     // retain two prior versions for readers mid-swap; GC the rest
     prior.sorted.dropRight(2).foreach { v =>
@@ -375,11 +374,34 @@ object StreamingPipeline {
     }
   }
 
-  /** Read the CDC state table an external reader would see (pointer). */
+  /** Whether `uri`'s store serves FileContext (an AbstractFileSystem
+    * binding exists). Probed ONCE per (scheme, authority) and cached: the
+    * swap strategy is a property of the store, not of the batch, and a
+    * FileContext-less store (e.g. s3a by default) would otherwise pay a
+    * thrown UnsupportedFileSystemException on every pointer swap.
+    */
+  private val fileContextSupport =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def supportsFileContext(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    fileContextSupport.computeIfAbsent(
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
+      _ => try {
+        org.apache.hadoop.fs.FileContext.getFileContext(uri, conf); true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      })
+
+  /** Read the CDC state table an external reader would see (pointer). One
+    * bounded re-probe on a missing pointer: on stores where the swap
+    * degrades to delete+rename (no FileContext binding) a reader can land
+    * in the no-pointer window; a single 50 ms retry absorbs the common
+    * case without masking a genuinely absent state dir.
+    */
   def cdcCurrentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cur)) None
+    if (!fs.exists(cur) && { Thread.sleep(50); !fs.exists(cur) }) None
     else {
       val in = fs.open(cur)
       val v = try new java.io.BufferedReader(
