@@ -33,6 +33,38 @@ object RelationalQueries {
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   private def revenue = dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
 
+  /** q22's shared ANSI text (s1/ex1 discipline): one statement, two engines —
+    * Spark runs it over temp views, DuckDB over the parquet views.
+    */
+  private def q22Sql(customer: String, orders: String): String =
+    s"""WITH pos AS (
+       |  SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+       |  FROM $customer WHERE c_acctbal > 0.0)
+       |SELECT c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS numcust,
+       |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+       |FROM pos
+       |WHERE bal > (SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) FROM pos)
+       |  AND NOT EXISTS (SELECT 1 FROM $orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q15's shared ANSI text (s1/ex1 discipline). */
+  private def q15Sql(lineitem: String, supplier: String): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+       |  FROM $lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM $supplier JOIN rev ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // TPC-H Q1 shape: scan-heavy partial+final hash aggregate.
     "q1_pricing_summary" -> ((s, d) =>
@@ -699,6 +731,81 @@ object RelationalQueries {
           (col("_rev").cast("double") - col("_cost").cast("double")).as("sum_profit"),
           col("n_items"))
         .orderBy("nation", "o_year")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    // with a condition filter, then a distribution-of-counts re-aggregate.
+    // Scale shape: orders aggregates FIRST (map-side-combined, shuffle =
+    // |custkeys-with-orders|), then one key join against customer and a tiny
+    // second aggregate — the fact table is never shuffled wide. Zero-order
+    // customers come from the LEFT join's nulls, coalesced to 0.
+    "q13_order_distribution" -> ((s, d) => {
+      val ordCnt = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): OR-of-ANDs mixing
+    // part and lineitem attributes. Scale shape: the part-only disjunction
+    // (brand, size) filters the dim BEFORE it broadcasts, the quantity
+    // UNION BOUND (1..50 here spans all branches; kept explicit as the
+    // derivable coarse filter) pushes to the fact scan, and the full mixed
+    // disjunction evaluates as a post-join residual — the classic
+    // "push what you can, residual the rest" discipline.
+    "q19_disjunctive_filter" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(5, 25)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(20, 40)))
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 50))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(5, 25)
+            && col("l_quantity").between(15, 35)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(20, 40)
+            && col("l_quantity").between(30, 50)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22 shape (global-scalar filter + anti-join): positive-balance
+    // customers above the GLOBAL average balance with no recent orders.
+    // One shared ANSI text (the s1/ex1 discipline — DuckDB runs the same
+    // statement): Spark decorrelates the NOT EXISTS to a shuffled LEFT ANTI
+    // on o_custkey and evaluates the scalar subquery once (subquery reuse,
+    // not a per-row probe). The average is one IEEE division of an exact
+    // decimal sum by a count — deterministic on both engines. The date
+    // bound pre-filters orders BEFORE the anti join's shuffle.
+    "q22_dormant_accounts" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_q22")
+      Tables.orders(s, d).createOrReplaceTempView("o_q22")
+      s.sql(q22Sql("c_q22", "o_q22"))
+    }),
+
+    // TPC-H Q15 shape (argmax against a global scalar): per-supplier quarter
+    // revenue, keep the supplier(s) hitting the global MAX. Shared ANSI text
+    // (s1/ex1 discipline). Scale shape: the `rev` aggregate is date-pruned
+    // at the scan and map-side-combined (shuffle = |suppliers| rows); Spark
+    // evaluates the CTE twice — once under the scalar MAX subquery, once in
+    // the main join — the documented price of the shared-text discipline
+    // here (both passes are the same pruned scan+combine; a caller that
+    // cares caches `rev`). The equality filter + supplier join touch only
+    // |suppliers| rows. Exact decimal revenue makes the MAX tie-set
+    // deterministic — no ulp-dependent argmax flapping.
+    "q15_top_supplier" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("l_q15")
+      Tables.supplier(s, d).createOrReplaceTempView("s_q15")
+      s.sql(q15Sql("l_q15", "s_q15"))
     }),
 
     // R3 cohort retention (product analytics): users bucketed by first-seen
@@ -1509,6 +1616,28 @@ object RelationalQueries {
         |JOIN nation   ON n_nationkey = s_nationkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 15 AND 35)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 30 AND 50)""".stripMargin,
+
+    "q22_dormant_accounts" -> q22Sql("customer", "orders"),
+
+    "q15_top_supplier" -> q15Sql("lineitem", "supplier"),
 
     "r3_cohort_retention" ->
       """WITH first AS (
