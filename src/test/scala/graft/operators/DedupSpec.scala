@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_._3 == 0), "exact-dup pair should appear at distance 0")
   }
 
+  test("portable simhash at 64 bits (d3d witness): sign-bit pack, pairs == brute force") {
+    // 64-bit md5-nibble signatures: bit 63 lands on the BIGINT sign, so
+    // signatures may be negative — the pack must still round-trip through
+    // banding (arithmetic shift + mask) and xor/popcount identically.
+    val sigs = Dedup.simhashPortableSigs(docs, "doc_id", "text", bits = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.size == 5)
+    assert(sigs(1L) == sigs(2L)) // identical text, identical signature
+    val got = Dedup.simhashPortableNearDup64(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.exists(_._3 == 0), "exact-dup pair should appear at distance 0")
+  }
+
   test("pigeonhole banding is COMPLETE and EXACT for Hamming <= k on seeded 64-bit sigs") {
     // property (verdict item): pairs found by banding == brute-force pairs
     // with bit_count(sig_a ^ sig_b) <= maxDist. The corpus mixes random

@@ -72,6 +72,46 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.contains((0L, 1L)))
   }
 
+  test("portable SRP near-dup (e2c2 witness): pairs == band-collisions ∩ cosine>=t, exactly") {
+    // seeded corpus with planted near-duplicates: the witness must report
+    // EXACTLY the pairs that (a) share a fixed-point band bucket in any of
+    // the 4 bands and (b) pass the rounded-cosine threshold — soundness and
+    // band-completeness in one set equality, against an independent
+    // recomputation of both sides.
+    val rnd = new scala.util.Random(11)
+    val base = Vector.fill(60)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val planted = base.take(5).map(v => v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val all = (base ++ planted).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = all.toDF("vec_id", "embedding")
+    val thr = 0.9
+    val got = Similarity.cosineNearDupPairsPortable(df, thr,
+        planesPerBand = 4, nBands = 4, dims = 16)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+
+    // independent bucket recomputation through the same public expression
+    val bands = (0 until 4).map { t =>
+      graft.functions.Vectors.lshBucketFixedPoint(
+        org.apache.spark.sql.functions.col("embedding"), 4, 16, firstPlane = t * 4)
+        .as(s"bk$t")
+    }
+    val buckets = df.select(org.apache.spark.sql.functions.col("vec_id") +: bands: _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n2(v: Array[Float]) = v.map(x => x.toDouble * x.toDouble).sum
+      dot / (math.sqrt(n2(a)) * math.sqrt(n2(b)))
+    }
+    val byId = all.toMap
+    val expect = (for {
+      (a, ba) <- buckets.toSeq; (b, bb) <- buckets.toSeq if a < b
+      if ba.zip(bb).exists { case (x, y) => x == y } // collide in ANY band
+      if BigDecimal(cos(byId(a), byId(b))).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= thr
+    } yield (a, b)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.nonEmpty, "planted near-dups produced no pairs — weaken the seed")
+  }
+
   test("planesForCorpus bounds expected bucket population by targetPop at every N") {
     // the documented invariant: 2^planes ≥ N/targetPop (so E[pop] ≤ targetPop),
     // with the [4, 48] clamp at the extremes
