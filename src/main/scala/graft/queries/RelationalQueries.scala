@@ -808,6 +808,46 @@ object RelationalQueries {
       s.sql(q15Sql("l_q15", "s_q15"))
     }),
 
+    // TPC-H Q12 shape (priority by line status): one fact ⨝ fact equi-join
+    // (date window pushed to the lineitem scan, orders projected to
+    // key+priority before its shuffle) feeding two-way conditional counts —
+    // the canonical CASE-sum pivot over a join. Adapted: lineitem has no
+    // l_shipmode, so l_linestatus is the group.
+    "q12_priority_by_status" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .select("l_orderkey", "l_linestatus")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q16 shape (distinct suppliers per part class, with an excluded-
+    // supplier anti-join): COUNT DISTINCT after an anti join. Scale shape:
+    // the brand filter broadcasts into the fact scan, the exclusion list
+    // (negative-balance suppliers — the NOT IN complaints stand-in; key is
+    // non-null so plain LEFT ANTI matches NOT IN) is dim-sized and
+    // broadcasts, and the distinct-aggregate runs Spark's two-phase expand
+    // (partial distinct per partition before the final shuffle).
+    "q16_supplier_variety" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_size") % 5).cast("int").as("size_class"))
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("size_class"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("size_class"))
+    }),
+
     // R3 cohort retention (product analytics): users bucketed by first-seen
     // week, counted in each later active week — two map-side-combined
     // aggregates plus one key join, shuffle = |users| + |user-weeks|. The
@@ -1638,6 +1678,26 @@ object RelationalQueries {
     "q22_dormant_accounts" -> q22Sql("customer", "orders"),
 
     "q15_top_supplier" -> q15Sql("lineitem", "supplier"),
+
+    "q12_priority_by_status" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, CAST(p_size % 5 AS INTEGER) AS size_class,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, size_class""".stripMargin,
 
     "r3_cohort_retention" ->
       """WITH first AS (
