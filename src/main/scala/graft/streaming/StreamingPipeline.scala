@@ -321,6 +321,57 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Continuous SCD-2 materialization: drain an attribute-update stream into
+    * an on-disk open/closed dimension layout via
+    * [[graft.operators.Scd.applyBatchDeltaDirs]] — the streaming form of the
+    * batch pipeline's `visitantes_scd` sink. Each micro-batch is reduced to
+    * ONE row per key (latest by `effCol`, ties by `tieCol`) before the
+    * Type-2 apply, since a Type-2 batch closes at most one interval per key.
+    *
+    * Replay protocol (foreachBatch is at-least-once): a completed batch
+    * leaves an underscore-prefixed marker (invisible to parquet file
+    * listings) and replays skip on it. A crash INSIDE the batch either
+    * happened before the open slice's overwrite — the replay recomputes the
+    * identical delta and re-appends the same closed rows (the d8
+    * append-then-marker trade: closed-extent duplicates are STORED, never
+    * lost; `Dedup.compactDedupIndex`-style distinct compaction or a
+    * read-side dropDuplicates absorbs them) — or after it, where the
+    * recomputed delta is empty (attrs already equal) and the replay is a
+    * pure no-op. Closed history cannot be lost at any crash point because
+    * the cold extent appends BEFORE the open slice swaps.
+    */
+  def scdApplyStream(updates: DataFrame, openDir: String, closedDir: String,
+                     checkpointDir: String, key: String, attrs: Seq[String],
+                     effCol: String, tieCol: String): StreamingQuery =
+    updates.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scdApplyBatch(batch, batchId, openDir, closedDir, key, attrs, effCol, tieCol)
+      }
+      .start()
+
+  /** One replay-guarded SCD-2 micro-batch (see [[scdApplyStream]]). */
+  def scdApplyBatch(batch: DataFrame, batchId: Long, openDir: String,
+                    closedDir: String, key: String, attrs: Seq[String],
+                    effCol: String, tieCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val cdir = new org.apache.hadoop.fs.Path(closedDir)
+    val fs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(closedDir, s"_applied-$batchId")
+    if (fs.exists(marker)) return // replay of a COMPLETED batch: skip whole
+    // latest row per key: window over the (unbounded-cardinality) business
+    // key — the same per-key discipline as the CDC heap collapse
+    val latest = batch
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(effCol).desc, col(tieCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    graft.operators.Scd.applyBatchDeltaDirs(
+      spark, openDir, closedDir, latest, key, attrs, effCol)
+    fs.create(marker, true).close()
+  }
+
   /** One idempotent CDC micro-batch (see [[cdcApplyStream]]). */
   def cdcApplyBatch(batch: DataFrame, batchId: Long, stateDir: String,
                     key: String, attrs: Seq[String], opCol: String = "op",

@@ -357,6 +357,62 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(state() == Seq((1L, "a2")), state())
   }
 
+  test("streaming SCD-2: history accumulates, replay of a completed batch is a no-op") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("scd_stream").toString
+    val (openDir, closedDir) = (s"$root/open", s"$root/closed")
+    def open() = spark.read.parquet(openDir)
+      .orderBy("k").as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+    def closed() = spark.read.parquet(closedDir)
+      .orderBy("k", "valid_from").as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+
+    // batch 0: two first-seen keys; in-batch dupes for k=1 reduce to latest
+    StreamingPipeline.scdApplyBatch(
+      Seq((1L, "bronze", Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+        (1L, "silver", Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+        (2L, "gold", Timestamp.valueOf("2024-01-01 10:00:00"), 3L))
+        .toDF("k", "tier", "eff", "seq"),
+      0L, openDir, closedDir, "k", Seq("tier"), "eff", "seq")
+    assert(open().map(r => (r._1, r._2)) == Seq((1L, "silver"), (2L, "gold")), open())
+    assert(closed().isEmpty, closed())
+
+    // batch 1: change k=1, first-seen k=3
+    val b1 = Seq((1L, "gold", Timestamp.valueOf("2024-02-01 10:00:00"), 4L),
+      (3L, "bronze", Timestamp.valueOf("2024-02-01 10:00:00"), 5L))
+      .toDF("k", "tier", "eff", "seq")
+    StreamingPipeline.scdApplyBatch(b1, 1L, openDir, closedDir, "k", Seq("tier"), "eff", "seq")
+    assert(open().map(r => (r._1, r._2)) == Seq((1L, "gold"), (2L, "gold"), (3L, "bronze")))
+    assert(closed() == Seq((1L, "silver", Timestamp.valueOf("2024-01-01 10:00:00"),
+      Some(Timestamp.valueOf("2024-02-01 10:00:00")))), closed())
+
+    // at-least-once replay of the COMPLETED batch 1: marker short-circuits,
+    // no duplicate closed rows, open slice unchanged
+    StreamingPipeline.scdApplyBatch(b1, 1L, openDir, closedDir, "k", Seq("tier"), "eff", "seq")
+    assert(closed().size == 1, s"replay duplicated closed rows: ${closed()}")
+    assert(open().map(r => (r._1, r._2)) == Seq((1L, "gold"), (2L, "gold"), (3L, "bronze")))
+  }
+
+  test("streaming SCD-2 end-to-end: memory-stream updates drain into the open/closed layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("scds_stream").toString
+    val (openDir, closedDir) = (s"$root/open", s"$root/closed")
+    val ck = Files.createTempDirectory("scds_ck").toString
+    val mem = MemoryStream[(Long, String, Timestamp, Long)]
+    mem.addData((1L, "bronze", Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, "gold", Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+      (1L, "silver", Timestamp.valueOf("2024-03-01 10:00:00"), 3L))
+    val q = StreamingPipeline.scdApplyStream(
+      mem.toDF().toDF("k", "tier", "eff", "seq"),
+      openDir, closedDir, ck, "k", Seq("tier"), "eff", "seq")
+    q.awaitTermination(120000)
+    // one micro-batch: latest-per-key reduction keeps silver for k=1
+    val open = spark.read.parquet(openDir)
+      .orderBy("k").as[(Long, String, Timestamp, Option[Timestamp])].collect().toSeq
+    assert(open.map(r => (r._1, r._2)) == Seq((1L, "silver"), (2L, "gold")), open)
+    assert(open.forall(_._4.isEmpty))
+  }
+
   test("streaming CDC end-to-end: memory-stream changes drain into the state table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
