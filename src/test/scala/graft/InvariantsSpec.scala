@@ -28,6 +28,23 @@ class InvariantsSpec extends SparkSpec {
   private def batches(n: Int): Seq[List[(String, String, String, String)]] =
     (1 to n).map(i => batchGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("registry hygiene: no orphaned oracle keys, no cross-registry query shadowing") {
+    // an oracleSql key with no matching query would dump nothing and surface
+    // only as a read-error row in the driver's compare; a duplicated query
+    // name across the three registries would SILENTLY shadow the earlier
+    // implementation through the Map ++ merge — both made impossible here
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a registered query: $orphans")
+    val regs = Seq(
+      "parity" -> queries.ParityQueries.queries.keySet,
+      "relational" -> queries.RelationalQueries.queries.keySet,
+      "extension" -> queries.ExtensionQueries.queries.keySet)
+    for (Seq((na, a), (nb, b)) <- regs.combinations(2)) {
+      val dup = a intersect b
+      assert(dup.isEmpty, s"query names in both $na and $nb: $dup")
+    }
+  }
+
   test("split is a partition and explode cardinality = Σ failed checks") {
     for (rows <- batches(8)) {
       val df = rows.toDF("email", "Fecha envio", "Fecha open", "Fecha click")
