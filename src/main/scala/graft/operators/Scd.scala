@@ -67,10 +67,15 @@ object Scd {
         attrs.map(a => col(s"u.$a").as(a)) :+
         col(s"u.$effCol").as("_eff"): _*)
 
-    // new open rows: one per changed key...
+    // new open rows: one per changed key. The open NULL valid_to takes
+    // effCol's OWN type (not a hardcoded timestamp): closedDelta's valid_to
+    // is the eff value, and a DATE effCol — e.g. the Pipeline's lit(asOf) —
+    // must not leave the open slice TIMESTAMP-typed while the closed extent
+    // is DATE-typed, or a merged read over both dirs fails to unify.
+    val nullValidTo = lit(null).cast(u0.schema(effCol).dataType).as(validTo)
     val opened = changed
       .select(col(key) +: attrs.map(col) :+
-        col("_eff").as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
+        col("_eff").as(validFrom) :+ nullValidTo: _*)
     // ...plus first rows for keys with NO open row. Anti-join against OPEN
     // keys only (not all keys): a key whose rows are all closed (tombstoned)
     // must reopen on its next update, not vanish — it matches neither
@@ -78,7 +83,7 @@ object Scd {
     val firstSeen = u0
       .join(open.select(key), Seq(key), "left_anti")
       .select(col(key) +: attrs.map(col) :+
-        col(effCol).as(validFrom) :+ lit(null).cast("timestamp").as(validTo): _*)
+        col(effCol).as(validFrom) :+ nullValidTo: _*)
 
     (open, changed, opened, firstSeen)
   }
@@ -179,9 +184,19 @@ object Scd {
   def writeDelta(delta: ScdDelta, closedDir: String, openDir: String): (Long, Long) = {
     val closedM = delta.closedDelta.localCheckpoint()
     val openM = delta.newOpen.localCheckpoint()
-    closedM.write.mode("append").parquet(closedDir)
+    val nClosed = closedM.count()
+    // A no-change batch appends NOTHING to the cold extent (a continuous
+    // stream's steady state is mostly no-change batches — unconditional
+    // empty appends would accrete one file set per batch forever). The one
+    // exception bootstraps the dir on first write so readers always find a
+    // schema'd extent.
+    val cdir = new org.apache.hadoop.fs.Path(closedDir)
+    val cfs = cdir.getFileSystem(
+      delta.newOpen.sparkSession.sparkContext.hadoopConfiguration)
+    if (nClosed > 0 || !cfs.exists(cdir))
+      closedM.write.mode("append").parquet(closedDir)
     openM.write.mode("overwrite").parquet(openDir)
-    (closedM.count(), openM.count())
+    (nClosed, openM.count())
   }
 
   /** One whole Type-2 batch against a dimension ON DISK: read the open

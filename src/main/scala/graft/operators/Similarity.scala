@@ -231,16 +231,29 @@ object Similarity {
     */
   def cosineNearDupPairsBanded(corpus: DataFrame, threshold: Double,
                                planesPerBand: Int, nBands: Int,
-                               dims: Int = 64): DataFrame = {
+                               dims: Int = 64): DataFrame =
+    bandedNearDupCore(corpus, threshold, nBands,
+      t => Vectors.lshBucketFast(col("embedding"), planesPerBand, dims,
+        firstPlane = t * planesPerBand),
+      planesPerBand)
+
+  /** Shared multi-band SRP skeleton for [[cosineNearDupPairsBanded]] and
+    * [[cosineNearDupPairsPortable]]: only the per-band bucket EXPRESSION
+    * differs between the scale path (float dots) and the witness (fixed
+    * point) — one body keeps their "identical layout" contract true by
+    * construction instead of by parallel maintenance.
+    */
+  private def bandedNearDupCore(corpus: DataFrame, threshold: Double,
+                                nBands: Int,
+                                bucketForBand: Int => org.apache.spark.sql.Column,
+                                planesPerBand: Int): DataFrame = {
     require(planesPerBand >= 1 && planesPerBand <= 48, s"planesPerBand=$planesPerBand")
     require(nBands >= 1, s"nBands=$nBands")
     val base = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Vectors.norm2(col("embedding")))
       .localCheckpoint() // feeds banding AND both verify sides — compute once
     val bandCols = (0 until nBands).map { t =>
-      struct(lit(t).as("band"),
-        Vectors.lshBucketFast(col("embedding"), planesPerBand, dims,
-          firstPlane = t * planesPerBand).as("bucket"))
+      struct(lit(t).as("band"), bucketForBand(t).as("bucket"))
     }
     // ids only in the candidate join; embeddings stay out of the explode.
     // Materialized: both self-join sides consume it, and Spark has no
@@ -292,34 +305,11 @@ object Similarity {
     */
   def cosineNearDupPairsPortable(corpus: DataFrame, threshold: Double,
                                  planesPerBand: Int = 6, nBands: Int = 4,
-                                 dims: Int = 64, scaleBits: Int = 20): DataFrame = {
-    require(planesPerBand >= 1 && planesPerBand <= 48, s"planesPerBand=$planesPerBand")
-    require(nBands >= 1, s"nBands=$nBands")
-    val base = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", Vectors.norm2(col("embedding")))
-      .localCheckpoint()
-    val bandCols = (0 until nBands).map { t =>
-      struct(lit(t).as("band"),
-        Vectors.lshBucketFixedPoint(col("embedding"), planesPerBand, dims,
-          firstPlane = t * planesPerBand, scaleBits = scaleBits).as("bucket"))
-    }
-    val banded = base.select(col("vec_id"),
-      explode(array(bandCols: _*)).as("bd"))
-      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
-      .localCheckpoint()
-    val cands = banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
-      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cands
-      .join(base.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
-      .join(base.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
-      .withColumn("cosine", round(
-        Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
-      .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine")
-  }
+                                 dims: Int = 64, scaleBits: Int = 20): DataFrame =
+    bandedNearDupCore(corpus, threshold, nBands,
+      t => Vectors.lshBucketFixedPoint(col("embedding"), planesPerBand, dims,
+        firstPlane = t * planesPerBand, scaleBits = scaleBits),
+      planesPerBand)
 
   /** Per-label embedding centroids in exact fixed point: each component is
     * floored to `2^scaleBits` units (power-of-two scaling of a float is

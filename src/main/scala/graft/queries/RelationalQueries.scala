@@ -656,9 +656,13 @@ object RelationalQueries {
           col("l_orderkey") === col("y_orderkey") && col("l_suppkey") =!= col("y_suppkey"),
           "left_anti")
         .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(count(lit(1)).as("_cnt"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
+        // second aggregate over |suppliers| rows: the oracle groups by
+        // s_name, and supplier NAMES need not be unique (a scaled corpus
+        // replicates them) — suppkey-grouped counts roll up per name
+        .groupBy(col("s_name"))
+        .agg(sum(col("_cnt")).as("numwait"))
         .orderBy(desc("numwait"), col("s_name"))
     }),
 

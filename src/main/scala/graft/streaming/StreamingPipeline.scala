@@ -370,6 +370,14 @@ object StreamingPipeline {
     graft.operators.Scd.applyBatchDeltaDirs(
       spark, openDir, closedDir, latest, key, attrs, effCol)
     fs.create(marker, true).close()
+    // GC old markers: replays only ever arrive for recent batches (the
+    // checkpoint advances), so markers older than batchId-2 are dead weight
+    // a long-running stream would otherwise accrete one file per batch.
+    fs.listStatus(cdir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_applied-") => n.stripPrefix("_applied-").toLong }
+      .filter(_ < batchId - 2)
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(closedDir, s"_applied-$v"), false))
   }
 
   /** One idempotent CDC micro-batch (see [[cdcApplyStream]]). */
@@ -404,21 +412,30 @@ object StreamingPipeline {
     try out.write(s"v=$batchId".getBytes("UTF-8")) finally out.close()
     val cur = fs.makeQualified(
       new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT"))
-    if (supportsFileContext(cur.toUri, spark.sparkContext.hadoopConfiguration)) {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        cur.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } else {
-      // Object stores without an AbstractFileSystem binding (e.g. s3a by
-      // default) can't serve FileContext; fall back to delete+rename with
-      // the rename CHECKED. The no-pointer window reopens there, but those
-      // stores' "atomic" rename is delete+copy anyway — cdcCurrentState
-      // re-probes once to absorb the window.
+    // Object stores without an AbstractFileSystem binding (e.g. s3a by
+    // default) can't serve FileContext; fall back to delete+rename with
+    // the rename CHECKED. The no-pointer window reopens there, but those
+    // stores' "atomic" rename is delete+copy anyway — cdcCurrentState
+    // re-probes once to absorb the window.
+    def fallbackSwap(): Unit = {
       if (fs.exists(cur)) fs.delete(cur, false)
       if (!fs.rename(tmp, cur))
         throw new java.io.IOException(
           s"cdcApplyBatch: pointer swap $tmp -> $cur failed")
     }
+    if (supportsFileContext(cur.toUri, spark.sparkContext.hadoopConfiguration)) {
+      // The cached probe can go stale if a DIFFERENT Configuration (another
+      // session in this JVM) loses the AbstractFileSystem binding — keep the
+      // catch so a stale `true` degrades to the fallback instead of killing
+      // the micro-batch after its data write.
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          cur.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => fallbackSwap()
+      }
+    } else fallbackSwap()
     // retain two prior versions for readers mid-swap; GC the rest
     prior.sorted.dropRight(2).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true)
@@ -446,13 +463,17 @@ object StreamingPipeline {
   /** Read the CDC state table an external reader would see (pointer). One
     * bounded re-probe on a missing pointer: on stores where the swap
     * degrades to delete+rename (no FileContext binding) a reader can land
-    * in the no-pointer window; a single 50 ms retry absorbs the common
-    * case without masking a genuinely absent state dir.
+    * in the no-pointer window; a single 50 ms retry absorbs that case. The
+    * retry only fires when the state DIR exists (a swap could be in
+    * flight) — a never-created state dir returns None immediately, so
+    * pre-first-batch polls don't pay a driver sleep per call.
     */
   def cdcCurrentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cur) && { Thread.sleep(50); !fs.exists(cur) }) None
+    val present = fs.exists(cur) ||
+      (fs.exists(cur.getParent) && { Thread.sleep(50); fs.exists(cur) })
+    if (!present) None
     else {
       val in = fs.open(cur)
       val v = try new java.io.BufferedReader(
