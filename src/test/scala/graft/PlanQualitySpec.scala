@@ -68,6 +68,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"degenerate join plans:\n${offenders.mkString("\n")}")
   }
 
+  test("every TPC-H shape plans at least one whole-stage-codegen span") {
+    // codegen tripwire for the hot relational path: a non-codegen Expression
+    // or an interpreted fallback slipped into a q* query would silently cost
+    // 2-10x at scale. Codegen stages print as `*(n)` — but only in the FINAL
+    // adaptive plan, so each query must execute before inspection (the
+    // pre-execution AdaptiveSparkPlan string carries no codegen markers).
+    val qShapes = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+    assert(qShapes.size >= 18, s"TPC-H suite shrank? $qShapes")
+    val bare = qShapes.filterNot { name =>
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      // run THIS plan (df.count() would execute a different wrapping plan
+      // and leave this AdaptiveSparkPlan un-finalized)
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      // AQE empty-relation propagation can collapse a whole query to an
+      // EmptyRelation/LocalTableScan at tiny SFs (q7's nation pair has no
+      // suppliers at sf0.001) — the optimizer WORKING, not a codegen loss
+      plan.contains("*(") || plan.contains("LocalTableScan") ||
+        plan.contains("EmptyRelation")
+    }
+    assert(bare.isEmpty, s"q-shapes with NO codegen span: $bare")
+  }
+
   /** w4's scalable-ntile plan invariant (round-7 verdict): the only window
     * allowed to run over the raw events scan must partition by BOTH the key
     * and the slice column (parallelism |keys| x slices, never one task per
