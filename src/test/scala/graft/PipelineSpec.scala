@@ -183,6 +183,14 @@ class PipelineSpec extends SparkSpec with BeforeAndAfterAll {
       closed(0).getAs[Int]("visitasTotales") == 2 &&
       closed(0).getAs[Date]("valid_from").toString == "2024-02-15" &&
       closed(0).getAs[Date]("valid_to").toString == "2024-03-20")
+
+    // the time-travel contract: BOTH extents read as ONE dimension — the
+    // DATE effCol must give type-identical valid_from/valid_to in open and
+    // closed (a hardcoded timestamp null there once made this union fail)
+    val dim = spark.read.parquet(openDir.toString, closedDir.toString)
+    assert(dim.count() == 4)
+    assert(dim.schema("valid_to").dataType ==
+      org.apache.spark.sql.types.DateType)
   }
 }
 
