@@ -33,11 +33,15 @@ object Jsonl {
     * sinks.
     */
   def read(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    split(spark.read.text(path), schema)
+
+  /** One split body for batch and stream — only the text source differs. */
+  private def split(raw: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains("_bad"),
       "schema may not contain a '_bad' column (reserved for corrupt capture)")
     val parseSchema = schema.add("_bad", StringType)
-    val parsed = spark.read.text(path)
+    val parsed = raw
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"),
         from_json(col("value"), parseSchema,
@@ -47,6 +51,16 @@ object Jsonl {
     val bad = parsed.filter(col("j._bad").isNotNull).select(col("value").as("line"))
     (good, bad)
   }
+
+  /** Streaming twin of [[read]]: the same schema-enforced split over a
+    * file-source stream (new JSONL files drain as micro-batches — the
+    * continuous form of a documents landing zone). Same one-projection
+    * plan; callers route `good`/`bad` to their own sinks (e.g. parquet
+    * append + quarantine dir) under one checkpoint each.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) =
+    split(spark.readStream.text(path), schema)
 
   /** Write a frame as JSONL (one object per line) — the export twin, used
     * for handing curated corpora to tokenizer/training jobs. Plain

@@ -57,4 +57,25 @@ class JsonlSpec extends SparkSpec {
     assert(back2.count() == docs.count())
     assert(back2.exceptAll(docs).isEmpty && docs.exceptAll(back2).isEmpty)
   }
+
+  test("streaming twin: a landing-zone file drains through the same split") {
+    val in = Files.createTempDirectory("jsonl_stream_in")
+    val outGood = Files.createTempDirectory("jsonl_stream_good").toString
+    val ck = Files.createTempDirectory("jsonl_stream_ck").toString
+    Files.write(in.resolve("drop-1.jsonl"), Seq(
+      """{"doc_id": 10, "text": "streamed doc", "lang": "en"}""",
+      """garbage line""",
+      """{"doc_id": 11, "text": "zweites dokument", "lang": "de"}"""
+    ).mkString("\n").getBytes)
+    val (good, bad) = Jsonl.readStream(spark, in.toString, schema)
+    assert(good.isStreaming && bad.isStreaming)
+    val q = good.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", outGood).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(outGood)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((10L, "streamed doc", "en"), (11L, "zweites dokument", "de")), got)
+  }
 }
