@@ -339,6 +339,13 @@ object StreamingPipeline {
     * recomputed delta is empty (attrs already equal) and the replay is a
     * pure no-op. Closed history cannot be lost at any crash point because
     * the cold extent appends BEFORE the open slice swaps.
+    *
+    * The state dirs are tied to ONE checkpoint lineage: resetting the
+    * checkpoint restarts batchIds at 0, where surviving `_applied-0..2`
+    * markers would silently skip the first batches (and replaying already-
+    * applied data into live state double-closes intervals anyway). A new
+    * checkpoint means new open/closed dirs — same rule as every versioned
+    * sink in this engine.
     */
   def scdApplyStream(updates: DataFrame, openDir: String, closedDir: String,
                      checkpointDir: String, key: String, attrs: Seq[String],
