@@ -33,6 +33,30 @@ object RelationalQueries {
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   private def revenue = dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
 
+  /** q2's shared ANSI text (s1/ex1 discipline): the correlated MIN whose
+    * subquery is itself a JOIN CHAIN (supplier→lineitem→nation→region) —
+    * the decorrelation pattern cs1's single-table form does not cover.
+    * Spark rewrites it to a per-part aggregate over the joined subquery
+    * plus an equi-join back on (partkey, min) — no per-row re-execution.
+    * s_acctbal equality is an exact double SELECTION (MIN does no
+    * arithmetic), so the tie-set is engine-identical.
+    */
+  private def q2Sql(part: String, supplier: String, lineitem: String,
+                    nation: String, region: String): String =
+    s"""SELECT DISTINCT s_name, s_acctbal, p_partkey, p_name
+       |FROM $part, $supplier, $lineitem, $nation, $region
+       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE' AND p_size = 10
+       |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+       |                   FROM $supplier s2, $lineitem l2, $nation n2, $region r2
+       |                   WHERE l2.l_partkey = p_partkey
+       |                     AND s2.s_suppkey = l2.l_suppkey
+       |                     AND s2.s_nationkey = n2.n_nationkey
+       |                     AND n2.n_regionkey = r2.r_regionkey
+       |                     AND r2.r_name = 'EUROPE')
+       |ORDER BY s_name, p_partkey""".stripMargin
+
   /** q22's shared ANSI text (s1/ex1 discipline): one statement, two engines —
     * Spark runs it over temp views, DuckDB over the parquet views.
     */
@@ -780,6 +804,21 @@ object RelationalQueries {
             && col("l_quantity").between(30, 50)))
         .agg(sum(revenue).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): correlated MIN whose subquery is
+    // a 4-way join chain, shared ANSI text — see [[q2Sql]]. Scale shape
+    // after Spark's decorrelation: the region-restricted supplier side
+    // builds ONCE (broadcast dims), the per-part MIN is a map-side-combined
+    // aggregate over the part-supplier incidence, and the outer join back
+    // is an equi-join on (partkey, acctbal) — never a per-part re-scan.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("p_q2")
+      Tables.supplier(s, d).createOrReplaceTempView("s_q2")
+      Tables.lineitem(s, d).createOrReplaceTempView("l_q2")
+      Tables.nation(s, d).createOrReplaceTempView("n_q2")
+      Tables.region(s, d).createOrReplaceTempView("r_q2")
+      s.sql(q2Sql("p_q2", "s_q2", "l_q2", "n_q2", "r_q2"))
     }),
 
     // TPC-H Q22 shape (global-scalar filter + anti-join): positive-balance
@@ -1678,6 +1717,9 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 15 AND 35)
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 30 AND 50)""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      q2Sql("part", "supplier", "lineitem", "nation", "region"),
 
     "q22_dormant_accounts" -> q22Sql("customer", "orders"),
 
