@@ -18,7 +18,7 @@ object ExtensionQueries {
 
   private val stopList = Text.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = Registry.uniqueMap[QFn]("ExtensionQueries.queries")(
     // E1 exact dedup: deterministic keeper + dup count per (lang, source).
     "e1_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), Seq("lang", "source"), "doc_id")
@@ -827,24 +827,6 @@ object ExtensionQueries {
           md5(col("chunk")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
-    // PK1 training sequence packing: contiguous-fill documents into fixed
-    // 512-token context windows per source, in deterministic doc_id order.
-    // The prefix sum is a window partitioned by source — the packing pass
-    // parallelizes across sources and is integer-only, so the oracle can
-    // reproduce every bin boundary exactly.
-    "pk1_sequence_packing" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-        .withColumn("start_tok",
-          sum(col("n_toks")).over(
-            Window.partitionBy("source").orderBy("doc_id")) - col("n_toks"))
-        .withColumn("bin", expr("start_tok div 512"))
-        .groupBy("source", "bin")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "bin")),
-
     // MIX1 deterministic source mixing: per-source keep rates applied via an
     // md5-prefix threshold on the doc id — reshuffle-invariant, re-runnable,
     // and engine-portable (the oracle computes the identical hash), unlike
@@ -1123,7 +1105,7 @@ object ExtensionQueries {
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Registry.uniqueMap[String]("ExtensionQueries.oracleSql")(
     "e1_dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
@@ -1759,18 +1741,6 @@ object ExtensionQueries {
         |  length(substr(text, CAST(i*150+1 AS INTEGER), 200)) AS chunk_len,
         |  md5(substr(text, CAST(i*150+1 AS INTEGER), 200)) AS chunk_md5
         |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    "pk1_sequence_packing" ->
-      s"""WITH tok AS (
-         |  SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
-         |pos AS (
-         |  SELECT source, doc_id, n_toks,
-         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id) - n_toks AS start_tok
-         |  FROM tok)
-         |SELECT source, CAST(start_tok // 512 AS BIGINT) AS bin,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
-         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         |FROM pos GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "mix1_source_mixing" ->
       """WITH x AS (

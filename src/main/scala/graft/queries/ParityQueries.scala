@@ -82,7 +82,7 @@ object ParityQueries {
 
   // ---- the registry ---------------------------------------------------------
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = Registry.uniqueMap[QFn]("ParityQueries.queries")(
     "p1_projection" -> ((s, d) =>
       VisitsView.df(s, d).select("event_id", "nombreArchivo", "email").orderBy("event_id")),
 
@@ -145,7 +145,7 @@ object ParityQueries {
 
   // ---- oracles --------------------------------------------------------------
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Registry.uniqueMap[String]("ParityQueries.oracleSql")(
     "p1_projection" -> withCtes(
       """SELECT event_id, "nombreArchivo", email FROM visits ORDER BY event_id""", v),
 

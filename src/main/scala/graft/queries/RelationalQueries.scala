@@ -89,7 +89,7 @@ object RelationalQueries {
        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
-  val queries: Map[String, QFn] = Map(
+  val queries: Map[String, QFn] = Registry.uniqueMap[QFn]("RelationalQueries.queries")(
     // TPC-H Q1 shape: scan-heavy partial+final hash aggregate.
     "q1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1234,7 +1234,7 @@ object RelationalQueries {
        |              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Registry.uniqueMap[String]("RelationalQueries.oracleSql")(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -45,6 +45,23 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("registry hygiene: intra-registry duplicate keys fail at construction") {
+    // the cross-registry check above cannot see a key duplicated WITHIN one
+    // Map literal — Scala dedupes it (last entry wins) before any spec runs,
+    // which is exactly how the stale pk1 registration shadowed the scalable
+    // packSequences form for five rounds. All six registries now build via
+    // Registry.uniqueMap; prove it rejects a duplicate and accepts the real
+    // registries (touched via .size so a lazy-val require would fire here).
+    val e = intercept[IllegalArgumentException] {
+      queries.Registry.uniqueMap[Int]("test")("a" -> 1, "b" -> 2, "a" -> 3)
+    }
+    assert(e.getMessage.contains("duplicate registry keys"))
+    assert(e.getMessage.contains("a"))
+    assert(queries.Registry.uniqueMap[Int]("test")("a" -> 1, "b" -> 2).size == 2)
+    assert(queries.ParityQueries.queries.size == queries.ParityQueries.queries.keySet.size)
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+  }
+
   test("split is a partition and explode cardinality = Σ failed checks") {
     for (rows <- batches(8)) {
       val df = rows.toDF("email", "Fecha envio", "Fecha open", "Fecha click")
