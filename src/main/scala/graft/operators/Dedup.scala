@@ -596,9 +596,24 @@ object Dedup {
     * or dropped by propagation), so an inner join on id sees every label.
     * Output: (id, comp) for every node that appears in `pairs`, where comp
     * is the component's minimum id.
+    *
+    * Skew hardening: real near-dup graphs have hubs (a boilerplate template
+    * shared by 10^6 docs is one node carrying 10^6 edges), and a plain
+    * per-round `edges JOIN labels` equi-join lands a hub's entire edge list
+    * on one reducer EVERY round — the straggler repeats O(diameter) times.
+    * The push join is therefore salted ([[Skew.saltedJoin]]): each edge gets
+    * a deterministic salt from its far endpoint, the (one-row-per-node)
+    * label side is replicated `saltBuckets` times, and a hub's edges spread
+    * across `saltBuckets` reducers — the per-task bound drops from
+    * max-degree to max-degree/saltBuckets while the result stays exactly
+    * the plain join's. The downstream groupBy-min re-aggregation is already
+    * skew-free (partial aggregation combines a hub's messages map-side),
+    * and the label replication cost (saltBuckets·|V| rows/round) is dwarfed
+    * by the 2·|E| edge rows the join shuffles anyway.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25, saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -619,7 +634,9 @@ object Dedup {
     var done = edges.isEmpty
     var iter = 0
     while (!done && iter < maxIter) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
+      val msgs = Skew.saltedJoin(
+          edges, labels.withColumnRenamed("id", "src"),
+          keys = Seq("src"), saltFrom = col("dst"), buckets = saltBuckets)
         .select(col("dst").as("id"), col("comp"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("comp").as("comp"))

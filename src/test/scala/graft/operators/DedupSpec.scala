@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** D-series dedup family (charter): exact, fingerprint, MinHash+LSH,
   * SimHash, n-gram Jaccard.
@@ -306,6 +307,57 @@ class DedupSpec extends SparkSpec {
   test("connected components: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
+  }
+
+  test("connected components: star graph (one hub, 1e5 leaves) converges; salt spreads the hub") {
+    // the boilerplate-template shape: one node carrying every edge. The
+    // salted push must spread the hub's edge list across the salt buckets
+    // (otherwise every propagation round re-runs a max-degree straggler).
+    val n = 100000L
+    val pairs = spark.range(1L, n + 1L)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+    assert(comp.count() == n + 1)
+    assert(comp.filter(col("comp") =!= 0L).isEmpty)
+    // the salting premise: the deterministic per-edge salt (hash of the far
+    // endpoint, exactly as the push join computes it) splits the hub's 1e5
+    // edges near-uniformly — no bucket carries more than 2x the even share
+    val buckets = 16
+    val dist = pairs
+      .select(pmod(
+        xxhash64(col("b")),
+        lit(buckets)).as("salt"))
+      .groupBy("salt").count().as[(Long, Long)].collect().toMap
+    assert(dist.size == buckets, s"only ${dist.size}/$buckets salt buckets hit")
+    assert(dist.values.max <= 2L * n / buckets,
+      s"hot bucket ${dist.values.max} exceeds 2x even share ${2L * n / buckets}")
+  }
+
+  test("connected components: salted push is exactly the plain join (random graphs + union-find)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val nodes = 60
+      val edges = Seq.fill(90)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a", "b")
+      val salted = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val plain = Dedup.connectedComponents(pairs, "a", "b", saltBuckets = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(salted == plain, s"trial $trial: salted != unsalted")
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      assert(salted == expect, s"trial $trial: disagrees with union-find")
+    }
   }
 
   test("edit-distance blocking is COMPLETE when lenWindow >= maxDist (random corpus)") {
