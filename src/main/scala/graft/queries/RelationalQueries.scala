@@ -690,6 +690,32 @@ object RelationalQueries {
         .orderBy(desc("numwait"), col("s_name"))
     }),
 
+    // TPC-H Q20 shape (excess stock): the last classic decorrelation
+    // pattern — a nested IN-chain whose inner filter is a CORRELATED
+    // aggregate threshold. The testdata has no partsupp table, so the CTE
+    // derives one from lineitem (all-time shipped quantity per
+    // (part, supplier) stands in for ps_availqty), and a qualifying pair is
+    // one whose stock exceeds twice its 1996 shipments — the correlated SUM
+    // scoped to the pair, exactly Q20's availqty predicate. Identical SQL
+    // runs on DuckDB. Catalyst decorrelates the scalar SUM to a grouped
+    // aggregate equi-joined on the pair key and plans the two INs as
+    // semi-joins (part side broadcasts after its LIKE filter, and the semi
+    // is pushed BELOW both lineitem aggregates, so only 'red'-part rows
+    // ever aggregate) — no per-row re-execution, no BNL; at 100 TB the only
+    // big shuffles are the two lineitem aggregates on the same
+    // (partkey, suppkey) key. Quantity sums
+    // run as exact DECIMALs on both engines, so the threshold comparison is
+    // ulp-proof (a double SUM could flip a boundary pair per merge order).
+    // The correlated-SUM-returns-no-rows case is NULL > NULL = false on
+    // both engines: pairs with no 1996 shipments never qualify.
+    "q20_excess_stock" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+      Tables.part(s, d).createOrReplaceTempView("part_q20")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q20")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q20")
+      s.sql(q20Sql("lineitem_q20", "part_q20", "supplier_q20", "nation_q20"))
+    }),
+
     // TPC-H Q8 shape (national market share): ratio-of-conditional-aggregate
     // over TWO independent dimension chains meeting at the fact — supplier
     // side tags the volume's nation, customer→nation→region side restricts
@@ -1234,7 +1260,35 @@ object RelationalQueries {
        |              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Shared ANSI text for the Q20 shape — the SAME string runs on Spark
+    * (over per-query temp views) and on DuckDB (over the raw tables), so
+    * the decorrelation exercise and the oracle compare share one source of
+    * truth. Exact-DECIMAL quantity sums on both sides keep the correlated
+    * threshold comparison ulp-proof; the s_suppkey output column keeps rows
+    * identity-stable even where supplier NAMES repeat at scale.
+    */
+  private def q20Sql(lineitem: String, part: String,
+                     supplier: String, nation: String): String =
+    s"""WITH partsupp AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+       |  FROM $lineitem GROUP BY 1, 2)
+       |SELECT s_suppkey, s_name
+       |FROM $supplier JOIN $nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM $part WHERE p_name LIKE 'red%')
+       |      AND ps_availqty > (
+       |        SELECT 2 * SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM $lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+       |ORDER BY s_name, s_suppkey""".stripMargin
+
   val oracleSql: Map[String, String] = Registry.uniqueMap[String]("RelationalQueries.oracleSql")(
+    "q20_excess_stock" -> q20Sql("lineitem", "part", "supplier", "nation"),
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
