@@ -239,6 +239,141 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------- perceptual hash lane (image near-dup, the m4 bridge) ----------
+
+  /** Grayscale value of synthetic-grid block (bx, by) for a given id —
+    * the first md5 byte of "seed:bx:by" (the d3c md5-nibble discipline, so
+    * the oracle reproduces it with string functions), bumped for the
+    * group's perturbed members. Ids in the same group of four (id div 4)
+    * share a base pattern; the group's r-th member (r = id mod 4) bumps the
+    * first r blocks of row 0, perturbing at most r of the 64 dHash
+    * comparisons — so every group yields near-dup pairs at controlled
+    * Hamming distances. md5 (not any arithmetic mod a small prime) keeps
+    * distinct groups ~32 bits apart with NO period: a linear pattern
+    * repeats every |modulus| groups, which made cross-group pair volume
+    * quadratic in the corpus before this formula.
+    */
+  def gridValue(id: Long, bx: Int, by: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id / 4}:$bx:$by".getBytes("UTF-8"))
+    val v = digest(0) & 0xff
+    if (id % 4 > 0 && by == 0 && bx < id % 4) (v + 97) % 256 else v
+  }
+
+  /** Deterministic synthetic image table for the perceptual-hash lane: one
+    * PNG per id, 9x8 blocks of `blockPx` x `blockPx` solid-gray pixels with
+    * block value [[gridValue]] — block-constant gray means the dHash grid
+    * recovers each value EXACTLY (any luma weighting of r=g=b=v is v, and
+    * the block mean of a constant is the constant), so a DuckDB oracle can
+    * state every signature bit in closed form. Generation is executor-side:
+    * only ids leave the driver.
+    */
+  def syntheticGridImages(df: DataFrame, idCol: String, blockPx: Int = 3): DataFrame = {
+    require(blockPx > 0, "blockPx must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 9 * blockPx
+        val h = 8 * blockPx
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 9) {
+            val v = gridValue(id, bx, by)
+            val rgb = (v << 16) | (v << 8) | v
+            var y = by * blockPx
+            while (y < (by + 1) * blockPx) {
+              var x = bx * blockPx
+              while (x < (bx + 1) * blockPx) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val png = writePng(img)
+        Row(id, png, Row("image/png", w, h, png.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** 64-bit difference hash (dHash) of an image: decode, reduce to a 9x8
+    * grayscale grid by EXACT integer block means (per-pixel integer luma
+    * (299r + 587g + 114b)/1000 summed in Long, one integer division per
+    * block — no float resampling, so the signature is bit-stable across
+    * JVMs), then bit (by*8 + bx) = grid(bx, by) > grid(bx+1, by). Gradient
+    * structure survives brightness shifts and re-encoding, which is why
+    * dHash is the standard cheap image near-dup fingerprint. None for
+    * undecodable payloads or images smaller than the grid.
+    */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    readImage(payload).flatMap { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 9 || h < 8) None
+      else {
+        val means = Array.ofDim[Long](8, 9)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 9) {
+            val x0 = bx * w / 9; val x1 = (bx + 1) * w / 9
+            val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+                  + 114L * (rgb & 0xff)) / 1000L
+                x += 1
+              }
+              y += 1
+            }
+            means(by)(bx) = sum / ((x1 - x0).toLong * (y1 - y0))
+            bx += 1
+          }
+          by += 1
+        }
+        var sig = 0L
+        var k = 0
+        while (k < 64) {
+          if (means(k / 8)(k % 8) > means(k / 8)(k % 8 + 1)) sig |= (1L << k)
+          k += 1
+        }
+        Some(sig)
+      }
+    }
+
+  /** Partition-parallel perceptual hashing: media table → (media_id, dhash),
+    * undecodable/undersized payloads dropped (they have no gradient
+    * structure to fingerprint). One row per image — the signature frame
+    * feeds [[Dedup.simhashPairsFromSigs]] banding unchanged, which is the
+    * whole point: image near-dup reuses the text pipeline's pair machinery
+    * above the signature layer.
+    */
+  def dHashSigs(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("dhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dHash64(r.getAs[Array[Byte]](payloadIdx))
+          .map(sig => Row(r.getLong(idIdx), sig))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: emits every `stride`-th fixed-size window of the
     * payload as a "frame" (what a video decoder's keyframe sampler would
     * produce), preserving the row-multiplying generator shape.

@@ -703,6 +703,22 @@ object ExtensionQueries {
           max(col("chunk_idx")).as("last_idx"))
         .orderBy("media_id")),
 
+    // M4 image near-dup — the multimodal x dedup bridge: REAL PNG decode of
+    // deterministic grid images, 64-bit dHash (exact integer block-mean
+    // grid, so the signature is closed-form in the id), then the SAME 2^16-
+    // key pigeonhole banding the text simhash path runs (d3d discipline:
+    // integer-exact end to end, so the oracle reproduces every signature
+    // bit AND every banded pair digit for digit). A wrong decode, a float
+    // resample, or a banding regression all hash-mismatch here.
+    "m4_image_neardup" -> ((s, d) => {
+      val media = Multimodal.syntheticGridImages(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      // one row per image; both banding self-join sides consume it
+      val sigs = Multimodal.dHashSigs(media).localCheckpoint()
+      Dedup.simhashPairsFromSigs(sigs, "media_id", "dhash", maxDist = 3, sigBits = 64)
+        .orderBy("a", "b")
+    }),
+
     // D8 incremental dedup — the daily-ingest gate: every 10th doc plays the
     // new batch, the rest the existing corpus; survivors are new docs that
     // are neither exact (fingerprint) nor near (banded MinHash + Jaccard
@@ -1602,6 +1618,52 @@ object ExtensionQueries {
         |      i -> least(64, n_bytes - i * 48)), 'sum') AS BIGINT) AS sum_chunk_bytes,
         |  n_chunks - 1 AS last_idx
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // m4: the dHash grid is closed-form in doc_id (block-constant gray
+    // survives the real decode + exact integer block mean untouched), so
+    // the oracle regenerates every signature from scratch — set bits via
+    // the v(bx,by) > v(bx+1,by) comparisons, packed with the bit-63
+    // two's-complement term (SUM runs in HUGEINT, where positives minus
+    // 2^63 is exactly the signed 64-bit value) — then replays the d3d
+    // banding: 16-bit keys, sign-safe shift+mask, xor/popcount verify.
+    "m4_image_neardup" ->
+      """WITH cells AS (
+        |  SELECT doc_id, bx, by FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS bx)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS by)),
+        |hx AS (
+        |  SELECT doc_id, bx, by,
+        |    md5(CAST(doc_id // 4 AS VARCHAR) || ':' ||
+        |        CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)) AS h
+        |  FROM cells),
+        |vals AS (
+        |  SELECT doc_id, bx, by,
+        |    CASE WHEN doc_id % 4 > 0 AND by = 0 AND bx < doc_id % 4
+        |         THEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) + 97) % 256
+        |         ELSE (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) END AS v
+        |  FROM hx),
+        |bits AS (
+        |  SELECT l.doc_id, CAST(l.by * 8 + l.bx AS INTEGER) AS k
+        |  FROM vals l JOIN vals r
+        |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+        |  WHERE l.bx < 8 AND l.v > r.v),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                           ELSE CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS s
+        |  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |banded AS (
+        |  SELECT doc_id, s, band, (s >> (16 * band)) & 65535 AS key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
 
     // d8: the shared verified-pairs CTE covers every band collision, so
     // restricting to cross-membership pairs reproduces exactly the

@@ -123,6 +123,60 @@ class MultimodalSpec extends SparkSpec {
     assert(mr == 3.0 && mg == 21.0 && mb == 39.0)
   }
 
+  /** Driver-side closed-form dHash of the synthetic grid — the same
+    * comparisons the oracle SQL states, computed independently of the
+    * image/codec path.
+    */
+  private def expectedDHash(id: Long): Long = {
+    var sig = 0L
+    for (by <- 0 until 8; bx <- 0 until 8)
+      if (Multimodal.gridValue(id, bx, by) > Multimodal.gridValue(id, bx + 1, by))
+        sig |= 1L << (by * 8 + bx)
+    sig
+  }
+
+  test("dHash64 recovers the closed-form signature through a REAL PNG decode") {
+    // block-constant gray: any luma weighting of r=g=b=v is v and the block
+    // mean of a constant is the constant, so the decoded signature must
+    // equal the grid arithmetic BIT FOR BIT — a wrong block boundary, luma
+    // formula, or bit order all fail here. blockPx=1 and 3 exercise both
+    // the trivial and the averaging grid paths.
+    val ids = (0L to 19L).toDF("doc_id")
+    for (blockPx <- Seq(1, 3)) {
+      val sigs = Multimodal.dHashSigs(
+          Multimodal.syntheticGridImages(ids, "doc_id", blockPx))
+        .as[(Long, Long)].collect().toMap
+      assert(sigs.size == 20)
+      for ((id, sig) <- sigs) assert(sig == expectedDHash(id), s"id=$id blockPx=$blockPx")
+    }
+  }
+
+  test("dHash64: undecodable and undersized payloads yield no signature") {
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash64(Array.emptyByteArray).isEmpty)
+    // 8x8 is one column short of the 9x8 grid
+    assert(Multimodal.dHash64(Multimodal.encodePng(8, 8, 10, 20, 30)).isEmpty)
+    assert(Multimodal.dHash64(Multimodal.encodePng(9, 8, 10, 20, 30)).isDefined)
+  }
+
+  test("image near-dup banding is COMPLETE and EXACT over the grid corpus") {
+    // property (m4): banded pairs == brute-force Hamming <= 3 pairs over
+    // the same signatures. Groups of four ids share a base pattern with
+    // <= 3 perturbed comparisons, so in-group pairs all qualify: 6 per
+    // group is the floor.
+    val ids = (0L to 79L).toDF("doc_id")
+    val sigs = Multimodal.dHashSigs(
+      Multimodal.syntheticGridImages(ids, "doc_id")).localCheckpoint()
+    val got = Dedup.simhashPairsFromSigs(sigs, "media_id", "dhash", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      a <- 0L to 79L; b <- 0L to 79L if a < b
+      h = java.lang.Long.bitCount(expectedDHash(a) ^ expectedDHash(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.size >= 20 * 6, s"expected at least 6 pairs per group, got ${got.size}")
+  }
+
   test("chunkPayload: overlapping windows, truncated tail, empty payloads skipped") {
     // media 3: "hello world!" (12 bytes), chunk 6 / hop 4 -> offsets 0,4,8
     val chunks = Multimodal.chunkPayload(
