@@ -515,7 +515,13 @@ object Pipeline {
         // reads the PREVIOUS version, which the GC above may already have
         // pruned. JDBC mode keeps the reference's Type-1 table only: an
         // operational DB's dimension history is the warehouse's job, not
-        // the OLTP sink's.
+        // the OLTP sink's. This hook sits INSIDE the documented
+        // pointer-swap-to-ledger-append crash window (README "Rerun
+        // idempotence"): the SCD history inherits the ledger-gate rerun
+        // contract — a rerun after a crash here re-merges the delta and the
+        // history closes the pre-crash state with the re-merged state on
+        // top; recovery is restoring the retained prior visitantes version
+        // before rerunning.
         val touched = spark.read.parquet(versionDir)
           .join(delta.select("email"), Seq("email"), "left_semi")
           .withColumn("_eff", lit(asOf))

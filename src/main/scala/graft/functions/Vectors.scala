@@ -72,11 +72,15 @@ object Vectors {
       val plane = Array.tabulate(dims) { idx =>
         (Math.floorMod((idx + 1) * 2654435761L + (firstPlane + j).toLong * 40503L, 7L) - 3L).toFloat
       }
-      when(dot(emb, typedLit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      val d = dot(emb, typedLit(plane))
+      // two-sided when: a NULL projection (null element inside the array,
+      // which DuckDB's SUM would silently skip) propagates to a NULL bit
+      // and thus a NULL bucket that drops out of the band equi-join —
+      // never a silent collision into bit 0
+      when(d >= 0, lit(1L << j)).when(d < 0, lit(0L))
     }
-    // explicit width guard: a null dot would otherwise fall through `when`'s
-    // otherwise-branch as bit 0 and silently collide all mismatched rows
-    // into bucket 0 — null buckets drop out of equi-joins instead
+    // explicit width guard: a mismatched-length dot must null the bucket,
+    // not land in bucket 0 — null buckets drop out of equi-joins instead
     when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
   }
 
@@ -107,7 +111,12 @@ object Vectors {
         zip_with(emb, typedLit(plane),
           (x, c) => floor(x.cast("double") * lit(unit)).cast("long") * c),
         lit(0L), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      // two-sided when (same contract as lshBucketFast): a null embedding
+      // element nulls the zip_with fold, and that NULL must become a NULL
+      // bucket — the DuckDB witness's SUM skips NULL terms, so mapping the
+      // null fold to bit 0 here could disagree with the oracle's bucket for
+      // such rows; a NULL bucket drops out of the band join on BOTH engines
+      when(proj >= 0, lit(1L << j)).when(proj < 0, lit(0L))
     }
     when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
   }

@@ -380,8 +380,12 @@ object StreamingPipeline {
     // GC old markers: replays only ever arrive for recent batches (the
     // checkpoint advances), so markers older than batchId-2 are dead weight
     // a long-running stream would otherwise accrete one file per batch.
+    // toLongOption: a stray non-numeric-suffixed file (partial create,
+    // foreign tool artifact) is skipped, not a NumberFormatException that
+    // would fail the whole micro-batch AFTER its data already wrote.
     fs.listStatus(cdir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_applied-") => n.stripPrefix("_applied-").toLong }
+      .collect { case n if n.startsWith("_applied-") => n.stripPrefix("_applied-") }
+      .flatMap(_.toLongOption)
       .filter(_ < batchId - 2)
       .foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(closedDir, s"_applied-$v"), false))
@@ -395,10 +399,14 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // toLongOption: a stray non-numeric v=* entry must not throw here —
+    // same contract as the SCD marker GC (skip foreign artifacts, don't
+    // fail the micro-batch)
     val prior = if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
         .map(_.getPath.getName)
-        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
+        .flatMap(_.toLongOption)
         .filter(_ < batchId)
     val base = prior.sorted.lastOption match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
@@ -471,15 +479,18 @@ object StreamingPipeline {
     * bounded re-probe on a missing pointer: on stores where the swap
     * degrades to delete+rename (no FileContext binding) a reader can land
     * in the no-pointer window; a single 50 ms retry absorbs that case. The
-    * retry only fires when the state DIR exists (a swap could be in
-    * flight) — a never-created state dir returns None immediately, so
-    * pre-first-batch polls don't pay a driver sleep per call.
+    * retry only fires when a version dir ALREADY exists (so a swap could
+    * genuinely be in flight) — a never-created state dir, or one polled
+    * between creation and its first data write, returns None immediately
+    * instead of paying a driver sleep per call.
     */
   def cdcCurrentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val cur = new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def anyVersionDir: Boolean = fs.exists(cur.getParent) &&
+      fs.listStatus(cur.getParent).exists(_.getPath.getName.startsWith("v="))
     val present = fs.exists(cur) ||
-      (fs.exists(cur.getParent) && { Thread.sleep(50); fs.exists(cur) })
+      (anyVersionDir && { Thread.sleep(50); fs.exists(cur) })
     if (!present) None
     else {
       val in = fs.open(cur)

@@ -25,4 +25,18 @@ class VectorsSpec extends SparkSpec {
     val vecs = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
     assert(vecs.select(Vectors.lshBucketFast($"v", 4, 64)).head().isNullAt(0))
   }
+
+  test("a NULL embedding element yields a NULL bucket, never bucket-0 collision") {
+    // round-11 advice: the fold over a null element is NULL, and mapping it
+    // to bit 0 would silently collide such rows into one bucket (and could
+    // disagree with the witness oracle's NULL-skipping SUM) — both paths
+    // must propagate null so the row drops out of the band equi-join
+    val withNull = Seq((1L, Array[java.lang.Float](1f, null, 3f, 4f)))
+      .toDF("id", "v")
+    assert(withNull.select(Vectors.lshBucketFixedPoint($"v", 4, 4)).head().isNullAt(0))
+    assert(withNull.select(Vectors.lshBucketFast($"v", 4, 4)).head().isNullAt(0))
+    // a well-formed sibling row still buckets non-null
+    val ok = Seq((2L, Array(1f, 2f, 3f, 4f))).toDF("id", "v")
+    assert(!ok.select(Vectors.lshBucketFixedPoint($"v", 4, 4)).head().isNullAt(0))
+  }
 }
