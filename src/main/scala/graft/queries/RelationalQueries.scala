@@ -716,6 +716,28 @@ object RelationalQueries {
       s.sql(q20Sql("lineitem_q20", "part_q20", "supplier_q20", "nation_q20"))
     }),
 
+    // TPC-H Q11 shape (important stock): grouped aggregate filtered by a
+    // HAVING threshold that is a GLOBAL scalar subquery over the same
+    // scoped input — the one decorrelation family q20 doesn't cover (its
+    // scalar is per-pair-correlated; this one is corpus-global, evaluated
+    // once and broadcast into the filter). partsupp derives from lineitem
+    // as in q20 (pair value = all-time extendedprice mass), the scope is
+    // one nation's suppliers, and the threshold is 3x the average per-part
+    // value rather than Q11's fixed fraction — TPC-H itself scales that
+    // fraction by 1/SF because a fixed share dilutes as |parts| grows; an
+    // average-multiple is scale-free, so the query returns rows at every
+    // SF without text changes. Identical SQL runs on DuckDB; AQE reuses
+    // the scoped exchange for the per-part and global aggregates. Both
+    // sides of the comparison are exact DECIMAL sums cast to double with
+    // identical expression text — one IEEE multiply/divide per engine,
+    // bit-identical.
+    "q11_important_stock" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q11")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q11")
+      s.sql(q11Sql("lineitem_q11", "supplier_q11", "nation_q11"))
+    }),
+
     // TPC-H Q8 shape (national market share): ratio-of-conditional-aggregate
     // over TWO independent dimension chains meeting at the fact — supplier
     // side tags the volume's nation, customer→nation→region side restricts
@@ -1286,8 +1308,30 @@ object RelationalQueries {
        |          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
        |ORDER BY s_name, s_suppkey""".stripMargin
 
+  /** Shared ANSI text for the Q11 shape (same one-source-of-truth contract
+    * as [[q20Sql]]).
+    */
+  private def q11Sql(lineitem: String, supplier: String, nation: String): String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_value
+       |  FROM $lineitem GROUP BY 1, 2),
+       |scoped AS (
+       |  SELECT ps_partkey, ps_value
+       |  FROM ps JOIN $supplier ON s_suppkey = ps_suppkey
+       |          JOIN $nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = 'NATION_3')
+       |SELECT ps_partkey, CAST(SUM(ps_value) AS DOUBLE) AS part_value
+       |FROM scoped
+       |GROUP BY ps_partkey
+       |HAVING CAST(SUM(ps_value) AS DOUBLE) >
+       |  (SELECT 3 * CAST(SUM(ps_value) AS DOUBLE) / COUNT(DISTINCT ps_partkey)
+       |   FROM scoped)
+       |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
   val oracleSql: Map[String, String] = Registry.uniqueMap[String]("RelationalQueries.oracleSql")(
     "q20_excess_stock" -> q20Sql("lineitem", "part", "supplier", "nation"),
+    "q11_important_stock" -> q11Sql("lineitem", "supplier", "nation"),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
