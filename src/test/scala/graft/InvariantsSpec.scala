@@ -45,6 +45,24 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bench baseline pins exactly the registered query surface") {
+    // the 2x perf gate reads vs_baseline from the pinned per-query
+    // baseline; a query added without a pin silently reports
+    // n_unbaselined>0 (its regressions invisible), and a pin for a
+    // deleted/renamed query is a stale row that misleads audits. Keep the
+    // pin set and the registry in lockstep — adding a query REQUIRES a
+    // warm min-of-3 pin in the same change (BASELINE.md discipline).
+    val in = getClass.getResourceAsStream("/graft/bench_baseline.json")
+    assert(in != null, "bench_baseline.json missing from classpath")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val pinned = """"([a-z0-9_]+)"\s*:""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    assert(registered -- pinned == Set.empty,
+      s"queries with no baseline pin: ${(registered -- pinned).toSeq.sorted}")
+    assert(pinned -- registered == Set.empty,
+      s"stale baseline pins: ${(pinned -- registered).toSeq.sorted}")
+  }
+
   test("registry hygiene: intra-registry duplicate keys fail at construction") {
     // the cross-registry check above cannot see a key duplicated WITHIN one
     // Map literal — Scala dedupes it (last entry wins) before any spec runs,

@@ -392,6 +392,50 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(open().map(r => (r._1, r._2)) == Seq((1L, "gold"), (2L, "gold"), (3L, "bronze")))
   }
 
+  test("stray non-numeric files in state dirs are skipped, not batch-killers") {
+    import spark.implicits._
+    // round-11 advice: marker GC and version listing used bare .toLong —
+    // one foreign artifact (partial create, editor temp file) threw
+    // NumberFormatException AFTER the batch's data had written. Both now
+    // skip unparseable names.
+    val root = Files.createTempDirectory("scd_stray").toString
+    val (openDir, closedDir) = (s"$root/open", s"$root/closed")
+    StreamingPipeline.scdApplyBatch(
+      Seq((1L, "bronze", Timestamp.valueOf("2024-01-01 09:00:00"), 1L))
+        .toDF("k", "tier", "eff", "seq"),
+      0L, openDir, closedDir, "k", Seq("tier"), "eff", "seq")
+    Files.createFile(java.nio.file.Paths.get(closedDir, "_applied-garbage"))
+    // a later batch triggers the marker GC sweep over closedDir
+    for (b <- 1L to 3L)
+      StreamingPipeline.scdApplyBatch(
+        Seq((1L, s"tier$b", Timestamp.valueOf(s"2024-01-0${b + 1} 09:00:00"), b + 1L))
+          .toDF("k", "tier", "eff", "seq"),
+        b, openDir, closedDir, "k", Seq("tier"), "eff", "seq")
+    assert(Files.exists(java.nio.file.Paths.get(closedDir, "_applied-garbage")))
+
+    val cdcDir = Files.createTempDirectory("cdc_stray").toString
+    StreamingPipeline.cdcApplyBatch(
+      Seq((1L, "upsert", "a", Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+        .toDF("k", "op", "v", "ts", "seq"),
+      0L, cdcDir, "k", Seq("v"))
+    Files.createDirectory(java.nio.file.Paths.get(cdcDir, "v=editor_backup"))
+    StreamingPipeline.cdcApplyBatch(
+      Seq((2L, "upsert", "b", Timestamp.valueOf("2024-01-01 11:00:00"), 2L))
+        .toDF("k", "op", "v", "ts", "seq"),
+      1L, cdcDir, "k", Seq("v"))
+    assert(StreamingPipeline.cdcCurrentState(spark, cdcDir).get
+      .orderBy("k").as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("cdcCurrentState: never-written state dirs return None without a pointer probe") {
+    // a missing dir and a dir with no v=* version both return None (no
+    // retry sleep applies — the retry is only for a swap that could be in
+    // flight, i.e. when a version dir already exists)
+    assert(StreamingPipeline.cdcCurrentState(spark, "/tmp/does_not_exist_cdc").isEmpty)
+    val empty = Files.createTempDirectory("cdc_empty").toString
+    assert(StreamingPipeline.cdcCurrentState(spark, empty).isEmpty)
+  }
+
   test("streaming SCD-2 end-to-end: memory-stream updates drain into the open/closed layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
