@@ -36,6 +36,59 @@ object Similarity {
       .select("a_id", "rn", "b_id", "cosine")
   }
 
+  /** Hard-negative mining — the contrastive-training shape: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT label
+    * (the examples a contrastive loss most needs, "near but not the same
+    * class"). The label-mismatch predicate joins BEFORE ranking, so
+    * same-label near-neighbors never crowd negatives out of the top-k.
+    * Exact form, [[bruteForceTopK]]'s lane: broadcast the bounded query
+    * set, stream the corpus once — the oracle target and recall ground
+    * truth for [[hardNegativesLsh]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("label").as("_label_a"))
+      .withColumn("norm_a", Vectors.norm2(col("ea")))
+    val c = corpus.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("label").as("neg_label"))
+      .withColumn("norm_b", Vectors.norm2(col("eb")))
+    val scored = c.join(broadcast(q),
+        col("a_id") =!= col("b_id") && col("_label_a") =!= col("neg_label"))
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("a_id", "rn", "b_id", "neg_label", "cosine")
+  }
+
+  /** [[hardNegatives]] on the 100 TB lane: candidates from the [[lshTopK]]
+    * bucket equi-join (hash-partitioned, never all-pairs), label filter as
+    * a join residual. Same output shape; recall < 1 by construction —
+    * acceptable for mining (a missed near-negative is replaced by the next
+    * one down, not a correctness failure), and the lever is nPlanes, as in
+    * all SRP ops here.
+    */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nPlanes: Int = 6, dims: Int = 64): DataFrame = {
+    val q = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("label").as("_label_a"))
+      .withColumn("bucket", Vectors.lshBucketFast(col("ea"), nPlanes, dims))
+      .withColumn("norm_a", Vectors.norm2(col("ea")))
+    val c = corpus.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("label").as("neg_label"))
+      .withColumn("bucket", Vectors.lshBucketFast(col("eb"), nPlanes, dims))
+      .withColumn("norm_b", Vectors.norm2(col("eb")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id") && col("_label_a") =!= col("neg_label"))
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
+    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("a_id", "rn", "b_id", "neg_label", "cosine")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction.
     */

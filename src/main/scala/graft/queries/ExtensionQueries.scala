@@ -44,6 +44,25 @@ object ExtensionQueries {
         .orderBy("a_id", "rn")
     }),
 
+    // E2i hard-negative mining — the contrastive-training shape: top-5
+    // most-similar corpus vectors with a DIFFERENT label per query, the
+    // label filter applied BEFORE ranking. Exact lane (e2's brute-force
+    // discipline), oracle-checked.
+    "e2i_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
+    // E2j hard negatives on the LSH lane — bucket equi-join candidates
+    // (e2b's scale path) with the label residual; oracle-checked via the
+    // same double-arithmetic bucket restatement as e2b.
+    "e2j_hard_negatives_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesLsh(emb.filter(col("vec_id") < 32), emb, 5)
+        .orderBy("a_id", "rn")
+    }),
+
     // E2g multi-probe LSH ANN — each query also probes all Hamming-1
     // buckets; oracle-checked (the probe set is integer arithmetic on the
     // bucket id, reproduced in SQL).
@@ -1384,6 +1403,75 @@ object ExtensionQueries {
     // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the
     // approximate path itself is oracle-checkable end to end.
     "e2b_ann_lsh" -> e2bSql,
+
+    // e2i: e2's brute-force cosine restated with the label-mismatch filter
+    // applied BEFORE the per-query ranking — exactly the operator's join
+    // order, so the top-5 cut is identical.
+    "e2i_hard_negatives" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |labels AS (SELECT vec_id, label FROM embeddings),
+        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.x * b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 32
+        |  GROUP BY a.vec_id, b.vec_id),
+        |cos AS (
+        |  SELECT a_id, b_id, ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots JOIN norms na ON na.vec_id = a_id JOIN norms nb ON nb.vec_id = b_id),
+        |neg AS (
+        |  SELECT c.a_id, c.b_id, lb.label AS neg_label, c.cosine
+        |  FROM cos c JOIN labels la ON la.vec_id = c.a_id
+        |             JOIN labels lb ON lb.vec_id = c.b_id
+        |  WHERE la.label <> lb.label)
+        |SELECT a_id, rn, b_id, neg_label, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM neg) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+
+    // e2j: e2b's double-arithmetic bucket restatement with the label
+    // residual before ranking (bucket dropped from the output — the
+    // negative's identity, not its bucket, is the mining result).
+    "e2j_hard_negatives_lsh" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings),
+        |labels AS (SELECT vec_id, label FROM embeddings),
+        |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
+        |proj AS (
+        |  SELECT f.vec_id, p.j,
+        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
+        |buckets AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |norms AS (SELECT vec_id, SUM(x * x) AS nrm FROM flat GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.vec_id AS a_id, c.vec_id AS b_id
+        |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        |  JOIN labels la ON la.vec_id = q.vec_id
+        |  JOIN labels lb ON lb.vec_id = c.vec_id
+        |  WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id AND la.label <> lb.label),
+        |dots AS (
+        |  SELECT cd.a_id, cd.b_id, SUM(fa.x * fb.x) AS dot
+        |  FROM cand cd
+        |  JOIN flat fa ON fa.vec_id = cd.a_id
+        |  JOIN flat fb ON fb.vec_id = cd.b_id AND fb.i = fa.i
+        |  GROUP BY cd.a_id, cd.b_id),
+        |cos AS (
+        |  SELECT c.a_id, c.b_id, lb.label AS neg_label,
+        |    ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+        |  FROM dots c JOIN norms na ON na.vec_id = c.a_id
+        |              JOIN norms nb ON nb.vec_id = c.b_id
+        |              JOIN labels lb ON lb.vec_id = c.b_id)
+        |SELECT a_id, rn, b_id, neg_label, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |  FROM cos) t
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
 
     // e2c2: the SRP near-dup witness restated digit for digit — fixed-point
     // BIGINT projections (floor(x·2^20) × the same integer-mixed plane

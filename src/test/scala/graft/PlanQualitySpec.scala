@@ -47,6 +47,10 @@ class PlanQualitySpec extends SparkSpec {
     // IVF path (2, e2d's shape) — all one-row/|cells|-row broadcasts,
     // bounded by construction.
     "e2h_ivf_sampled_recall" -> 3,
+    // e2i is e2's brute-force lane (bounded query-set broadcast) with the
+    // label-mismatch residual folded into the non-equi condition; e2j's
+    // bucket equi-join keeps it BNL-free.
+    "e2i_hard_negatives" -> 1,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
     "h2_equidepth_histogram" -> 2,

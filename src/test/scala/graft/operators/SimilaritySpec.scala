@@ -175,6 +175,63 @@ class SimilaritySpec extends SparkSpec {
     assert(rm > 0.3, s"multi-probe recall $rm implausibly low")
   }
 
+  test("hardNegatives: top-k different-label neighbors, label filter BEFORE the rank cut") {
+    val rnd = new scala.util.Random(17)
+    val dims = 16
+    val labeled = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat), s"c${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = labeled.filter($"vec_id" < 12)
+    val got = Similarity.hardNegatives(queries, labeled, 5)
+      .select("a_id", "rn", "b_id", "neg_label", "cosine")
+      .as[(Long, Int, Long, String, Double)].collect()
+    // no same-label pair can ever appear, and k is respected per query
+    val labelOf = (0 until 200).map(i => i.toLong -> s"c${i % 3}").toMap
+    got.foreach { case (a, _, b, nl, _) =>
+      assert(labelOf(a) != nl && labelOf(b) == nl && a != b)
+    }
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    // truth: driver-side cosine over the different-label corpus, same
+    // round + tie order — the filter-before-rank semantics exactly
+    val all = { val r = new scala.util.Random(17)
+      (0 until 200).map(i => i.toLong -> Array.fill(dims)(r.nextGaussian().toFloat)).toMap }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n2(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (n2(a) * n2(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (a <- 0L until 12L) {
+      val expect = (0L until 200L)
+        .filter(b => b != a && labelOf(b) != labelOf(a))
+        .map(b => (b, cos(all(a), all(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(5)
+      val mine = got.filter(_._1 == a).sortBy(_._2).map(t => (t._3, t._5)).toSeq
+      assert(mine == expect, s"query $a: $mine vs $expect")
+    }
+  }
+
+  test("hardNegativesLsh: subset of the exact miner's candidate space, same scoring, k respected") {
+    val rnd = new scala.util.Random(29)
+    val dims = 16
+    val labeled = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat), s"c${i % 4}"))
+      .toDF("vec_id", "embedding", "label")
+    val queries = labeled.filter($"vec_id" < 16)
+    val exact = Similarity.hardNegatives(queries, labeled, 300)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.hardNegativesLsh(queries, labeled, 5, nPlanes = 4, dims = dims)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH pick is a legal negative (present in the unbounded exact
+    // ranking) with the identical rounded score
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not a legal negative")
+      assert(exact((a, b)) == c)
+    }
+    assert(lsh.groupBy(_._1).forall(_._2.length <= 5))
+  }
+
   test("kmeansCentroids: deterministic, unit-norm, k cells, and clusters separate") {
     // 3 well-separated direction clusters in 8 dims, 40 points each
     val rnd = new scala.util.Random(11)
