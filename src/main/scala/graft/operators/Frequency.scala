@@ -26,6 +26,50 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** Count-Min sketch counters (Cormode & Muthukrishnan 2005) as a
+    * relation: `depth` independent hash rows × `width` counters, one row
+    * per NON-ZERO (j, idx) cell. The build is a single map-side-combined
+    * COUNT over (j, h_j(item)) — shuffle ≤ depth·width rows regardless of
+    * corpus size, and cells merge by addition, so sketches from different
+    * partitions/days/engines combine losslessly (the mergeability that
+    * makes this the streaming/distributed counting workhorse). The hash is
+    * [[Integrity.md5Lower64]] over "j:item" — engine-portable integer
+    * arithmetic, so the ENTIRE sketch (not just its answers) is
+    * reproducible in ANSI SQL: cm1's oracle rebuilds every counter and
+    * hash-matches the estimates digit for digit.
+    */
+  def countMinCounters(df: DataFrame, items: Column, depth: Int,
+                       width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val it = items.cast("string")
+    df.select(explode(array((0 until depth).map(lit): _*)).as("j"), it.as("item"))
+      .withColumn("idx", (Integrity.md5Lower64(
+        concat(col("j").cast("string"), lit(":"), col("item"))) % lit(width))
+        .cast("long"))
+      .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` (a small relation with an
+    * `item` column) against a counter relation from [[countMinCounters]]:
+    * est(t) = MIN over j of counter(j, h_j(t)) — the classic CM upper
+    * bound, est ≥ true count always, over-estimate ≤ e·N/width with
+    * probability 1−e^−depth. Counters are ≤ depth·width rows → broadcast;
+    * the probe side never shuffles.
+    */
+  def countMinEstimate(counters: DataFrame, probes: DataFrame, depth: Int,
+                       width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth=$depth width=$width")
+    probes.select(col("item").cast("string").as("item"))
+      .select(col("item"), explode(array((0 until depth).map(lit): _*)).as("j"))
+      .withColumn("idx", (Integrity.md5Lower64(
+        concat(col("j").cast("string"), lit(":"), col("item"))) % lit(width))
+        .cast("long"))
+      .join(broadcast(counters), Seq("j", "idx"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+  }
+
   /** Exact items with frequency strictly greater than n/(k+1), with their
     * exact counts, ordered by (count desc, item asc). `items` may be any
     * expression (e.g. an exploded token column); it is cast to string.

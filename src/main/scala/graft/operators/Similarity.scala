@@ -364,6 +364,57 @@ object Similarity {
         firstPlane = t * planesPerBand, scaleBits = scaleBits),
       planesPerBand)
 
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space with a
+    * quantizer frame `(cell, cvec)`, then prune near-duplicates WITHIN
+    * each cluster only. Pair space collapses from N² to Σ|cell|² — with
+    * nCells scaled so E[|cell|] = N/nCells is bounded, candidate volume is
+    * LINEAR in N, and the expensive cosine verify never crosses cluster
+    * boundaries. Centroids broadcast; the intra-cell self-join is a
+    * hash-partitioned equi-join on `cell`.
+    *
+    * Assignment is [[ivfTopKWithCentroids]]'s keep=1 chain verbatim
+    * (rounded csim, ties by cell) so it is reproducible across engines —
+    * the d9 oracle replays it in SQL over [[firstNCentroids]]; production
+    * swaps in [[kmeansCentroids]] (engine-specific, gated by spec like
+    * e2h). Drop policy: a vector is dropped iff some SMALLER-id vector in
+    * its cell has rounded cosine ≥ `threshold` — the deterministic
+    * keep-smallest greedy (NOT transitive closure; [[graft.operators.Dedup.connectedComponents]]
+    * is the cross-cluster CC path when chains matter). Dense cells are the
+    * documented density lever (nCells); compose with
+    * [[cosineNearDupPairsBanded]] inside a cell if a single cell ever
+    * outgrows its pair budget.
+    *
+    * @return survivors `(cell, vec_id)` — one row per kept vector.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val cents = centroids.select(col("cell"), col("cvec"))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
+    // one row per vector after crn=1; feeds both pair-join sides AND the
+    // anti-join, so materialize once (no cross-branch CSE in Spark)
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .localCheckpoint()
+    val dropped = assigned
+      .select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", round(
+        Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("cell"), col("b").as("vec_id")).distinct()
+    assigned.select(col("cell"), col("vec_id"))
+      .join(dropped, Seq("cell", "vec_id"), "left_anti")
+  }
+
   /** Per-label embedding centroids in exact fixed point: each component is
     * floored to `2^scaleBits` units (power-of-two scaling of a float is
     * EXACT in double arithmetic, and floor is unambiguous on every engine),

@@ -167,6 +167,19 @@ object ExtensionQueries {
         planesPerBand = 6, nBands = 4)
         .orderBy("a", "b")),
 
+    // D9 SemDeDup semantic near-dedup ([[Similarity.semanticDedup]]):
+    // cluster-then-prune — assign every vector to its nearest centroid
+    // (e2f's oracle-replayable keep=1 chain over firstNCentroids), drop any
+    // vector with a smaller-id ≥0.4-cosine neighbor IN THE SAME CELL, keep
+    // the rest. Pair space is Σ|cell|² (nCells is the density lever), not
+    // N²; production swaps in kmeansCentroids, whose survivor floor
+    // SimilaritySpec gates instead (e2h discipline).
+    "d9_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDedup(emb, Similarity.firstNCentroids(emb, 16), 0.4)
+        .orderBy("cell", "vec_id")
+    }),
+
     // T9 corpus bigram-LM document scoring (CCNet-style quality signal):
     // add-k smoothed mean bigram log-probability per document.
     "t9_bigram_lm" -> ((s, d) =>
@@ -246,6 +259,28 @@ object ExtensionQueries {
       Frequency.heavyHitters(
         Tables.documents(s, d).select(explode(Text.tokens(col("text"))).as("word")),
         col("word"), k = 28, as = "word")),
+
+    // CM1 Count-Min sketch point-frequency estimates
+    // ([[Frequency.countMinCounters]]/[[countMinEstimate]]): build a 4×512
+    // mergeable counter table in ONE map-side-combined pass (shuffle ≤
+    // depth·width cells at any corpus size), then estimate the exact
+    // top-20 tokens and pin the CM lower-bound guarantee (est ≥ exact)
+    // per token. The md5-arithmetic sketch reproduces cell-for-cell in the
+    // oracle — unlike hh1's MG sketch, the sketch ITSELF is hash-checked,
+    // not just its verified answers. (The exact probe/truth groupBy is the
+    // correctness harness; at scale the probe set comes from hh1's lane.)
+    "cm1_countmin" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(Text.tokens(col("text"))).as("item"))
+      val counters = Frequency.countMinCounters(toks, col("item"), 4, 512)
+      val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("item")).limit(20)
+      Frequency.countMinEstimate(counters, exact.select("item"), 4, 512)
+        .join(exact, Seq("item"))
+        .withColumn("ok_lower", col("est_n") >= col("exact_n"))
+        .select("item", "exact_n", "est_n", "ok_lower")
+        .orderBy(desc("exact_n"), col("item"))
+    }),
 
     // E5 top error types from the parity errores relation.
     "e5_topk_error_types" -> ((s, d) =>
@@ -363,6 +398,46 @@ object ExtensionQueries {
             * lit(BigDecimal("0.5")), 4).cast("double"))
         .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "punct_ratio", "stop_ratio", "quality")
         .orderBy("doc_id")),
+
+    // T13 Gopher-style quality-rule flags (Rae et al. 2021, §A1.1): word
+    // count band, mean word length band, alphabetic-token ratio,
+    // distinct-stopword floor, symbol (#/ellipsis) ratio — each rule a
+    // boolean column plus its underlying rounded ratio, and the conjunction
+    // as `gopher_pass`. Thresholds follow the paper except the word-count
+    // floor (30, not 50 — the synthetic docs cap at 99 tokens; the BAND
+    // semantics are what's under test). One narrow projection + codegen'd
+    // lambda chain, no shuffle before the final sort: the filter runs at
+    // scan speed on 100 TB.
+    "t13_gopher_quality" -> ((s, d) => {
+      val ellipses = ((length(col("text")) -
+        length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / lit(3)).cast("long")
+      val hashes = (length(col("text")) -
+        length(regexp_replace(col("text"), lit("#"), lit("")))).cast("long")
+      Tables.documents(s, d)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("mean_word_len", round(
+          Text.totalTokenLen(col("toks")).cast("double") /
+            greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("alpha_ratio", round(
+          size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
+            greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("n_stop_distinct",
+          Text.stopwordHits(array_distinct(col("toks"))))
+        .withColumn("symbol_ratio", round((ellipses + hashes).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+        .withColumn("rule_wc", col("n_tokens").between(30, 100000))
+        .withColumn("rule_mwl", col("mean_word_len").between(3.0, 10.0))
+        .withColumn("rule_alpha", col("alpha_ratio") >= 0.8)
+        .withColumn("rule_stop", col("n_stop_distinct") >= 2)
+        .withColumn("rule_symbol", col("symbol_ratio") <= 0.1)
+        .withColumn("gopher_pass", col("rule_wc") && col("rule_mwl") &&
+          col("rule_alpha") && col("rule_stop") && col("rule_symbol"))
+        .select("doc_id", "n_tokens", "mean_word_len", "alpha_ratio",
+          "n_stop_distinct", "symbol_ratio", "rule_wc", "rule_mwl",
+          "rule_alpha", "rule_stop", "rule_symbol", "gopher_pass")
+        .orderBy("doc_id")
+    }),
 
     // T3 token stats: counts + distinct + type-token ratio.
     "t3_token_stats" -> ((s, d) =>
@@ -887,6 +962,34 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // MIX2 temperature-scaled source mixing (the multilingual/DoReMi
+    // re-balancing shape): keep rates COMPUTED FROM THE DATA — w_s ∝
+    // p_s^(1/T) at T=2, expressed relative to the largest source as
+    // r_s = min(1, c·sqrt(n_max/n_s)) with c=0.5 — then applied with
+    // mix1's per-row md5 gate. Two passes: a counts aggregate (broadcast
+    // back as rates — |sources| rows) and the stateless row gate; no
+    // per-source sort anywhere. Every arithmetic step (integer counts,
+    // one division, one sqrt — both correctly rounded IEEE ops, no
+    // order-dependent double SUM) is bit-identical in the oracle.
+    "mix2_temperature_mixing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val nmax = counts.agg(max(col("n_total")).as("n_max"))
+      val rates = counts.crossJoin(broadcast(nmax))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.5) * sqrt(col("n_max").cast("double") / col("n_total").cast("double"))))
+        .select("source", "n_total", "rate")
+      val u = (Integrity.md5Lower64(concat(lit("mix2:"), col("doc_id").cast("string")))
+        .cast("double") + lit(1.0)) / lit(18446744073709551616.0)
+      docs.select("source", "doc_id")
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("kept", (u < col("rate")).cast("long"))
+        .groupBy(col("source"), col("n_total"), round(col("rate"), 6).as("rate"))
+        .agg(sum(col("kept")).as("n_kept"))
+        .select("source", "n_total", "n_kept", "rate")
+        .orderBy("source")
+    }),
+
     // E10 embedding normalize + int8 quantize: per-vector max-abs scaling to
     // [-127, 127] with round-half-up as floor(x + 0.5) — floor on doubles is
     // exact, so the oracle reproduces every quantized value bit-for-bit.
@@ -1120,6 +1223,52 @@ object ExtensionQueries {
         |  FROM cos) t
         |WHERE rn <= 5""".stripMargin
 
+  /** d9's SemDeDup oracle: ivfSql's first-16-centroid assignment (crn=1
+    * over rounded csim, ties by cell) for EVERY vector, intra-cell pairs
+    * a < b with rounded cosine ≥ 0.4 → drop b, survivors by anti-join.
+    */
+  private val d9Sql: String =
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SUM(x*x) AS nrm FROM flat GROUP BY vec_id),
+        |cdots AS (
+        |  SELECT f.vec_id, c.vec_id AS cell, SUM(f.x * c.x) AS dot
+        |  FROM flat f JOIN flat c ON c.i = f.i AND c.vec_id < 16
+        |  GROUP BY f.vec_id, c.vec_id),
+        |csims AS (
+        |  SELECT d.vec_id, d.cell,
+        |    ROUND(d.dot / (sqrt(nv.nrm) * sqrt(nc.nrm)), 4) AS csim
+        |  FROM cdots d
+        |  JOIN norms nv ON nv.vec_id = d.vec_id
+        |  JOIN norms nc ON nc.vec_id = d.cell),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crn
+        |    FROM csims) t WHERE crn = 1),
+        |pairs AS (
+        |  SELECT pa.cell, pa.vec_id AS a, pb.vec_id AS b
+        |  FROM assigned pa
+        |  JOIN assigned pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id),
+        |cdots2 AS (
+        |  SELECT p.cell, p.a, p.b, SUM(fa.x * fb.x) AS dot
+        |  FROM pairs p
+        |  JOIN flat fa ON fa.vec_id = p.a
+        |  JOIN flat fb ON fb.vec_id = p.b AND fb.i = fa.i
+        |  GROUP BY p.cell, p.a, p.b),
+        |dropped AS (
+        |  SELECT DISTINCT d.cell, d.b AS vec_id
+        |  FROM cdots2 d
+        |  JOIN norms na ON na.vec_id = d.a
+        |  JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE ROUND(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4)
+        |SELECT a.cell, a.vec_id FROM assigned a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dropped dr WHERE dr.cell = a.cell AND dr.vec_id = a.vec_id)
+        |ORDER BY cell, vec_id""".stripMargin
+
   private val minhashPairsCtes: String =
     s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
@@ -1284,6 +1433,29 @@ object ExtensionQueries {
          |GROUP BY word
          |HAVING COUNT(*) * 29 > (SELECT COUNT(*) FROM w)
          |ORDER BY freq DESC, word""".stripMargin,
+
+    // cm1: the whole sketch rebuilt — every (j, h_j mod 512) cell COUNTed,
+    // estimates as MIN over rows — identical md5 integer arithmetic.
+    "cm1_countmin" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS item FROM documents),
+         |exact AS (
+         |  SELECT item, COUNT(*) AS exact_n FROM tok GROUP BY item
+         |  ORDER BY exact_n DESC, item LIMIT 20),
+         |rows_j AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 4) t(j)),
+         |cells AS (
+         |  SELECT r.j,
+         |    CAST(md5_number_lower(CAST(r.j AS VARCHAR) || ':' || t.item) % 512 AS BIGINT) AS idx,
+         |    COUNT(*) AS cnt
+         |  FROM tok t CROSS JOIN rows_j r GROUP BY 1, 2),
+         |est AS (
+         |  SELECT e.item, MIN(COALESCE(c.cnt, 0)) AS est_n
+         |  FROM exact e CROSS JOIN rows_j r
+         |  LEFT JOIN cells c ON c.j = r.j
+         |    AND c.idx = CAST(md5_number_lower(CAST(r.j AS VARCHAR) || ':' || e.item) % 512 AS BIGINT)
+         |  GROUP BY e.item)
+         |SELECT e.item, e.exact_n, s.est_n, s.est_n >= e.exact_n AS ok_lower
+         |FROM exact e JOIN est s ON s.item = e.item
+         |ORDER BY e.exact_n DESC, e.item""".stripMargin,
 
     "e5_topk_error_types" -> (
       s"WITH ${v},\n${f},\n${ParityQueries.erroresCte}\n" +
@@ -1473,6 +1645,10 @@ object ExtensionQueries {
         |  FROM cos) t
         |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
 
+    // d9: the SemDeDup chain restated — e2f's first-16-centroid assignment,
+    // intra-cell pairs, rounded-cosine drop, anti-join survivors.
+    "d9_semantic_dedup" -> d9Sql,
+
     // e2c2: the SRP near-dup witness restated digit for digit — fixed-point
     // BIGINT projections (floor(x·2^20) × the same integer-mixed plane
     // components), per-band bit pack, band equi-join, rounded-cosine verify.
@@ -1574,6 +1750,39 @@ object ExtensionQueries {
          |      + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
          |      * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
          |FROM feat ORDER BY doc_id""".stripMargin,
+
+    // t13: every ratio recomputed from the shared tokenizer, each rule
+    // restated on the ROUNDED ratio (so band-edge comparisons see the
+    // identical 4-decimal value both engines produced).
+    "t13_gopher_quality" ->
+      s"""WITH tok AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) AS tok_len_sum,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+         |    CAST(len(list_filter(list_distinct(toks), x -> x IN $stopList)) AS INTEGER) AS n_stop_distinct,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |       + (length(text) - length(replace(text, '#', ''))) AS DOUBLE) AS n_sym
+         |  FROM tok),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    ROUND(tok_len_sum / greatest(n_tokens, 1), 4) AS mean_word_len,
+         |    ROUND(n_alpha / greatest(n_tokens, 1), 4) AS alpha_ratio,
+         |    n_stop_distinct,
+         |    ROUND(n_sym / greatest(n_tokens, 1), 4) AS symbol_ratio
+         |  FROM feat)
+         |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, n_stop_distinct,
+         |  symbol_ratio,
+         |  n_tokens BETWEEN 30 AND 100000 AS rule_wc,
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mwl,
+         |  alpha_ratio >= 0.8 AS rule_alpha,
+         |  n_stop_distinct >= 2 AS rule_stop,
+         |  symbol_ratio <= 0.1 AS rule_symbol,
+         |  (n_tokens BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND (alpha_ratio >= 0.8) AND (n_stop_distinct >= 2)
+         |    AND (symbol_ratio <= 0.1) AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "t3_token_stats" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -1904,6 +2113,29 @@ object ExtensionQueries {
         |  CAST(SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  ROUND(CAST(SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    // mix2: counts → rate = min(1, 0.5·sqrt(n_max/n_s)) (division and sqrt
+    // are single correctly-rounded IEEE ops on integer inputs — bit-equal
+    // across engines), gate on (md5_number_lower+1)/2^64.
+    "mix2_temperature_mixing" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY source),
+        |nmax AS (SELECT MAX(n_total) AS n_max FROM counts),
+        |rates AS (
+        |  SELECT source, n_total,
+        |    least(1.0, 0.5 * sqrt(CAST(n_max AS DOUBLE) / CAST(n_total AS DOUBLE))) AS r
+        |  FROM counts CROSS JOIN nmax),
+        |flags AS (
+        |  SELECT d.source,
+        |    CASE WHEN (CAST(md5_number_lower('mix2:' || CAST(d.doc_id AS VARCHAR)) AS DOUBLE) + 1.0)
+        |              / 18446744073709551616.0 < r.r THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN rates r ON r.source = d.source)
+        |SELECT f.source, r.n_total, CAST(SUM(f.kept) AS BIGINT) AS n_kept,
+        |  ROUND(r.r, 6) AS rate
+        |FROM flags f JOIN rates r ON r.source = f.source
+        |GROUP BY f.source, r.n_total, r.r
+        |ORDER BY f.source""".stripMargin,
 
     "e10_embed_quantize" ->
       """WITH base AS (

@@ -60,4 +60,36 @@ class FrequencySpec extends SparkSpec {
       assert(cands.size <= 4)
     }
   }
+
+  test("count-min: est >= exact always, and the eps*N error bound holds on this stream") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map(_ => s"w_${rnd.nextInt(60)}")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("item")
+    val depth = 4; val width = 64 // narrow width to force real collisions
+    val counters = Frequency.countMinCounters(df, col("item"), depth, width)
+    val probes = rows.distinct.toDF("item")
+    val est = Frequency.countMinEstimate(counters, probes, depth, width)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    exact.foreach { case (w, n) =>
+      assert(est(w) >= n, s"$w: est ${est(w)} < exact $n")
+      // e*N/width with e ~= 2.718: generous deterministic cap for seed 7
+      assert(est(w) - n <= math.ceil(math.E * rows.size / width).toLong,
+        s"$w: overestimate ${est(w) - n}")
+    }
+    // an item never seen estimates 0 unless every row collides
+    assert(est.values.forall(_ >= 0))
+  }
+
+  test("count-min counters merge by addition: halves summed == whole") {
+    val rows = (1 to 1000).map(i => s"t_${i % 37}")
+    val (a, b) = rows.splitAt(500)
+    val whole = Frequency.countMinCounters(rows.toDF("item"), col("item"), 3, 32)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val merged = Frequency.countMinCounters(a.toDF("item"), col("item"), 3, 32)
+      .union(Frequency.countMinCounters(b.toDF("item"), col("item"), 3, 32))
+      .groupBy("j", "idx").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(whole == merged)
+  }
 }

@@ -304,6 +304,39 @@ class SimilaritySpec extends SparkSpec {
       again.collect().toSeq)
   }
 
+  test("semanticDedup: known geometry — drops only the smaller-id near neighbor in-cell") {
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("cell", "cvec")
+    // assignments: v0,v1,v4 -> cell 0 (v4 ties 0.7071/0.7071, lower cell
+    // wins); v2,v3 -> cell 1 (cos(v3,c0) = -1 < 0). Within cell 0 only
+    // (0,1) reaches 0.9 cosine -> v1 dropped; cell 1's pair is orthogonal.
+    val out = Similarity.semanticDedup(vecs, cents, 0.9)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (0L, 4L), (1L, 2L), (1L, 3L)), s"got $out")
+  }
+
+  test("semanticDedup: threshold -1 keeps exactly the min id per non-empty cell; threshold > 1 keeps all") {
+    val rnd = new scala.util.Random(31)
+    val dims = 16
+    val centers = Array.fill(6)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 300).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, nCells = 6, sampleSize = 300)
+    // every in-cell pair qualifies at -1 -> keep-smallest leaves min id/cell
+    val minOnly = Similarity.semanticDedup(corpus, cents, -1.0)
+      .orderBy("cell").as[(Long, Long)].collect().toSeq
+    assert(minOnly.size == minOnly.map(_._1).distinct.size)
+    val assignedMin = Similarity.semanticDedup(corpus, cents, 2.0)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (c, g) => (c, g.map(_._2).min) }
+    minOnly.foreach { case (cell, id) => assert(assignedMin(cell) == id) }
+    // no pair reaches cosine > 1 -> nothing dropped
+    assert(Similarity.semanticDedup(corpus, cents, 2.0).count() == 300L)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
