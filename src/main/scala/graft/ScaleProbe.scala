@@ -129,6 +129,30 @@ object ScaleProbe {
     }
     val up = upscale(all, 4).localCheckpoint()
     probe("sf0.1 x4", up, up.count(), skipD5 = true)
+
+    // d9 (SemDeDup) ladder: candidate volume = Σ n_c·(n_c−1)/2 from the
+    // assignment alone (no pair join needed). Fixed 16 cells (the oracle
+    // entry's quantizer — E[|cell|] grows with N, so candidates quadratic)
+    // vs cellsForCorpus-scaled cells (E[|cell|] bounded — candidates
+    // linear). The divergence between the two columns IS the density-lever
+    // claim, measured.
+    def d9Candidates(emb: DataFrame, cells: Int): Long =
+      operators.Similarity.assignCells(emb,
+          operators.Similarity.kmeansCentroids(emb, cells))
+        .groupBy("cell").count()
+        .agg(sum(expr("count * (count - 1) div 2")).as("cand"))
+        .head().getLong(0)
+    val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val embIds = embAll.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val embFull = embIds.length.toLong
+    for (frac <- Seq(8, 4, 2, 1) if embIds.nonEmpty) {
+      val n = math.max(1, (embFull / frac).toInt)
+      val sub = embAll.filter(col("vec_id") <= embIds(n - 1)).localCheckpoint()
+      val auto = operators.Similarity.cellsForCorpus(n, 64)
+      println(f"PROBE-D9 sf0.1/$frac%-4s n=$n%6d " +
+        f"fixed16_cand=${d9Candidates(sub, 16)}%10d " +
+        f"auto_cells=$auto%4d auto_cand=${d9Candidates(sub, auto)}%10d")
+    }
     spark.stop()
   }
 }

@@ -387,18 +387,27 @@ object Similarity {
     *
     * @return survivors `(cell, vec_id)` — one row per kept vector.
     */
-  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
-                    threshold: Double): DataFrame = {
+  /** Nearest-centroid cell assignment — [[semanticDedup]]'s keep=1 chain
+    * (rounded csim, ties by cell id, centroids broadcast) as a standalone
+    * step so the scale probe can measure Σ|cell|² without a pair join.
+    * Returns one `(cell, vec_id, embedding)` row per corpus vector.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell"), col("cvec"))
     val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
-    // one row per vector after crn=1; feeds both pair-join sides AND the
-    // anti-join, so materialize once (no cross-branch CSE in Spark)
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
       .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") === 1)
       .select(col("cell"), col("vec_id"), col("embedding"))
+  }
+
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    // one row per vector after crn=1; feeds both pair-join sides AND the
+    // anti-join, so materialize once (no cross-branch CSE in Spark)
+    val assigned = assignCells(corpus, centroids)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
       .localCheckpoint()
     val dropped = assigned
@@ -413,6 +422,80 @@ object Similarity {
       .select(col("cell"), col("b").as("vec_id")).distinct()
     assigned.select(col("cell"), col("vec_id"))
       .join(dropped, Seq("cell", "vec_id"), "left_anti")
+  }
+
+  /** Incremental [[semanticDedup]] — the d8 daily-ingest discipline for
+    * embeddings: admit only delta vectors with NO ≥`threshold` neighbor in
+    * (already-admitted corpus ∪ smaller-id delta) within their cell. The
+    * corpus never self-compares (it is already deduped); per-batch cost is
+    * |delta| assignment + delta ⨝ same-cell-corpus + delta intra-cell
+    * pairs — never corpus × corpus. Centroids must be the SAME frame the
+    * corpus was assigned with (the persisted quantizer is part of the
+    * index state, exactly like d8's banding layout).
+    *
+    * When every delta id exceeds every corpus id, admitting batches
+    * sequentially equals one batch [[semanticDedup]] over the union,
+    * restricted to the delta (keep-smallest sees corpus ids first) —
+    * SimilaritySpec pins that equivalence.
+    *
+    * @param corpus already-admitted survivors `(vec_id, embedding)`.
+    * @return admitted delta rows `(cell, vec_id)`.
+    */
+  def semanticDedupIncremental(corpus: DataFrame, delta: DataFrame,
+                               centroids: DataFrame,
+                               threshold: Double): DataFrame = {
+    def withNorm(df: DataFrame): DataFrame =
+      assignCells(df, centroids)
+        .withColumn("nrm", Vectors.norm2(col("embedding")))
+    val corpusCells = withNorm(corpus)
+      .select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+    val deltaCells = withNorm(delta).localCheckpoint() // 3 consumers below
+    val dSide = deltaCells.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    def hits(other: DataFrame, cond: Column): DataFrame =
+      dSide.join(other, Seq("cell"))
+        .filter(cond)
+        .withColumn("cosine", round(
+          Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
+        .filter(col("cosine") >= threshold)
+        .select(col("cell"), col("a").as("vec_id"))
+    val vsCorpus = hits(corpusCells, lit(true))
+    val vsDelta = hits(
+      deltaCells.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb")),
+      col("b") < col("a"))
+    deltaCells.select(col("cell"), col("vec_id"))
+      .join(vsCorpus.union(vsDelta).distinct(), Seq("cell", "vec_id"), "left_anti")
+  }
+
+  /** Cells per corpus so that E[|cell|] ≈ `targetCell`: [[semanticDedup]]'s
+    * pair volume is Σ|cell|² ≈ N·targetCell — LINEAR in N — when the cell
+    * count scales as N/targetCell (the [[planesForCorpus]] discipline for
+    * the quantizer). Clamped to [1, 2048]: [[kmeansCentroids]] seeds
+    * centroids from a ≤2048-point driver sample, so more cells than sample
+    * points would be degenerate. Beyond 2048·targetCell rows the sample
+    * size is the lever to raise (or swap in a distributed k-means); the
+    * clamp makes that boundary explicit instead of silently quadratic.
+    */
+  def cellsForCorpus(n: Long, targetCell: Int = 256): Int = {
+    require(targetCell >= 1, s"targetCell must be positive, got $targetCell")
+    math.max(1, math.min(2048,
+      math.ceil(n.toDouble / targetCell).toInt))
+  }
+
+  /** Production [[semanticDedup]]: spherical-k-means quantizer with the
+    * cell count scaled to the corpus ([[cellsForCorpus]]) — one count()
+    * (parquet row-group metadata), then intra-cell pruning at bounded
+    * expected cell size. Deterministic end to end (count, cells, sample,
+    * iterations are all functions of the data alone). The oracle-checked
+    * d9 entry runs the [[firstNCentroids]] quantizer instead; this lane's
+    * survivor behavior is spec-gated (the e2h discipline).
+    */
+  def semanticDedupAuto(corpus: DataFrame, threshold: Double,
+                        targetCell: Int = 256): DataFrame = {
+    val cells = cellsForCorpus(corpus.count(), targetCell)
+    semanticDedup(corpus, kmeansCentroids(corpus, cells), threshold)
   }
 
   /** Per-label embedding centroids in exact fixed point: each component is

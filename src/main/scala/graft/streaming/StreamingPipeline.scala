@@ -392,28 +392,46 @@ object StreamingPipeline {
   }
 
   /** One idempotent CDC micro-batch (see [[cdcApplyStream]]). */
+  /** Versions (`v=N` dirs with N < batchId) present in `stateDir`.
+    * toLongOption: a stray non-numeric v=* entry must not throw here —
+    * same contract as the SCD marker GC (skip foreign artifacts, don't
+    * fail the micro-batch).
+    */
+  private def priorVersions(spark: SparkSession, stateDir: String,
+                            batchId: Long): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
+      .flatMap(_.toLongOption)
+      .filter(_ < batchId)
+  }
+
   def cdcApplyBatch(batch: DataFrame, batchId: Long, stateDir: String,
                     key: String, attrs: Seq[String], opCol: String = "op",
                     tsCol: String = "ts", tieCol: String = "seq"): Unit = {
     import graft.operators.Cdc
     val spark = batch.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // toLongOption: a stray non-numeric v=* entry must not throw here —
-    // same contract as the SCD marker GC (skip foreign artifacts, don't
-    // fail the micro-batch)
-    val prior = if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
-        .flatMap(_.toLongOption)
-        .filter(_ < batchId)
+    val prior = priorVersions(spark, stateDir, batchId)
     val base = prior.sorted.lastOption match {
       case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
       case None => batch.select((key +: attrs).map(col): _*).limit(0)
     }
     val next = Cdc.applyLog(base, batch, key, attrs, opCol, tsCol, tieCol)
     next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    publishVersion(spark, stateDir, batchId, prior)
+  }
+
+  /** Publish `v=batchId` as `_CURRENT` (temp write + atomic rename) and GC
+    * all but the last two prior versions — the shared epilogue of every
+    * versioned-state stream sink ([[cdcApplyBatch]], [[countMinBatch]]).
+    */
+  private def publishVersion(spark: SparkSession, stateDir: String,
+                             batchId: Long, prior: Seq[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // pointer swap for external readers (same temp+rename discipline as the
     // batch pipeline's versioned visitantes); replays rewrite it identically.
     // The swap must be a single overwrite-rename: delete-then-rename opens a
@@ -436,7 +454,7 @@ object StreamingPipeline {
       if (fs.exists(cur)) fs.delete(cur, false)
       if (!fs.rename(tmp, cur))
         throw new java.io.IOException(
-          s"cdcApplyBatch: pointer swap $tmp -> $cur failed")
+          s"publishVersion: pointer swap $tmp -> $cur failed")
     }
     if (supportsFileContext(cur.toUri, spark.sparkContext.hadoopConfiguration)) {
       // The cached probe can go stale if a DIFFERENT Configuration (another
@@ -499,6 +517,45 @@ object StreamingPipeline {
       finally in.close()
       Some(spark.read.parquet(s"$stateDir/$v"))
     }
+  }
+
+  /** Continuous Count-Min maintenance — the streaming twin of cm1: each
+    * micro-batch's counters ([[graft.operators.Frequency.countMinCounters]])
+    * merge BY ADDITION into a versioned on-disk counter table, exercising
+    * the sketch's mergeability (halves-summed == whole, FrequencySpec)
+    * operationally. State is ≤ depth·width cells at ANY stream length —
+    * the whole point of sketching a stream — and the protocol is
+    * [[cdcApplyBatch]]'s: v=batchId computed from the latest prior
+    * version, replays recompute it identically (deterministic addition),
+    * `_CURRENT` published atomically, two prior versions retained.
+    * External readers resolve estimates against [[cdcCurrentState]]'s view
+    * with [[graft.operators.Frequency.countMinEstimate]].
+    */
+  def countMinStream(items: DataFrame, stateDir: String, checkpointDir: String,
+                     itemCol: String = "item", depth: Int = 4,
+                     width: Int = 512): StreamingQuery =
+    items.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        countMinBatch(batch, batchId, stateDir, itemCol, depth, width)
+      }
+      .start()
+
+  def countMinBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                    itemCol: String, depth: Int, width: Int): Unit = {
+    import graft.operators.Frequency
+    val spark = batch.sparkSession
+    val prior = priorVersions(spark, stateDir, batchId)
+    val delta = Frequency.countMinCounters(batch, col(itemCol), depth, width)
+    val next = prior.sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$stateDir/v=$v")
+        .unionByName(delta)
+        .groupBy("j", "idx").agg(sum(col("cnt")).as("cnt"))
+      case None => delta
+    }
+    next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    publishVersion(spark, stateDir, batchId, prior)
   }
 
   /** Sliding-window aggregate (the tumbling [[hourlyWindow]]'s overlapping

@@ -337,6 +337,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticDedup(corpus, cents, 2.0).count() == 300L)
   }
 
+  test("cellsForCorpus bounds expected cell population; semanticDedupAuto matches the policy") {
+    // E[|cell|] = n/cells <= targetCell at every n below the clamp boundary
+    for (n <- Seq(1L, 100L, 5000L, 100000L, 500000L);
+         t <- Seq(64, 256, 1024)) {
+      val c = Similarity.cellsForCorpus(n, t)
+      assert(c >= 1 && c <= 2048)
+      if (c < 2048) assert(n.toDouble / c <= t, s"n=$n t=$t cells=$c")
+    }
+    // auto lane: same survivors as the explicit kmeans call it delegates to
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.semanticDedupAuto(corpus, 0.9, targetCell = 50)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    val explicit = Similarity.semanticDedup(corpus,
+      Similarity.kmeansCentroids(corpus, Similarity.cellsForCorpus(200, 50)), 0.9)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }

@@ -556,4 +556,52 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     // buy 2 matches click 200
     assert(got == Set((1L, 100L), (2L, 200L)))
   }
+
+  test("streaming count-min: counters add across batches; replay of a committed batch converges") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    val stateDir = Files.createTempDirectory("cm_state").toString
+    def est(items: Seq[String]) = {
+      val cur = StreamingPipeline.cdcCurrentState(spark, stateDir).get
+      Frequency.countMinEstimate(cur, items.toDF("item"), 2, 32)
+        .orderBy("item").as[(String, Long)].collect().toSeq
+    }
+    StreamingPipeline.countMinBatch(
+      (Seq.fill(5)("a") ++ Seq.fill(3)("b")).toDF("item"),
+      0L, stateDir, "item", 2, 32)
+    est(Seq("a", "b")).foreach { case (w, n) =>
+      val exact = if (w == "a") 5L else 3L
+      assert(n >= exact && n <= 8L, s"$w: $n") // CM bounds: exact <= est <= stream total
+    }
+    val b1 = (Seq.fill(4)("a") ++ Seq.fill(7)("c")).toDF("item")
+    StreamingPipeline.countMinBatch(b1, 1L, stateDir, "item", 2, 32)
+    val after1 = est(Seq("a", "b", "c"))
+    after1.foreach { case (w, n) =>
+      val exact = Map("a" -> 9L, "b" -> 3L, "c" -> 7L)(w)
+      assert(n >= exact && n <= 19L, s"$w: $n")
+    }
+    // at-least-once replay of COMMITTED batch 1: rebuilt from v=0, not
+    // double-added on top of v=1
+    StreamingPipeline.countMinBatch(b1, 1L, stateDir, "item", 2, 32)
+    assert(est(Seq("a", "b", "c")) == after1)
+    // state is bounded by the sketch dimensions regardless of stream length
+    assert(StreamingPipeline.cdcCurrentState(spark, stateDir).get.count() <= 2L * 32)
+  }
+
+  test("streaming count-min end-to-end: memory-stream items drain into the counter table") {
+    import spark.implicits._
+    import graft.operators.Frequency
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("cms_state").toString
+    val ck = Files.createTempDirectory("cms_ck").toString
+    val mem = MemoryStream[String]
+    mem.addData(Seq.fill(6)("hot") ++ Seq("x", "y"): _*)
+    val q = StreamingPipeline.countMinStream(
+      mem.toDF().toDF("item"), stateDir, ck, "item", 2, 32)
+    q.awaitTermination(120000)
+    val cur = StreamingPipeline.cdcCurrentState(spark, stateDir).get
+    val got = Frequency.countMinEstimate(cur, Seq("hot").toDF("item"), 2, 32)
+      .as[(String, Long)].head()
+    assert(got._2 >= 6L && got._2 <= 8L, got)
+  }
 }
