@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver's read-only testdata tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]); the
-  * loader then rebuilds a microsecond TimestampType via `timestamp_micros(ns
-  * div 1000)` — the same floor-truncation DuckDB applies when it reads ns
-  * parquet, so oracle comparisons see identical values.
+  * `events.ts` has shipped in two physical layouts across driver rounds:
+  * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+  * ([PARQUET_TYPE_ILLEGAL]) unless `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (see [[Sessions.tune]]) reads it as LONG ns — and plain µs TIMESTAMP with
+  * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. [[Tables.events]]
+  * dispatches on the READ dtype so both layouts normalize to the same
+  * microsecond TimestampType: ns-as-long rebuilds via `timestamp_micros(ns div
+  * 1000)` (the floor-truncation DuckDB applies when reading ns parquet), NTZ
+  * casts through the pinned UTC session zone (wall-clock values unchanged,
+  * matching DuckDB's naive read of the same file).
   */
 object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/region.parquet")
@@ -23,10 +27,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** `events` with `ts` restored to TimestampType (µs), matching DuckDB. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events` with `ts` normalized to TimestampType (µs), matching DuckDB. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long legacy layout
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // µs naive layout
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 }
 
 /** Session configuration shared by Verify / Bench / tests / pipeline mains. */

@@ -53,6 +53,9 @@ class PlanQualitySpec extends SparkSpec {
     "e2i_hard_negatives" -> 1,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
+    // mix2: one-row n_max aggregate crossed into the |sources|-row rate
+    // table — t6_tfidf's corpus-scalar shape.
+    "mix2_temperature_mixing" -> 1,
     "h2_equidepth_histogram" -> 2,
     "pr1_percent_rank" -> 2)
 
