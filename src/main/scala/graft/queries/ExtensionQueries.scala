@@ -180,6 +180,24 @@ object ExtensionQueries {
         .orderBy("cell", "vec_id")
     }),
 
+    // D9B incremental SemDeDup ([[Similarity.semanticDedupIncremental]]):
+    // d8's daily-ingest discipline for embeddings, oracle-checked. The
+    // corpus half (vec_id < 250) is batch-deduped with the SAME first-16
+    // quantizer, then the delta half is admitted only where it has no
+    // ≥0.4-cosine neighbor in (admitted corpus ∪ smaller-id delta) within
+    // its cell — per-batch cost is delta-bounded, never corpus².
+    "d9b_semantic_dedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.firstNCentroids(emb, 16)
+      val corpusSurv = Similarity
+        .semanticDedup(emb.filter(col("vec_id") < 250), cents, 0.4)
+        .select("vec_id").join(emb, Seq("vec_id"))
+        .select("vec_id", "embedding")
+      Similarity.semanticDedupIncremental(
+          corpusSurv, emb.filter(col("vec_id") >= 250), cents, 0.4)
+        .orderBy("cell", "vec_id")
+    }),
+
     // T9 corpus bigram-LM document scoring (CCNet-style quality signal):
     // add-k smoothed mean bigram log-probability per document.
     "t9_bigram_lm" -> ((s, d) =>
