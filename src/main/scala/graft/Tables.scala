@@ -35,7 +35,13 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType => // µs naive layout
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw // already µs UTC
+      // fail loudly on a THIRD layout (e.g. ms, or UTC-adjusted int96): a
+      // silent pass-through would skew ts against the DuckDB oracle with no
+      // error anywhere — a load failure is diagnosable, value drift is not
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical dtype $other — add an explicit " +
+          "normalization arm (Tables.events) before using this layout")
     }
   }
 }

@@ -491,7 +491,36 @@ object Dedup {
     simhashPairsFromSigs(sigs, idCol, "simhash", maxDist, 64)
   }
 
-  /** Edit-distance near-duplicate pairs within a blocking key. Candidates
+  /** PRODUCTION edit-distance near-dup (the d5b lane): MinHash-banded
+    * candidates — volume tracks true band collisions, near-linear in N by
+    * the §6.1 growth probes — verified by the bounded banded-DP
+    * levenshtein ([[editDistanceVerify]]). This composed form is the
+    * documented default at corpus scale; [[editDistanceNearDup]]'s raw
+    * length-band blocking is the building block it supersedes (fixed band
+    * count ⇒ quadratic candidates, measured ×4.0 per corpus doubling).
+    * `portable = true` swaps the xxhash64 band family for the md5 witness
+    * ([[minhashLshPortable]]) so the candidate frame reproduces in ANSI SQL
+    * — the d5b oracle's exact blocking; default stays the xxhash64 scale
+    * path (8-byte band keys shuffle ~4× lighter than 32-char hex).
+    * Output: (a, b, dist) with dist ≤ maxDist.
+    */
+  def editDistanceNearDupBlocked(df: DataFrame, idCol: String, textCol: String,
+                                 maxDist: Int, numPerms: Int = 16, bands: Int = 8,
+                                 candThreshold: Double = 0.05,
+                                 portable: Boolean = false): DataFrame = {
+    val cands =
+      if (portable) minhashLshPortable(df, idCol, textCol, numPerms, bands, candThreshold)
+      else minhashLsh(df, idCol, textCol, numPerms, bands, candThreshold)
+    editDistanceVerify(cands, df, idCol, textCol, "a", "b", maxDist)
+  }
+
+  /** Edit-distance near-duplicate pairs within a blocking key — the raw
+    * length-band BUILDING BLOCK, not the production default: the band count
+    * is fixed by (length range / window), not by N, so candidate volume is
+    * quadratic with a small constant (§6.1: measured ×4.0 per corpus
+    * doubling, ~1.7% of all-pairs at N=5000). At corpus scale use
+    * [[editDistanceNearDupBlocked]] (corpus-scaled MinHash blocking, same
+    * bounded-DP verify) or pass a finer caller-chosen `blockCol`. Candidates
     * come from a two-bucket length-band equi-join — every doc lands in
     * length buckets floor(len/W) and floor(len/W)+1, so any pair with
     * |len_a − len_b| ≤ W shares at least one (block, bucket) key — never an

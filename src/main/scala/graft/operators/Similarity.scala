@@ -205,6 +205,77 @@ object Similarity {
       .toDF("cell", "cvec")
   }
 
+  /** DISTRIBUTED spherical k-means quantizer — the >2048-cell path that
+    * lifts [[kmeansCentroids]]' driver-sample boundary (round-14; the
+    * carried-over limit [[cellsForCorpus]] documents). Everything that
+    * scales with the CORPUS stays in Spark; only nCells×dims state — the
+    * same frame every IVF consumer must broadcast anyway — ever touches the
+    * driver:
+    *
+    *  - Sample: deterministic hash-threshold admission
+    *    (xxhash64(vec_id) mod 2^20 < frac·2^20) — one distributed scan, no
+    *    global sort/limit single-partition bottleneck; expected size
+    *    nCells·samplePerCell, the standard IVF training budget.
+    *  - Assign: [[assignCells]] (broadcast centroids, rounded csim, ties by
+    *    cell) over the sample — per-iteration cost sample×nCells scored
+    *    rows, i.e. iters·samplePerCell·nCells² dots total: the canonical
+    *    flat-quantizer training cost. Beyond ~10^5 cells a hierarchical
+    *    (two-level) trainer is the next lever; that boundary is this
+    *    scaladoc, not a silent clamp.
+    *  - Update: [[labelCentroids]] — EXACT fixed-point per-cell means, so
+    *    the new centroids are bit-identical under any partitioning — then
+    *    only nCells×dims mean rows collect for renormalization. Empty cells
+    *    keep their previous centroid (same rule as the driver Lloyd).
+    *
+    * Deterministic end to end: sample membership, seeds (first nCells in
+    * xxhash64 order), assignment tie-breaks, and the fixed-point sums are
+    * all functions of the data alone.
+    */
+  def kmeansCentroidsScalable(corpus: DataFrame, nCells: Int,
+                              samplePerCell: Int = 64, iters: Int = 4,
+                              scaleBits: Int = 20): DataFrame = {
+    require(nCells >= 1 && samplePerCell >= 1 && iters >= 0,
+      s"nCells=$nCells samplePerCell=$samplePerCell iters=$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unit = (1L << scaleBits).toDouble
+    val n = corpus.count()
+    require(n > 0, "kmeansCentroidsScalable: empty corpus")
+    val den = 1L << 20
+    val target = nCells.toLong * samplePerCell
+    val num = if (target >= n) den else den * target / n
+    val sampleDf = (if (num >= den) corpus.select(col("vec_id"), col("embedding"))
+      else corpus.select(col("vec_id"), col("embedding"))
+        .filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num)))
+      .localCheckpoint() // re-read every Lloyd iteration
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0.0) v else v.map(_ / nn)
+    }
+    var cents: Array[(Long, Array[Float])] = sampleDf
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+      .select("embedding").collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray).map(_.toFloat))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(sampleDf, cents.toSeq.toDF("cell", "cvec"))
+      val byCell = labelCentroids(assigned, "cell", "embedding", scaleBits)
+        .select(col("label"), col("pos"), col("mean_fp"))
+        .collect() // ≤ nCells×dims rows — the broadcast-bounded frame
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (c, prev) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val v = new Array[Double](prev.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / unit)
+            (c, normalize(v).map(_.toFloat))
+          case None => (c, prev) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents.toSeq.toDF("cell", "cvec")
+  }
+
   /** IVF ANN core: a coarse quantizer frame (cell, cvec) assigns every
     * corpus vector to its nearest-centroid cell; a query probes its
     * `nProbe` nearest cells and scores only those inverted lists. Cell
@@ -433,10 +504,15 @@ object Similarity {
     * corpus was assigned with (the persisted quantizer is part of the
     * index state, exactly like d8's banding layout).
     *
-    * When every delta id exceeds every corpus id, admitting batches
-    * sequentially equals one batch [[semanticDedup]] over the union,
-    * restricted to the delta (keep-smallest sees corpus ids first) —
-    * SimilaritySpec pins that equivalence.
+    * When every delta id exceeds every corpus id, the admitted set equals
+    * one batch [[semanticDedup]] over (admitted corpus ∪ delta) restricted
+    * to the delta (keep-smallest sees corpus ids first; no survivor has a
+    * smaller-id ≥threshold neighbor, so none is re-dropped) —
+    * SimilaritySpec pins that equivalence. Over the RAW pre-dedup union the
+    * two can differ: cosine is not transitive, so a DROPPED corpus vector
+    * vetoes its delta neighbors in batch but is absent from the index here
+    * (the same asymmetry as d8's banding index; the admitted-corpus frame
+    * is the contract).
     *
     * @param corpus already-admitted survivors `(vec_id, embedding)`.
     * @return admitted delta rows `(cell, vec_id)`.
@@ -472,30 +548,47 @@ object Similarity {
   /** Cells per corpus so that E[|cell|] ≈ `targetCell`: [[semanticDedup]]'s
     * pair volume is Σ|cell|² ≈ N·targetCell — LINEAR in N — when the cell
     * count scales as N/targetCell (the [[planesForCorpus]] discipline for
-    * the quantizer). Clamped to [1, 2048]: [[kmeansCentroids]] seeds
-    * centroids from a ≤2048-point driver sample, so more cells than sample
-    * points would be degenerate. Beyond 2048·targetCell rows the sample
-    * size is the lever to raise (or swap in a distributed k-means); the
-    * clamp makes that boundary explicit instead of silently quadratic.
+    * the quantizer). `maxCells` defaults to 2048 — the [[kmeansCentroids]]
+    * driver-sample boundary (more cells than sample points would be
+    * degenerate). [[semanticDedupAuto]] lifts the cap and routes >2048-cell
+    * corpora to [[kmeansCentroidsScalable]] (round 14), so the boundary is
+    * now a quantizer DISPATCH line, not a silent return to quadratic pair
+    * volume.
     */
-  def cellsForCorpus(n: Long, targetCell: Int = 256): Int = {
+  def cellsForCorpus(n: Long, targetCell: Int = 256,
+                     maxCells: Int = 2048): Int = {
     require(targetCell >= 1, s"targetCell must be positive, got $targetCell")
-    math.max(1, math.min(2048,
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    math.max(1, math.min(maxCells,
       math.ceil(n.toDouble / targetCell).toInt))
   }
+
+  /** The [[kmeansCentroids]] driver-sample boundary: beyond this many cells
+    * [[semanticDedupAuto]] switches to the distributed trainer.
+    */
+  val DriverSampleMaxCells: Int = 2048
 
   /** Production [[semanticDedup]]: spherical-k-means quantizer with the
     * cell count scaled to the corpus ([[cellsForCorpus]]) — one count()
     * (parquet row-group metadata), then intra-cell pruning at bounded
-    * expected cell size. Deterministic end to end (count, cells, sample,
-    * iterations are all functions of the data alone). The oracle-checked
-    * d9 entry runs the [[firstNCentroids]] quantizer instead; this lane's
-    * survivor behavior is spec-gated (the e2h discipline).
+    * expected cell size. Up to [[DriverSampleMaxCells]] cells the
+    * driver-sample Lloyd trains the quantizer; beyond it (>2048·targetCell
+    * rows, the clamp that used to cap this lane at ~524k vectors)
+    * [[kmeansCentroidsScalable]] takes over, so E[|cell|] stays ≈targetCell
+    * — and pair volume linear — at ANY corpus size. Deterministic end to
+    * end (count, cells, sample, iterations are all functions of the data
+    * alone). The oracle-checked d9 entry runs the [[firstNCentroids]]
+    * quantizer instead; this lane's survivor behavior is spec-gated (the
+    * e2h discipline).
     */
   def semanticDedupAuto(corpus: DataFrame, threshold: Double,
                         targetCell: Int = 256): DataFrame = {
-    val cells = cellsForCorpus(corpus.count(), targetCell)
-    semanticDedup(corpus, kmeansCentroids(corpus, cells), threshold)
+    val cells = cellsForCorpus(corpus.count(), targetCell,
+      maxCells = Int.MaxValue)
+    val cents =
+      if (cells <= DriverSampleMaxCells) kmeansCentroids(corpus, cells)
+      else kmeansCentroidsScalable(corpus, cells)
+    semanticDedup(corpus, cents, threshold)
   }
 
   /** Per-label embedding centroids in exact fixed point: each component is

@@ -706,8 +706,11 @@ object ExtensionQueries {
         .orderBy("train_id", "eval_id")
     }),
 
-    // D5 edit-distance near-dup: two-bucket length-band blocking per lang,
-    // bounded levenshtein verify (banded DP, O(maxDist·len) per pair).
+    // D5 edit-distance near-dup via the raw length-band BUILDING BLOCK:
+    // two-bucket length-band blocking per lang, bounded levenshtein verify
+    // (banded DP, O(maxDist·len) per pair). Candidate volume is quadratic
+    // with a fixed band count (§6.1) — d5b is the production lane; this
+    // entry stays registered as the oracle witness for the banding + DP.
     "d5_levenshtein_neardup" -> ((s, d) =>
       Dedup.editDistanceNearDup(Tables.documents(s, d), "doc_id", "text",
         "lang", lenWindow = 16, maxDist = 40)
@@ -1029,19 +1032,19 @@ object ExtensionQueries {
           round(sqrt(aggregate(col("xs"), lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"))
         .orderBy("vec_id")),
 
-    // D5b the composed near-dup scale path (SURVEY §6.1's prescription for
-    // d5): MinHash-LSH blocking — near-linear candidate volume — feeding the
-    // bounded edit-distance verifier (tight maxDist=6, so the verify DROPS
-    // candidates rather than rubber-stamping them), replacing d5's length-band
-    // blocking at corpus scale. Oracle: the d2b pair CTEs + exact
-    // levenshtein over the same candidates.
-    "d5b_blocked_edit_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val cands = Dedup.minhashLshPortable(docs, "doc_id", "text",
-        numPerms = 16, bands = 8, threshold = 0.05)
-      Dedup.editDistanceVerify(cands, docs, "doc_id", "text", "a", "b", maxDist = 6)
-        .orderBy("a", "b")
-    }))
+    // D5b THE production edit-distance lane ([[Dedup.editDistanceNearDupBlocked]],
+    // SURVEY §6.1's prescription for d5): MinHash-LSH blocking — near-linear
+    // candidate volume — feeding the bounded edit-distance verifier (tight
+    // maxDist=6, so the verify DROPS candidates rather than rubber-stamping
+    // them), superseding d5's quadratic-candidate length-band blocking at
+    // corpus scale (d5 stays registered as the building-block witness).
+    // Portable band family here so the oracle replays the blocking: the d2b
+    // pair CTEs + exact levenshtein over the same candidates.
+    "d5b_blocked_edit_neardup" -> ((s, d) =>
+      Dedup.editDistanceNearDupBlocked(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 6, numPerms = 16, bands = 8, candThreshold = 0.05,
+        portable = true)
+        .orderBy("a", "b")))
 
   // ---- oracles --------------------------------------------------------------
 
@@ -1241,12 +1244,12 @@ object ExtensionQueries {
         |  FROM cos) t
         |WHERE rn <= 5""".stripMargin
 
-  /** d9's SemDeDup oracle: ivfSql's first-16-centroid assignment (crn=1
-    * over rounded csim, ties by cell) for EVERY vector, intra-cell pairs
-    * a < b with rounded cosine ≥ 0.4 → drop b, survivors by anti-join.
+  /** Shared SemDeDup assignment CTEs (d9 AND d9b): ivfSql's first-16-
+    * centroid assignment (crn=1 over rounded csim, ties by cell) for EVERY
+    * vector — `flat`/`norms` feed the pairwise cosine re-checks downstream.
     */
-  private val d9Sql: String =
-      """WITH flat AS (
+  private val d9AssignCtes: String =
+      """flat AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
@@ -1265,7 +1268,13 @@ object ExtensionQueries {
         |  SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crn
-        |    FROM csims) t WHERE crn = 1),
+        |    FROM csims) t WHERE crn = 1)""".stripMargin
+
+  /** d9's SemDeDup oracle: assignment, intra-cell pairs a < b with rounded
+    * cosine ≥ 0.4 → drop b, survivors by anti-join.
+    */
+  private val d9Sql: String =
+      s"""WITH $d9AssignCtes,
         |pairs AS (
         |  SELECT pa.cell, pa.vec_id AS a, pb.vec_id AS b
         |  FROM assigned pa
@@ -1285,6 +1294,60 @@ object ExtensionQueries {
         |SELECT a.cell, a.vec_id FROM assigned a
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM dropped dr WHERE dr.cell = a.cell AND dr.vec_id = a.vec_id)
+        |ORDER BY cell, vec_id""".stripMargin
+
+  /** d9b's incremental oracle, restating [[graft.operators.Similarity.semanticDedupIncremental]]
+    * step for step: batch-dedup the corpus half (vec_id < 250, d9's exact
+    * drop rule), then admit a delta vector iff it has NO rounded-cosine
+    * ≥ 0.4 neighbor in (corpus survivors ∪ smaller-id delta) in its cell.
+    * Output = admitted delta rows only, matching the operator contract.
+    */
+  private val d9bSql: String =
+      s"""WITH $d9AssignCtes,
+        |cpairs AS (
+        |  SELECT pa.cell, pa.vec_id AS a, pb.vec_id AS b
+        |  FROM assigned pa
+        |  JOIN assigned pb ON pb.cell = pa.cell AND pa.vec_id < pb.vec_id
+        |    AND pb.vec_id < 250
+        |  WHERE pa.vec_id < 250),
+        |cdots2 AS (
+        |  SELECT p.cell, p.a, p.b, SUM(fa.x * fb.x) AS dot
+        |  FROM cpairs p
+        |  JOIN flat fa ON fa.vec_id = p.a
+        |  JOIN flat fb ON fb.vec_id = p.b AND fb.i = fa.i
+        |  GROUP BY p.cell, p.a, p.b),
+        |cdropped AS (
+        |  SELECT DISTINCT d.cell, d.b AS vec_id
+        |  FROM cdots2 d
+        |  JOIN norms na ON na.vec_id = d.a
+        |  JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE ROUND(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4),
+        |surv AS (
+        |  SELECT a.cell, a.vec_id FROM assigned a
+        |  WHERE a.vec_id < 250 AND NOT EXISTS (
+        |    SELECT 1 FROM cdropped dr WHERE dr.cell = a.cell AND dr.vec_id = a.vec_id)),
+        |delta AS (SELECT cell, vec_id FROM assigned WHERE vec_id >= 250),
+        |dpairs AS (
+        |  SELECT d.cell, d.vec_id AS a, s.vec_id AS b
+        |  FROM delta d JOIN surv s ON s.cell = d.cell
+        |  UNION ALL
+        |  SELECT d.cell, d.vec_id AS a, d2.vec_id AS b
+        |  FROM delta d JOIN delta d2 ON d2.cell = d.cell AND d2.vec_id < d.vec_id),
+        |ddots AS (
+        |  SELECT p.cell, p.a, p.b, SUM(fa.x * fb.x) AS dot
+        |  FROM dpairs p
+        |  JOIN flat fa ON fa.vec_id = p.a
+        |  JOIN flat fb ON fb.vec_id = p.b AND fb.i = fa.i
+        |  GROUP BY p.cell, p.a, p.b),
+        |ddropped AS (
+        |  SELECT DISTINCT d.cell, d.a AS vec_id
+        |  FROM ddots d
+        |  JOIN norms na ON na.vec_id = d.a
+        |  JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE ROUND(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4)
+        |SELECT d.cell, d.vec_id FROM delta d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ddropped dr WHERE dr.cell = d.cell AND dr.vec_id = d.vec_id)
         |ORDER BY cell, vec_id""".stripMargin
 
   private val minhashPairsCtes: String =
@@ -1666,6 +1729,11 @@ object ExtensionQueries {
     // d9: the SemDeDup chain restated — e2f's first-16-centroid assignment,
     // intra-cell pairs, rounded-cosine drop, anti-join survivors.
     "d9_semantic_dedup" -> d9Sql,
+
+    // d9b: the incremental admission restated — corpus half batch-deduped
+    // with d9's exact rule, delta admitted iff no >=0.4 neighbor in
+    // (survivors ∪ smaller-id delta) within its cell.
+    "d9b_semantic_dedup_incremental" -> d9bSql,
 
     // e2c2: the SRP near-dup witness restated digit for digit — fixed-point
     // BIGINT projections (floor(x·2^20) × the same integer-mixed plane

@@ -51,6 +51,14 @@ class PlanQualitySpec extends SparkSpec {
     // label-mismatch residual folded into the non-equi condition; e2j's
     // bucket equi-join keeps it BNL-free.
     "e2i_hard_negatives" -> 1,
+    // d9b: the corpus-side assignCells cross against the 16-row broadcast
+    // centroid table (e2d's exact shape — linear in corpus, bounded by
+    // construction). d9 plans ZERO only because semanticDedup
+    // localCheckpoints its single assignment (the plan is truncated, the
+    // same BNL runs inside it); the incremental corpus side is consumed
+    // once, so a checkpoint would buy nothing but a materialization. The
+    // delta-side assignment IS checkpointed (3 consumers) and stays hidden.
+    "d9b_semantic_dedup_incremental" -> 1,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
     // mix2: one-row n_max aggregate crossed into the |sources|-row rate

@@ -287,6 +287,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistanceVerify(far, docs, "doc_id", "text", "a", "b", 10).isEmpty)
   }
 
+  test("editDistanceNearDupBlocked (production lane): equals its composition, both band families") {
+    // the round-14 default: MinHash blocking → bounded-DP verify. Pin it to
+    // the explicit composition it packages, in BOTH band families, and to
+    // the expected geometry (exact dup at 0, near dup small, far pair gone).
+    // 32 perms / 16 bands = 2-row bands: enough collision probability for
+    // the 1-3 near pair in BOTH hash families (the 16/8 xxhash layout misses
+    // it on this 5-doc corpus — banding is probabilistic, and the existing
+    // xxhash test uses 32/16 for the same reason)
+    for (portable <- Seq(true, false)) {
+      val composed = Dedup.editDistanceNearDupBlocked(docs, "doc_id", "text",
+        maxDist = 10, numPerms = 32, bands = 16, candThreshold = 0.05,
+        portable = portable)
+        .orderBy("a", "b").as[(Long, Long, Int)].collect().toSeq
+      val cands =
+        if (portable) Dedup.minhashLshPortable(docs, "doc_id", "text", 32, 16, 0.05)
+        else Dedup.minhashLsh(docs, "doc_id", "text", 32, 16, 0.05)
+      val inline = Dedup.editDistanceVerify(cands, docs, "doc_id", "text", "a", "b", 10)
+        .orderBy("a", "b").as[(Long, Long, Int)].collect().toSeq
+      assert(composed == inline, s"portable=$portable: $composed != $inline")
+      assert(composed.contains((1L, 2L, 0)), s"portable=$portable missing exact dup")
+      assert(composed.exists { case (a, b, d) => a == 1L && b == 3L && d > 0 && d <= 10 },
+        s"portable=$portable missing near dup")
+      assert(!composed.exists { case (a, b, _) => b == 4L || a == 4L },
+        s"portable=$portable paired the unrelated doc")
+    }
+  }
+
   test("editDistanceVerify strict mode fails fast on an id-space mismatch") {
     // default (lenient) mode: an unknown id silently drops out of the inner
     // join — the documented semantics; strict mode surfaces it instead of

@@ -282,6 +282,78 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"kmeans IVF recall@5 = $recall")
   }
 
+  test("kmeansCentroidsScalable: deterministic, unit-norm, k cells, clusters separate") {
+    // same geometry as the driver-sample test — the distributed trainer must
+    // find the same 3 direction clusters, stay unit-norm, and be
+    // run-to-run deterministic (hash sample + fixed-point means)
+    val rnd = new scala.util.Random(11)
+    val dirs = Seq(Array.tabulate(8)(i => if (i < 3) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i >= 3 && i < 6) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i >= 6) 1.0f else 0.0f))
+    val pts = (0 until 120).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroidsScalable(pts, 3, samplePerCell = 40, iters = 6)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    val c2 = Similarity.kmeansCentroidsScalable(pts, 3, samplePerCell = 40, iters = 6)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    assert(c1.length == 3)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq &&
+      c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq) // deterministic
+    c1.foreach { case (_, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"centroid not unit-norm: $n")
+    }
+    val owners = dirs.map { d =>
+      c1.indexWhere { case (_, c) =>
+        c.zip(d).map { case (x, y) => x.toDouble * y }.sum >
+          0.8 * math.sqrt(d.map(x => x.toDouble * x).sum)
+      }
+    }
+    assert(owners.forall(_ >= 0) && owners.distinct.length == 3, s"owners=$owners")
+  }
+
+  test("scalable-quantizer IVF recall gate: recall@5 >= 0.8 on a clustered seeded corpus") {
+    // the e2h discipline over the DISTRIBUTED trainer — the recall gate
+    // VERDICT r13 asked for before the >2048-cell path can be production
+    val rnd = new scala.util.Random(23)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 24)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKWithCentroids(queries, corpus,
+      Similarity.kmeansCentroidsScalable(corpus, nCells = 8, samplePerCell = 50, iters = 6),
+      5, nProbe = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"scalable-quantizer IVF recall@5 = $recall")
+  }
+
+  test("semanticDedupAuto dispatches past the 2048-cell boundary and matches the explicit call") {
+    // targetCell=1 over 2500 vectors → 2500 cells > DriverSampleMaxCells →
+    // the scalable trainer; the dispatch must equal the explicit composition
+    val rnd = new scala.util.Random(61)
+    val corpus = (0 until 2500).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.cellsForCorpus(2500, 1, maxCells = Int.MaxValue)
+    assert(cells == 2500 && cells > Similarity.DriverSampleMaxCells)
+    val auto = Similarity.semanticDedupAuto(corpus, 0.9, targetCell = 1)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    val explicit = Similarity.semanticDedup(corpus,
+      Similarity.kmeansCentroidsScalable(corpus, cells), 0.9)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(auto == explicit && auto.nonEmpty)
+    // and the default maxCells clamp still documents the driver boundary
+    assert(Similarity.cellsForCorpus(2500, 1) == 2048)
+  }
+
   test("labelCentroids: fixed-point means track the true means, bit-stable across partitionings") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 300).map(i => (i % 3, Array.fill(4)(rnd.nextGaussian().toFloat)))
@@ -335,6 +407,55 @@ class SimilaritySpec extends SparkSpec {
     minOnly.foreach { case (cell, id) => assert(assignedMin(cell) == id) }
     // no pair reaches cosine > 1 -> nothing dropped
     assert(Similarity.semanticDedup(corpus, cents, 2.0).count() == 300L)
+  }
+
+  test("semanticDedupIncremental: admitted == batch over (survivors ∪ delta) restricted to the delta") {
+    // the d9b contract: corpus ids < delta ids, corpus passed in as its own
+    // semanticDedup survivors. Batch over (surv ∪ delta) then equals the
+    // incremental admission exactly — keep-smallest sees corpus ids first
+    // and no survivor has a smaller-id >=t neighbor, so none is re-dropped.
+    val rnd = new scala.util.Random(53)
+    val corpusAll = (0 until 240).map { i =>
+      val base = Array.tabulate(12)(j => if (j == i % 4) 1.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.firstNCentroids(corpusAll, 4)
+    val old = corpusAll.filter(col("vec_id") < 120)
+    val delta = corpusAll.filter(col("vec_id") >= 120)
+    val surv = Similarity.semanticDedup(old, cents, 0.6)
+      .select("vec_id").join(corpusAll, Seq("vec_id"))
+      .select("vec_id", "embedding")
+    val admitted = Similarity.semanticDedupIncremental(surv, delta, cents, 0.6)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    val batch = Similarity.semanticDedup(surv.unionByName(delta), cents, 0.6)
+      .filter(col("vec_id") >= 120)
+      .orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(admitted == batch, s"incremental $admitted != batch-restricted $batch")
+    // non-degenerate: the frame both admits and drops delta vectors
+    assert(admitted.nonEmpty && admitted.size < 120, s"size ${admitted.size}")
+  }
+
+  test("semanticDedupIncremental: raw-union batch differs — a dropped corpus vector no longer vetoes") {
+    // cosine is not transitive: v0 at 0°, v1 at 25°, v2 at 50°, t=cos(30°).
+    // Batch over {v0,v1,v2}: v1 dropped by v0, v2 dropped by (dropped!) v1.
+    // Incremental with surv={v0}: v2 vs v0 = cos(50°) < t -> admitted.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("cell", "cvec")
+    val t = math.cos(math.toRadians(30)) // ≈0.866
+    val corpus = Seq((0L, at(0)), (1L, at(25))).toDF("vec_id", "embedding")
+    val delta = Seq((2L, at(50))).toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(corpus, cents, t)
+    assert(surv.as[(Long, Long)].collect().toSeq == Seq((0L, 0L)))
+    val admitted = Similarity.semanticDedupIncremental(
+      corpus.filter(col("vec_id") === 0L), delta, cents, t)
+      .as[(Long, Long)].collect().toSeq
+    assert(admitted == Seq((0L, 2L)), s"got $admitted") // admitted here...
+    val rawBatch = Similarity.semanticDedup(corpus.unionByName(delta), cents, t)
+      .as[(Long, Long)].collect().toSeq
+    assert(rawBatch == Seq((0L, 0L)), s"got $rawBatch") // ...dropped there
   }
 
   test("cellsForCorpus bounds expected cell population; semanticDedupAuto matches the policy") {
