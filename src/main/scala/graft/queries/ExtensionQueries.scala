@@ -145,6 +145,29 @@ object ExtensionQueries {
             >= lit(0.6)).as("recall_ok"))
     }),
 
+    // E2k the e2h recall gate over the DISTRIBUTED quantizer
+    // ([[Similarity.kmeansCentroidsScalable]], round 14): the >2048-cell
+    // trainer that lifts the driver-sample clamp must clear the same 0.6
+    // recall floor on the real corpus at BOTH gate scales (driver sf0.01,
+    // bench sf0.1) — the driver-checked evidence that the scalable path is
+    // production-grade, not just spec-grade. Oracle pins n_true (SQL-
+    // recomputable ground truth) + recall_ok TRUE, the e2h pattern.
+    "e2k_ivf_scalable_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 32), emb, 5)
+        .select(col("a_id"), col("b_id"))
+      val approx = Similarity.ivfTopKWithCentroids(emb.filter(col("vec_id") < 32), emb,
+          Similarity.kmeansCentroidsScalable(emb, 16, samplePerCell = 64, iters = 4),
+          5, nProbe = 8)
+        .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("_n_hit"))
+        .select(col("n_true"),
+          (col("_n_hit").cast("double") / col("n_true").cast("double")
+            >= lit(0.6)).as("recall_ok"))
+    }),
+
     // E2c embedding-cosine near-dup pairs, multi-band SRP blocking with the
     // plane count scaled to the corpus (expected bucket population ≤ 64 at
     // ANY N — the old fixed-4-planes form was 16 constant buckets, i.e.
@@ -1386,6 +1409,11 @@ object ExtensionQueries {
     // sampled-centroid recall gate TRUE (the quality-gate pattern — the
     // k-means centroids themselves are engine-specific).
     "e2h_ivf_sampled_recall" ->
+      s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok FROM ($e2Sql) x""",
+
+    // e2k: same gate pattern over the distributed quantizer — n_true is the
+    // SQL-recomputable ground-truth count, recall_ok pinned TRUE.
+    "e2k_ivf_scalable_recall" ->
       s"""SELECT COUNT(*) AS n_true, TRUE AS recall_ok FROM ($e2Sql) x""",
 
     "e2e_ann_recall" ->

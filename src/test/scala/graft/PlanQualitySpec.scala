@@ -47,6 +47,11 @@ class PlanQualitySpec extends SparkSpec {
     // IVF path (2, e2d's shape) — all one-row/|cells|-row broadcasts,
     // bounded by construction.
     "e2h_ivf_sampled_recall" -> 3,
+    // e2k mirrors e2h's three bounded shapes (brute-force scalar + the two
+    // 16-row centroid assignment crosses); the distributed trainer's own
+    // assignCells crosses run EAGERLY at construction (bounded sample ×
+    // 16-row broadcast) and never appear in the returned plan.
+    "e2k_ivf_scalable_recall" -> 3,
     // e2i is e2's brute-force lane (bounded query-set broadcast) with the
     // label-mismatch residual folded into the non-equi condition; e2j's
     // bucket equi-join keeps it BNL-free.
