@@ -344,6 +344,65 @@ object Pipeline {
                  sink: SinkMode = SinkMode.Parquet): Unit =
     ledgerRows(spark, outDir, basenames, asOf, "Fallido", sink)
 
+  /** Outcome of [[recordSystemFailures]]: `retry` stays out of bitacora (the
+    * file re-enters the next run), `expired` is past the horizon and must be
+    * quarantined by the caller.
+    */
+  final case class RetryDecision(retry: Seq[String], expired: Seq[String])
+
+  /** The reference's SYSTEM-failure retry horizon (README.md:110-115: retry
+    * for 2 days, then quarantine), which idempotent reruns alone do not
+    * express — without a horizon, a file whose open fails every day (ACL
+    * broken, truncated upload, path racing the uploader) is retried FOREVER
+    * and never surfaces in the ledger consumers audit.
+    *
+    * Semantics per failing file: first failure opens a `reintentos` ledger
+    * row (`outDir/reintentos` parquet — engine state, not a reference
+    * relation); while `asOf − fechaPrimerFallo < horizonDays` the file is
+    * left un-ledgered so the pending scan retries it next run; at/past the
+    * horizon it is reported `expired` and the caller quarantines it
+    * ('Fallido' bitacora row → never re-listed). A file that recovers
+    * simply processes: its ledger row drops on the next rewrite. LAYOUT
+    * failures never enter here — a wrong header is deterministic, so
+    * retrying cannot fix it and [[runBatch]] quarantines those immediately;
+    * mid-batch Spark failures stay whole-batch-rerun (the idempotent-rerun
+    * contract subsumes the reference's task retry ladder).
+    *
+    * Scale shape: the ledger is one row per CURRENTLY-failing file — the
+    * same bounded per-file cardinality as bitacora — rewritten whole each
+    * run via a driver-side merge (same discipline as the documented
+    * one-row-per-file ledger collects).
+    */
+  def recordSystemFailures(spark: SparkSession, outDir: String,
+                           failures: Seq[(String, String)], asOf: Date,
+                           horizonDays: Int = 2): RetryDecision = {
+    import spark.implicits._
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val dir = Paths.get(outDir, "reintentos")
+    val prior: Map[String, (Date, Int)] =
+      if (!Files.exists(dir)) Map.empty
+      else spark.read.parquet(dir.toString)
+        .select("nombreArchivo", "fechaPrimerFallo", "intentos").collect()
+        .map(r => r.getString(0) -> (r.getDate(1), r.getInt(2))).toMap
+    val merged = failures.map { case (f, motivo) =>
+      val (first, n) = prior.get(f)
+        .map { case (d, k) => (d, k + 1) }.getOrElse((asOf, 1))
+      (f, first, asOf, n, motivo)
+    }
+    val (expired, retry) = merged.partition { case (_, first, _, _, _) =>
+      java.time.temporal.ChronoUnit.DAYS.between(
+        first.toLocalDate, asOf.toLocalDate) >= horizonDays
+    }
+    if (merged.nonEmpty || Files.exists(dir))
+      // still-retrying rows only: recovered files drop out (they processed
+      // and live in bitacora now), expired ones move to the bitacora
+      // quarantine — a stale row for either would be dead weight
+      retry.toDF("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
+          "intentos", "motivo")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    RetryDecision(retry.map(_._1), expired.map(_._1))
+  }
+
   /** Resolve the current visitantes table version, if any. */
   def currentVisitantes(spark: SparkSession, outDir: String,
                         sink: SinkMode = SinkMode.Parquet): Option[DataFrame] = sink match {
@@ -398,18 +457,33 @@ object Pipeline {
     * reference exposes through bitacora).
     */
   def runBatch(spark: SparkSession, inputDir: String, outDir: String, asOf: Date,
-               sink: SinkMode = SinkMode.Parquet, keepVersions: Int = 3): RunSummary = {
+               sink: SinkMode = SinkMode.Parquet, keepVersions: Int = 3,
+               retryHorizonDays: Int = 2): RunSummary = {
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val done = processedFiles(spark, outDir, sink)
-    val pending = listReports(spark, inputDir)
-      .filterNot(p => done.contains(p.substring(p.lastIndexOf('/') + 1)))
+    val pending = listReports(spark, inputDir).filterNot(p => done.contains(base(p)))
     if (pending.isEmpty) return RunSummary(0, 0, 0)
 
-    // Per-file layout gate: quarantined files get a 'Fallido' ledger row
-    // (recorded → never retried; the reference's retry-then-quarantine ladder
-    // collapses to quarantine-first since our batch is idempotent).
-    val (todo, quarantined) = pending.partition(f => checkHeader(spark, f).ok)
-    quarantine(spark, outDir, quarantined.map(p => p.substring(p.lastIndexOf('/') + 1)), asOf, sink)
-    if (todo.isEmpty) return RunSummary(quarantined.size.toLong, 0, 0)
+    // Per-file gate, two failure classes with different fates:
+    //  - LAYOUT failure (header readable, columns wrong): deterministic →
+    //    quarantined immediately ('Fallido' ledger row, never retried; the
+    //    reference's retry ladder cannot fix a wrong header either).
+    //  - SYSTEM failure (open/read threw — ACL, truncation, upload race):
+    //    transient → retried on subsequent runs until the reference's
+    //    2-day horizon (README.md:110-115), then quarantined
+    //    ([[recordSystemFailures]]).
+    val checks = pending.map(f => f -> scala.util.Try(checkHeader(spark, f)))
+    val sysFailed = checks.collect { case (f, scala.util.Failure(e)) =>
+      (base(f), s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+    val horizon = recordSystemFailures(spark, outDir, sysFailed, asOf, retryHorizonDays)
+    val (todo0, layoutBad) = checks
+      .collect { case (f, scala.util.Success(c)) => (f, c) }
+      .partition(_._2.ok)
+    val todo = todo0.map(_._1)
+    val toQuarantine = layoutBad.map(p => base(p._1)) ++ horizon.expired
+    quarantine(spark, outDir, toQuarantine, asOf, sink)
+    if (todo.isEmpty) return RunSummary(toQuarantine.size.toLong, 0, 0)
 
     val raw = spark.read
       .option("header", "true")
@@ -419,7 +493,7 @@ object Pipeline {
     val s = processBatch(spark, raw, outDir, asOf,
       expectedFiles = todo.map(p => p.substring(p.lastIndexOf('/') + 1)),
       sink = sink, keepVersions = keepVersions)
-    s.copy(files = s.files + quarantined.size)
+    s.copy(files = s.files + toQuarantine.size)
   }
 
   /** Transform + load for one batch of tagged raw rows — the shared core of

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Date
+import org.scalatest.BeforeAndAfterAll
+
+/** The reference's system-failure retry horizon (README.md:110-115: retry
+  * a failing file for 2 days, then quarantine) over [[Pipeline.runBatch]]:
+  * a file whose OPEN fails (here: a directory wearing a report name — the
+  * glob lists it, fs.open throws) is retried across runs, recovers if the
+  * cause clears, and is quarantined into bitacora once the horizon passes.
+  */
+class RetryHorizonSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val header = operators.Layout.validColumns.mkString(",")
+  private val goodRows =
+    header + "\n" +
+      "alice@example.com,x,-,-,01/02/2024 10:00,,1,0,,0,0,-,-,-,-"
+
+  private def freshDirs(): (Path, Path) =
+    (Files.createTempDirectory("retry_in"), Files.createTempDirectory("retry_out"))
+
+  private def bitacora(outDir: Path) =
+    spark.read.parquet(outDir.resolve("bitacora").toString)
+
+  test("system-failing file is retried inside the horizon, quarantined past it") {
+    val (inDir, outDir) = freshDirs()
+    Files.write(inDir.resolve("report_ok.txt"), goodRows.getBytes)
+    Files.createDirectory(inDir.resolve("report_broken.txt")) // open() throws
+
+    // day 1: good file processes; broken one opens a retry row, no ledger
+    val d1 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-01"))
+    assert(d1 == Pipeline.RunSummary(1, 1, 0))
+    assert(bitacora(outDir).count() == 1)
+    val ledger1 = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getInt(3)))
+    assert(ledger1.toSeq == Seq(("report_broken.txt", "2024-03-01", 1)))
+
+    // day 2 (1 day elapsed < 2-day horizon): still retried, attempts bump
+    val d2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-02"))
+    assert(d2 == Pipeline.RunSummary(0, 0, 0))
+    val ledger2 = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getInt(3)))
+    assert(ledger2.toSeq == Seq(("report_broken.txt", "2024-03-01", 2)))
+
+    // day 3 (2 days elapsed >= horizon): quarantined — Fallido bitacora row,
+    // retry ledger emptied, file never re-enters
+    val d3 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-03"))
+    assert(d3 == Pipeline.RunSummary(1, 0, 0))
+    val fallido = bitacora(outDir)
+      .filter(org.apache.spark.sql.functions.col("estatus") === "Fallido")
+      .select("nombreArchivo").collect().map(_.getString(0))
+    assert(fallido.toSeq == Seq("report_broken.txt"))
+    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 0)
+    val d4 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-04"))
+    assert(d4 == Pipeline.RunSummary(0, 0, 0)) // nothing pending anymore
+  }
+
+  test("a file that recovers before the horizon processes normally and drops its retry row") {
+    val (inDir, outDir) = freshDirs()
+    Files.createDirectory(inDir.resolve("report_flaky.txt"))
+    val d1 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-01"))
+    assert(d1 == Pipeline.RunSummary(0, 0, 0))
+    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 1)
+
+    // upload completes: the directory becomes a real file
+    Files.delete(inDir.resolve("report_flaky.txt"))
+    Files.write(inDir.resolve("report_flaky.txt"), goodRows.getBytes)
+    val d2 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-02"))
+    assert(d2 == Pipeline.RunSummary(1, 1, 0))
+    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 0)
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Fallido").count() == 0)
+  }
+
+  test("layout failures still quarantine immediately — the horizon is for system failures only") {
+    val (inDir, outDir) = freshDirs()
+    Files.write(inDir.resolve("report_badcols.txt"), "email,notthelayout\nx,y".getBytes)
+    val d1 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-01"))
+    assert(d1 == Pipeline.RunSummary(1, 0, 0))
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Fallido").count() == 1)
+    assert(!Files.exists(outDir.resolve("reintentos")))
+  }
+}
