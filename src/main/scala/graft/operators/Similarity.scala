@@ -519,14 +519,28 @@ object Similarity {
     */
   def semanticDedupIncremental(corpus: DataFrame, delta: DataFrame,
                                centroids: DataFrame,
+                               threshold: Double): DataFrame =
+    incrementalAdmit(
+      assignCells(corpus, centroids)
+        .withColumn("nrm", Vectors.norm2(col("embedding"))),
+      delta, centroids, threshold)
+
+  /** The admission core shared by [[semanticDedupIncremental]] (corpus
+    * assigned inline) and [[semanticDedupIncrementalIndexed]] (corpus
+    * assignment read back from the persisted index): delta rows admitted
+    * iff no rounded-cosine ≥ `threshold` neighbor in (corpusCells ∪
+    * smaller-id delta) within their cell. `corpusCells` carries
+    * (cell, vec_id, embedding, nrm) — the index row layout.
+    */
+  private def incrementalAdmit(corpusCells: DataFrame, delta: DataFrame,
+                               centroids: DataFrame,
                                threshold: Double): DataFrame = {
-    def withNorm(df: DataFrame): DataFrame =
-      assignCells(df, centroids)
-        .withColumn("nrm", Vectors.norm2(col("embedding")))
-    val corpusCells = withNorm(corpus)
+    val cSide = corpusCells
       .select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"),
         col("nrm").as("nb"))
-    val deltaCells = withNorm(delta).localCheckpoint() // 3 consumers below
+    val deltaCells = assignCells(delta, centroids)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .localCheckpoint() // 3 consumers below
     val dSide = deltaCells.select(col("cell"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     def hits(other: DataFrame, cond: Column): DataFrame =
@@ -536,13 +550,65 @@ object Similarity {
           Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
         .filter(col("cosine") >= threshold)
         .select(col("cell"), col("a").as("vec_id"))
-    val vsCorpus = hits(corpusCells, lit(true))
+    val vsCorpus = hits(cSide, lit(true))
     val vsDelta = hits(
       deltaCells.select(col("cell"), col("vec_id").as("b"),
         col("embedding").as("eb"), col("nrm").as("nb")),
       col("b") < col("a"))
     deltaCells.select(col("cell"), col("vec_id"))
       .join(vsCorpus.union(vsDelta).distinct(), Seq("cell", "vec_id"), "left_anti")
+  }
+
+  /** Persist the semantic-dedup index — the embedding twin of
+    * [[graft.operators.Dedup.buildDedupIndex]]: the admitted corpus's cell
+    * assignment (cell, vec_id, embedding, nrm) under `centroids`, plus the
+    * centroid frame ITSELF. The quantizer is index state: gating a later
+    * delta under different centroids silently invalidates every persisted
+    * cell membership (the d8 banding-layout contract), so the indexed gate
+    * always reads the centroids back from the index rather than taking
+    * them as a parameter.
+    */
+  def buildSemanticIndex(corpus: DataFrame, centroids: DataFrame,
+                         dir: String): Unit = {
+    centroids.select(col("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(corpus, centroids)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  /** Gate a delta against a persisted semantic index — per-batch cost is
+    * |delta| assignment + delta ⨝ same-cell index rows, never corpus²;
+    * the corpus side is READ, not recomputed (the point of persisting).
+    * Does NOT mutate the index; call [[appendToSemanticIndex]] with the
+    * admitted rows to admit them (same build/gate/append split as d8).
+    *
+    * `excludeIds` (one `vec_id` column) removes those ids from the index
+    * side before gating — the streaming-replay idempotency hook: a
+    * replayed at-least-once batch whose vectors a crashed attempt already
+    * appended must not be vetoed by its own index entries.
+    */
+  def semanticDedupIncrementalIndexed(indexDir: String, delta: DataFrame,
+                                      threshold: Double,
+                                      excludeIds: Option[DataFrame] = None): DataFrame = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val corpusCells = excludeIds.fold(
+      spark.read.parquet(s"$indexDir/assigned"))(ids =>
+      spark.read.parquet(s"$indexDir/assigned")
+        .join(ids.select("vec_id"), Seq("vec_id"), "left_anti"))
+    incrementalAdmit(corpusCells, delta, cents, threshold)
+  }
+
+  /** Admit vectors into the persisted index (parquet append — linear in
+    * the admitted batch): assignment under the INDEX's own centroid frame.
+    */
+  def appendToSemanticIndex(admitted: DataFrame, dir: String): Unit = {
+    val spark = admitted.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    assignCells(admitted, cents)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .write.mode("append").parquet(s"$dir/assigned")
   }
 
   /** Cells per corpus so that E[|cell|] ≈ `targetCell`: [[semanticDedup]]'s

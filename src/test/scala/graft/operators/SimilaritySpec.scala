@@ -435,6 +435,57 @@ class SimilaritySpec extends SparkSpec {
     assert(admitted.nonEmpty && admitted.size < 120, s"size ${admitted.size}")
   }
 
+  test("semantic index: indexed gate == inline; append extends; excludeIds replay is idempotent") {
+    // the d8 build/gate/append discipline for embeddings: the persisted
+    // (assignment + centroids) index must gate exactly like the inline
+    // operator, batch after batch, and a replayed batch must recompute the
+    // identical admission after its own rows were already appended
+    val rnd = new scala.util.Random(71)
+    val all = (0 until 300).map { i =>
+      val base = Array.tabulate(12)(j => if (j == i % 4) 1.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextGaussian().toFloat * 0.2f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val cents = Similarity.firstNCentroids(all, 4)
+    val corpus = all.filter(col("vec_id") < 100)
+    val delta1 = all.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val delta2 = all.filter(col("vec_id") >= 200)
+    val surv = Similarity.semanticDedup(corpus, cents, 0.6)
+      .select("vec_id").join(all, Seq("vec_id")).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+
+    Similarity.buildSemanticIndex(surv, cents, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell", "vec_id").as[(Long, Long)].collect().toSeq
+    val inline1 = rows(Similarity.semanticDedupIncremental(surv, delta1, cents, 0.6))
+    val indexed1 = rows(Similarity.semanticDedupIncrementalIndexed(dir, delta1, 0.6))
+    assert(indexed1 == inline1 && inline1.nonEmpty && inline1.size < 100)
+
+    // admit batch 1, gate batch 2: must equal the inline gate over the
+    // grown corpus (survivors ∪ batch-1 admissions)
+    val adm1 = all.join(
+      Similarity.semanticDedupIncrementalIndexed(dir, delta1, 0.6).select("vec_id"),
+      Seq("vec_id")).select("vec_id", "embedding")
+    Similarity.appendToSemanticIndex(adm1, dir)
+    val inline2 = rows(Similarity.semanticDedupIncremental(
+      surv.unionByName(adm1), delta2, cents, 0.6))
+    val indexed2 = rows(Similarity.semanticDedupIncrementalIndexed(dir, delta2, 0.6))
+    assert(indexed2 == inline2)
+
+    // crash-replay: batch 2's admissions already appended, the batch
+    // replays — excluding its own ids must reproduce the identical set
+    val adm2 = all.join(
+      Similarity.semanticDedupIncrementalIndexed(dir, delta2, 0.6).select("vec_id"),
+      Seq("vec_id")).select("vec_id", "embedding")
+    Similarity.appendToSemanticIndex(adm2, dir)
+    val replay = rows(Similarity.semanticDedupIncrementalIndexed(dir, delta2, 0.6,
+      excludeIds = Some(delta2.select("vec_id"))))
+    assert(replay == indexed2)
+    // and WITHOUT exclusion the replayed rows veto themselves (cosine 1.0
+    // self-pairs) — the failure mode excludeIds exists to prevent
+    val unexcluded = rows(Similarity.semanticDedupIncrementalIndexed(dir, delta2, 0.6))
+    assert(unexcluded.isEmpty)
+  }
+
   test("semanticDedupIncremental: raw-union batch differs — a dropped corpus vector no longer vetoes") {
     // cosine is not transitive: v0 at 0°, v1 at 25°, v2 at 50°, t=cos(30°).
     // Batch over {v0,v1,v2}: v1 dropped by v0, v2 dropped by (dropped!) v1.
