@@ -570,6 +570,14 @@ object Similarity {
     */
   def buildSemanticIndex(corpus: DataFrame, centroids: DataFrame,
                          dir: String): Unit = {
+    // a REBUILD invalidates any committed-batch markers a streaming gate
+    // left behind (same contract as Dedup.buildDedupIndex): a fresh stream
+    // restarting at batch 0 must append to the new index, not skip on a
+    // stale marker
+    val committed = new org.apache.hadoop.fs.Path(s"$dir/_committed")
+    val fs = committed.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(committed)) fs.delete(committed, true)
     centroids.select(col("cell"), col("cvec"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     assignCells(corpus, centroids)

@@ -297,6 +297,56 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming SEMANTIC dedup gate — [[dedupGateStream]]'s embedding twin
+    * over the persisted semantic index
+    * ([[graft.operators.Similarity.buildSemanticIndex]]): each micro-batch
+    * of (vec_id, embedding) rows is admitted only where it has no
+    * ≥`threshold` rounded-cosine neighbor in (index ∪ smaller-id batch
+    * rows) within its quantizer cell. Cross-batch dedup without executor
+    * state: the index is linear parquet shared with the batch gate, and
+    * the quantizer frame rides inside it (assigning under different
+    * centroids would invalidate every stored cell membership).
+    */
+  def semanticGateStream(vectors: DataFrame, indexDir: String, outDir: String,
+                         checkpointDir: String,
+                         threshold: Double = 0.9): StreamingQuery =
+    vectors.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticGateBatch(batch, batchId, indexDir, outDir, threshold)
+      }
+      .start()
+
+  /** One idempotent micro-batch of the semantic gate — [[dedupGateBatch]]'s
+    * replay protocol verbatim: (1) gate excluding this batch's own ids
+    * (a crashed attempt may already have appended them; without exclusion
+    * the replay's own index rows veto every vector via cosine-1.0
+    * self-pairs), (2) overwrite the batch-scoped output partition,
+    * (3) append admitted rows to the index behind a committed-batch
+    * marker. Intra-batch keep-smallest needs no separate pass — the
+    * admission core already drops a vector with a smaller-id ≥threshold
+    * neighbor in its own batch.
+    */
+  def semanticGateBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                        outDir: String, threshold: Double = 0.9): Unit = {
+    import graft.operators.Similarity
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val admitted = Similarity.semanticDedupIncrementalIndexed(
+      indexDir, vecs, threshold, excludeIds = Some(vecs.select("vec_id")))
+    // survivors feed two sinks (output + index append); compute once
+    val survivors = vecs
+      .join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
+    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Similarity.appendToSemanticIndex(survivors, indexDir)
+      fs.mkdirs(marker)
+    }
+  }
+
   /** Continuous CDC materialization: apply each micro-batch of changes to a
     * persisted keyed state table via [[graft.operators.Cdc.applyLog]] —
     * the streaming form of Delta/Hudi-style upsert materialization, with

@@ -201,6 +201,92 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(emitted2 == Set(30L), s"rebuilt-index gate: $emitted2") // 31 caught by 30's append
   }
 
+  test("streaming semantic gate: index dups, self dups, cross-batch dups; replay re-emits") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 2-D geometry, threshold cos(30°): vectors within 30° collide
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val t = math.cos(math.toRadians(30))
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val idxDir = Files.createTempDirectory("sem_idx").toString
+    val out = Files.createTempDirectory("sem_out").toString
+    // corpus: one admitted vector at 0°
+    Similarity.buildSemanticIndex(
+      Seq((1L, at(0))).toDF("vec_id", "embedding"), cents, idxDir)
+
+    // batch 0: 10 dups the corpus (10°); 11 fresh (80°, cell 1);
+    // 12 self-dups 11 (85°, smaller-id veto)
+    val b0 = Seq((10L, at(10)), (11L, at(80)), (12L, at(85)))
+      .toDF("vec_id", "embedding")
+    StreamingPipeline.semanticGateBatch(b0, 0L, idxDir, out, t)
+    def emitted() = spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+    assert(emitted() == Set(11L), s"batch 0: ${emitted()}")
+
+    // committed replay: must re-emit 11, not filter it against its own row
+    StreamingPipeline.semanticGateBatch(b0, 0L, idxDir, out, t)
+    assert(emitted() == Set(11L), s"committed replay: ${emitted()}")
+
+    // worst crash point: appended but marker lost — re-append tolerated,
+    // identical admission
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_committed/batch-0")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, true)
+    StreamingPipeline.semanticGateBatch(b0, 0L, idxDir, out, t)
+    assert(emitted() == Set(11L), s"marker-loss replay: ${emitted()}")
+
+    // batch 1: 20 dups the ADMITTED 11 (75° — only the appended index
+    // knows); 21 fresh (40°: >30° from both 0° and 75°/80°... and from 10°
+    // — 10 was NOT admitted, so it cannot veto)
+    val b1 = Seq((20L, at(75)), (21L, at(40))).toDF("vec_id", "embedding")
+    StreamingPipeline.semanticGateBatch(b1, 1L, idxDir, out, t)
+    assert(emitted() == Set(11L, 21L), s"batch 1: ${emitted()}")
+
+    // rebuild clears markers: a fresh stream at batch 0 appends again
+    Similarity.buildSemanticIndex(
+      Seq((1L, at(0))).toDF("vec_id", "embedding"), cents, idxDir)
+    val out2 = Files.createTempDirectory("sem_out2").toString
+    StreamingPipeline.semanticGateBatch(
+      Seq((30L, at(80))).toDF("vec_id", "embedding"), 0L, idxDir, out2, t)
+    StreamingPipeline.semanticGateBatch(
+      Seq((31L, at(80))).toDF("vec_id", "embedding"), 1L, idxDir, out2, t)
+    val emitted2 = spark.read.parquet(out2).select("vec_id").as[Long].collect().toSet
+    assert(emitted2 == Set(30L), s"rebuilt-index gate: $emitted2") // 31 caught by 30's append
+  }
+
+  test("streaming semantic gate end-to-end: MemoryStream drains through the same index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val t = math.cos(math.toRadians(30))
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val idxDir = Files.createTempDirectory("semq_idx").toString
+    val gOut = Files.createTempDirectory("semq_out").toString
+    val gCk = Files.createTempDirectory("semq_ck").toString
+    Similarity.buildSemanticIndex(
+      Seq((1L, at(0))).toDF("vec_id", "embedding"), cents, idxDir)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val vecs = stream.toDF().toDF("vec_id", "embedding")
+    stream.addData((10L, at(10)), (11L, at(80)))
+    val q1 = StreamingPipeline.semanticGateStream(vecs, idxDir, gOut, gCk, t)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(gOut).select("vec_id").as[Long].collect().toSet == Set(11L))
+
+    stream.addData((20L, at(75))) // dups admitted 11 — cross-batch via index
+    val q2 = StreamingPipeline.semanticGateStream(vecs, idxDir, gOut, gCk, t)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(gOut).select("vec_id").as[Long].collect().toSet == Set(11L))
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
