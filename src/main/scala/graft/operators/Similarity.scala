@@ -287,24 +287,47 @@ object Similarity {
     */
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
                            centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus.select(col("vec_id"), col("embedding")),
+        centroids)
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    ivfProbeScore(queries, corpusCells, centroids, k, nProbe)
+  }
+
+  /** IVF search over a PERSISTED corpus assignment
+    * ([[buildSemanticIndex]]'s layout) — the corpus side is read, not
+    * re-assigned, so a query batch costs |queries|·nProbe inverted-list
+    * probes against an index built once: the one-index-two-consumers
+    * story (incremental dedup gate + ANN search share the same parquet).
+    * Centroids come from the index itself (they ARE the cell geometry).
+    */
+  def ivfTopKIndexed(indexDir: String, queries: DataFrame, k: Int,
+                     nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    ivfProbeScore(queries, spark.read.parquet(s"$indexDir/assigned"),
+      spark.read.parquet(s"$indexDir/centroids"), k, nProbe)
+  }
+
+  /** The probe/score core shared by [[ivfTopKWithCentroids]] (corpus
+    * assigned inline) and [[ivfTopKIndexed]] (assignment read back):
+    * queries probe their nProbe nearest cells, score only those inverted
+    * lists, rounded cosine, ties by id. `corpusCells` carries
+    * (cell, vec_id, embedding, nrm) — the index row layout.
+    */
+  private def ivfProbeScore(queries: DataFrame, corpusCells: DataFrame,
+                            centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val cents = centroids.select(col("cell"), col("cvec"))
     val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
-
-    def assign(df: DataFrame, keep: Int): DataFrame =
-      df.join(broadcast(cents))
-        .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
-        .withColumn("crn", row_number().over(cw))
-        .filter(col("crn") <= keep)
-        .drop("cvec", "csim", "crn")
-
-    val corpusCells = assign(corpus.select(col("vec_id"), col("embedding")), 1)
-      .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("eb"))
-      .withColumn("norm_b", Vectors.norm2(col("eb")))
-    val queryCells = assign(queries.select(col("vec_id"), col("embedding")), nProbe)
+    val bSide = corpusCells
+      .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("norm_b"))
+    val queryCells = queries.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= nProbe)
       .select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("ea"))
       .withColumn("norm_a", Vectors.norm2(col("ea")))
-
-    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+    val scored = bSide.join(broadcast(queryCells), Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))

@@ -354,6 +354,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cellsForCorpus(2500, 1) == 2048)
   }
 
+  test("ivfTopKIndexed: search over the persisted index == inline IVF with the same centroids") {
+    // one persisted index, two consumers: the dedup gate AND ANN search.
+    // The indexed search must reproduce ivfTopKWithCentroids exactly —
+    // same assignment chain, same probe/score arithmetic, corpus side read
+    // back instead of re-assigned.
+    val rnd = new scala.util.Random(29)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 24)
+    val cents = Similarity.kmeansCentroids(corpus, nCells = 8, sampleSize = 400, iters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.buildSemanticIndex(corpus, cents, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "rn").as[(Long, Int, Long, Double)].collect().toSeq
+    val inline = rows(Similarity.ivfTopKWithCentroids(queries, corpus, cents, 5, nProbe = 2))
+    val indexed = rows(Similarity.ivfTopKIndexed(dir, queries, 5, nProbe = 2))
+    assert(indexed == inline && inline.nonEmpty)
+  }
+
   test("labelCentroids: fixed-point means track the true means, bit-stable across partitionings") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 300).map(i => (i % 3, Array.fill(4)(rnd.nextGaussian().toFloat)))
