@@ -379,14 +379,19 @@ object Pipeline {
     import spark.implicits._
     require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
     val dir = Paths.get(outDir, "reintentos")
-    val prior: Map[String, (Date, Int)] =
+    val prior: Map[String, (Date, Date, Int)] =
       if (!Files.exists(dir)) Map.empty
       else spark.read.parquet(dir.toString)
-        .select("nombreArchivo", "fechaPrimerFallo", "intentos").collect()
-        .map(r => r.getString(0) -> (r.getDate(1), r.getInt(2))).toMap
+        .select("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo", "intentos")
+        .collect()
+        .map(r => r.getString(0) -> (r.getDate(1), r.getDate(2), r.getInt(3))).toMap
     val merged = failures.map { case (f, motivo) =>
+      // intentos counts failing DAYS, not run invocations: a same-day
+      // idempotent rerun (crash mid-batch, rerun) must not inflate the
+      // audit count, so the bump is gated on the last-failure date moving
       val (first, n) = prior.get(f)
-        .map { case (d, k) => (d, k + 1) }.getOrElse((asOf, 1))
+        .map { case (d, last, k) => (d, if (last.before(asOf)) k + 1 else k) }
+        .getOrElse((asOf, 1))
       (f, first, asOf, n, motivo)
     }
     val (expired, retry) = merged.partition { case (_, first, _, _, _) =>
@@ -394,10 +399,14 @@ object Pipeline {
         first.toLocalDate, asOf.toLocalDate) >= horizonDays
     }
     if (merged.nonEmpty || Files.exists(dir))
-      // still-retrying rows only: recovered files drop out (they processed
-      // and live in bitacora now), expired ones move to the bitacora
-      // quarantine — a stale row for either would be dead weight
-      retry.toDF("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
+      // EXPIRED rows stay in this rewrite: the caller quarantines them
+      // AFTER this returns, and a crash in between must leave the
+      // first-failure date on disk — dropping the row first would restart
+      // the horizon from scratch on the rerun. Once the quarantine commits,
+      // the file is in bitacora, never re-lists, and its stale row drops on
+      // the next rewrite. Recovered files drop out immediately (they
+      // processed and live in bitacora now).
+      merged.toDF("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
           "intentos", "motivo")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     RetryDecision(retry.map(_._1), expired.map(_._1))
@@ -491,7 +500,7 @@ object Pipeline {
       .csv(todo: _*)
       .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
     val s = processBatch(spark, raw, outDir, asOf,
-      expectedFiles = todo.map(p => p.substring(p.lastIndexOf('/') + 1)),
+      expectedFiles = todo.map(base),
       sink = sink, keepVersions = keepVersions)
     s.copy(files = s.files + toQuarantine.size)
   }

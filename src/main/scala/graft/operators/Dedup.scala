@@ -298,7 +298,20 @@ object Dedup {
     * Returns (rows before, rows after) per sub-index.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        dir: String, numFiles: Int = 4): Map[String, (Long, Long)] = {
+                        dir: String, numFiles: Int = 4): Map[String, (Long, Long)] =
+    Seq("sets", "bands", "fps")
+      .map(sub => sub -> compactDistinctDir(spark, dir, sub, numFiles)).toMap
+
+  /** One sub-index distinct-rewrite with the rename-aside swap + entry-time
+    * crash recovery ladder (PostProcess.compactParquet's protocol): shared
+    * by [[compactDedupIndex]] and
+    * [[graft.operators.Similarity.compactSemanticIndex]]. Single-writer;
+    * the dir stays readable at every crash point. Returns (rows before,
+    * rows after).
+    */
+  private[operators] def compactDistinctDir(spark: org.apache.spark.sql.SparkSession,
+                                            dir: String, sub: String,
+                                            numFiles: Int): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     // Hadoop FileSystem API (not java.nio) so an index on HDFS/S3A works for
@@ -309,28 +322,26 @@ object Dedup {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def mv(src: Path, dst: Path): Unit =
       if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"compactDedupIndex: rename $src -> $dst failed")
-    Seq("sets", "bands", "fps").map { sub =>
-      val d = new Path(base, sub)
-      val tmp = new Path(base, s"$sub.compact.tmp")
-      val old = new Path(base, s"$sub.compact.old")
-      // entry-time recovery, same ladder as PostProcess.compactParquet
-      if (!fs.exists(d)) {
-        if (fs.exists(tmp)) mv(tmp, d)
-        else if (fs.exists(old)) mv(old, d)
-      }
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      val cur = spark.read.parquet(d.toString)
-      val before = cur.count()
-      val distinctRows = cur.dropDuplicates().coalesce(numFiles)
-      distinctRows.write.mode("overwrite").parquet(tmp.toString)
-      val after = spark.read.parquet(tmp.toString).count()
-      mv(d, old)
-      mv(tmp, d)
-      fs.delete(old, true)
-      sub -> (before, after)
-    }.toMap
+        throw new java.io.IOException(s"compactDistinctDir: rename $src -> $dst failed")
+    val d = new Path(base, sub)
+    val tmp = new Path(base, s"$sub.compact.tmp")
+    val old = new Path(base, s"$sub.compact.old")
+    // entry-time recovery, same ladder as PostProcess.compactParquet
+    if (!fs.exists(d)) {
+      if (fs.exists(tmp)) mv(tmp, d)
+      else if (fs.exists(old)) mv(old, d)
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val cur = spark.read.parquet(d.toString)
+    val before = cur.count()
+    val distinctRows = cur.dropDuplicates().coalesce(numFiles)
+    distinctRows.write.mode("overwrite").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    mv(d, old)
+    mv(tmp, d)
+    fs.delete(old, true)
+    (before, after)
   }
 
   /** Admit accepted docs into the index (parquet appends — linear in the

@@ -233,17 +233,24 @@ object Similarity {
     */
   def kmeansCentroidsScalable(corpus: DataFrame, nCells: Int,
                               samplePerCell: Int = 64, iters: Int = 4,
-                              scaleBits: Int = 20): DataFrame = {
+                              scaleBits: Int = 20,
+                              knownCount: Option[Long] = None): DataFrame = {
     require(nCells >= 1 && samplePerCell >= 1 && iters >= 0,
       s"nCells=$nCells samplePerCell=$samplePerCell iters=$iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     val unit = (1L << scaleBits).toDouble
-    val n = corpus.count()
+    // knownCount: callers that already counted (semanticDedupAuto) skip the
+    // second scan a computed (non-parquet-metadata) frame would pay here
+    val n = knownCount.getOrElse(corpus.count())
     require(n > 0, "kmeansCentroidsScalable: empty corpus")
     val den = 1L << 20
     val target = nCells.toLong * samplePerCell
-    val num = if (target >= n) den else den * target / n
+    // max(1, ·): integer division floors to 0 once n > den·target — exactly
+    // the huge-corpus regime this trainer exists for — and a zero numerator
+    // would admit NOTHING and return an empty centroid frame silently; at
+    // num=1 the expected sample is n/2^20 rows, above target but bounded
+    val num = if (target >= n) den else math.max(1L, den * target / n)
     val sampleDf = (if (num >= den) corpus.select(col("vec_id"), col("embedding"))
       else corpus.select(col("vec_id"), col("embedding"))
         .filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num)))
@@ -257,6 +264,11 @@ object Similarity {
       .select("embedding").collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray).map(_.toFloat))
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // the hash sample is statistical: an unluckily thin draw seeds fewer
+    // cells than asked — fail loudly rather than return a silently coarser
+    // quantizer (E[sample] ≥ max(target, n/2^20) makes this ~impossible,
+    // which is exactly why a silent occurrence must not pass)
+    require(cents.nonEmpty, s"kmeansCentroidsScalable: sample admitted no rows (n=$n, num=$num)")
     for (_ <- 0 until iters) {
       val assigned = assignCells(sampleDf, cents.toSeq.toDF("cell", "cvec"))
       val byCell = labelCentroids(assigned, "cell", "embedding", scaleBits)
@@ -552,12 +564,15 @@ object Similarity {
     * assigned inline) and [[semanticDedupIncrementalIndexed]] (corpus
     * assignment read back from the persisted index): delta rows admitted
     * iff no rounded-cosine ≥ `threshold` neighbor in (corpusCells ∪
-    * smaller-id delta) within their cell. `corpusCells` carries
-    * (cell, vec_id, embedding, nrm) — the index row layout.
+    * smaller-id delta) within their cell. Both sides carry
+    * (cell, vec_id, embedding, nrm) — the index row layout — and the
+    * admitted rows are returned IN that layout so the streaming gate can
+    * append them to the index without re-assigning (public entry points
+    * project down to (cell, vec_id)).
     */
-  private def incrementalAdmit(corpusCells: DataFrame, delta: DataFrame,
-                               centroids: DataFrame,
-                               threshold: Double): DataFrame = {
+  private def incrementalAdmitFull(corpusCells: DataFrame, delta: DataFrame,
+                                   centroids: DataFrame,
+                                   threshold: Double): DataFrame = {
     val cSide = corpusCells
       .select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"),
         col("nrm").as("nb"))
@@ -578,9 +593,15 @@ object Similarity {
       deltaCells.select(col("cell"), col("vec_id").as("b"),
         col("embedding").as("eb"), col("nrm").as("nb")),
       col("b") < col("a"))
-    deltaCells.select(col("cell"), col("vec_id"))
+    deltaCells
       .join(vsCorpus.union(vsDelta).distinct(), Seq("cell", "vec_id"), "left_anti")
   }
+
+  private def incrementalAdmit(corpusCells: DataFrame, delta: DataFrame,
+                               centroids: DataFrame,
+                               threshold: Double): DataFrame =
+    incrementalAdmitFull(corpusCells, delta, centroids, threshold)
+      .select(col("cell"), col("vec_id"))
 
   /** Persist the semantic-dedup index — the embedding twin of
     * [[graft.operators.Dedup.buildDedupIndex]]: the admitted corpus's cell
@@ -621,15 +642,35 @@ object Similarity {
     */
   def semanticDedupIncrementalIndexed(indexDir: String, delta: DataFrame,
                                       threshold: Double,
-                                      excludeIds: Option[DataFrame] = None): DataFrame = {
+                                      excludeIds: Option[DataFrame] = None): DataFrame =
+    semanticDedupIncrementalIndexedFull(indexDir, delta, threshold, excludeIds)
+      .select(col("cell"), col("vec_id"))
+
+  /** [[semanticDedupIncrementalIndexed]] returning admitted rows in the
+    * FULL index layout (cell, vec_id, embedding, nrm) — the streaming
+    * gate's entry point, so its index append reuses this gate's assignment
+    * instead of paying a second |batch| × nCells scoring pass.
+    */
+  private[graft] def semanticDedupIncrementalIndexedFull(
+      indexDir: String, delta: DataFrame, threshold: Double,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val spark = delta.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val corpusCells = excludeIds.fold(
       spark.read.parquet(s"$indexDir/assigned"))(ids =>
       spark.read.parquet(s"$indexDir/assigned")
         .join(ids.select("vec_id"), Seq("vec_id"), "left_anti"))
-    incrementalAdmit(corpusCells, delta, cents, threshold)
+    incrementalAdmitFull(corpusCells, delta, cents, threshold)
   }
+
+  /** Append rows ALREADY in index layout (cell, vec_id, embedding, nrm) —
+    * the streaming gate's append path ([[appendToSemanticIndex]] is the
+    * re-assigning form for raw vectors).
+    */
+  private[graft] def appendAssignedToSemanticIndex(assigned: DataFrame,
+                                                   dir: String): Unit =
+    assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .write.mode("append").parquet(s"$dir/assigned")
 
   /** Admit vectors into the persisted index (parquet append — linear in
     * the admitted batch): assignment under the INDEX's own centroid frame.
@@ -641,6 +682,19 @@ object Similarity {
       .withColumn("nrm", Vectors.norm2(col("embedding")))
       .write.mode("append").parquet(s"$dir/assigned")
   }
+
+  /** Compact the semantic index's `assigned` extent exactly-distinct — the
+    * [[graft.operators.Dedup.compactDedupIndex]] analogue this index needs
+    * for the same reason: per-batch appends accumulate a file set each, and
+    * the streaming gate's append-then-marker crash window tolerates — but
+    * stores — duplicate rows (gating/search stay exact via distinct-based
+    * consumers; the ROWS still cost every subsequent join until compacted).
+    * Same rename-aside ladder, readable at every crash point; single-writer
+    * (serialize against gate batches). Returns (rows before, rows after).
+    */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, numFiles: Int = 4): (Long, Long) =
+    Dedup.compactDistinctDir(spark, dir, "assigned", numFiles)
 
   /** Cells per corpus so that E[|cell|] ≈ `targetCell`: [[semanticDedup]]'s
     * pair volume is Σ|cell|² ≈ N·targetCell — LINEAR in N — when the cell
@@ -680,11 +734,11 @@ object Similarity {
     */
   def semanticDedupAuto(corpus: DataFrame, threshold: Double,
                         targetCell: Int = 256): DataFrame = {
-    val cells = cellsForCorpus(corpus.count(), targetCell,
-      maxCells = Int.MaxValue)
+    val n = corpus.count()
+    val cells = cellsForCorpus(n, targetCell, maxCells = Int.MaxValue)
     val cents =
       if (cells <= DriverSampleMaxCells) kmeansCentroids(corpus, cells)
-      else kmeansCentroidsScalable(corpus, cells)
+      else kmeansCentroidsScalable(corpus, cells, knownCount = Some(n))
     semanticDedup(corpus, cents, threshold)
   }
 

@@ -332,17 +332,17 @@ object StreamingPipeline {
                         outDir: String, threshold: Double = 0.9): Unit = {
     import graft.operators.Similarity
     val vecs = batch.select(col("vec_id"), col("embedding"))
-    val admitted = Similarity.semanticDedupIncrementalIndexed(
+    // full index layout back from the gate: the append below reuses this
+    // assignment instead of re-scoring the batch against the centroids
+    val admitted = Similarity.semanticDedupIncrementalIndexedFull(
       indexDir, vecs, threshold, excludeIds = Some(vecs.select("vec_id")))
-    // survivors feed two sinks (output + index append); compute once
-    val survivors = vecs
-      .join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
-      .localCheckpoint()
-    survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      .localCheckpoint() // feeds two sinks (output + index append)
+    admitted.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      Similarity.appendToSemanticIndex(survivors, indexDir)
+      Similarity.appendAssignedToSemanticIndex(admitted, indexDir)
       fs.mkdirs(marker)
     }
   }

@@ -46,7 +46,9 @@ class RetryHorizonSpec extends SparkSpec with BeforeAndAfterAll {
     assert(ledger2.toSeq == Seq(("report_broken.txt", "2024-03-01", 2)))
 
     // day 3 (2 days elapsed >= horizon): quarantined — Fallido bitacora row,
-    // retry ledger emptied, file never re-enters
+    // file never re-enters. The ledger row SURVIVES this run's rewrite (the
+    // rewrite lands before the quarantine, and a crash between them must
+    // keep the first-failure date on disk) — it prunes on the next rewrite.
     val d3 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
       Date.valueOf("2024-03-03"))
     assert(d3 == Pipeline.RunSummary(1, 0, 0))
@@ -54,10 +56,46 @@ class RetryHorizonSpec extends SparkSpec with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("estatus") === "Fallido")
       .select("nombreArchivo").collect().map(_.getString(0))
     assert(fallido.toSeq == Seq("report_broken.txt"))
-    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 0)
+    val ledger3 = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+    assert(ledger3.toSeq == Seq(("report_broken.txt", "2024-03-01")))
     val d4 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
       Date.valueOf("2024-03-04"))
     assert(d4 == Pipeline.RunSummary(0, 0, 0)) // nothing pending anymore
+  }
+
+  test("crash between ledger rewrite and quarantine does not restart the horizon") {
+    val (inDir, outDir) = freshDirs()
+    Files.createDirectory(inDir.resolve("report_crash.txt"))
+    val d1 = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-01"))
+    assert(d1 == Pipeline.RunSummary(0, 0, 0))
+    // simulate the day-3 crash window: the horizon decision ran and rewrote
+    // the ledger, but the driver died before quarantine() wrote bitacora
+    val dec = Pipeline.recordSystemFailures(spark, outDir.toString,
+      Seq(("report_crash.txt", "IOException: simulated")), Date.valueOf("2024-03-03"))
+    assert(dec.expired == Seq("report_crash.txt") && dec.retry.isEmpty)
+    val kept = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+    assert(kept.toSeq == Seq(("report_crash.txt", "2024-03-01")),
+      "expired row must survive the rewrite until the quarantine commits")
+    // the idempotent rerun sees first=2024-03-01 (not a fresh horizon) and
+    // quarantines — the retried-forever window stays closed
+    val rerun = Pipeline.runBatch(spark, inDir.toString, outDir.toString,
+      Date.valueOf("2024-03-03"))
+    assert(rerun == Pipeline.RunSummary(1, 0, 0))
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Fallido").count() == 1)
+  }
+
+  test("same-day idempotent rerun does not inflate the attempt count") {
+    val (inDir, outDir) = freshDirs()
+    Files.createDirectory(inDir.resolve("report_rerun.txt"))
+    Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-01"))
+    Pipeline.runBatch(spark, inDir.toString, outDir.toString, Date.valueOf("2024-03-01"))
+    val row = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getInt(3))).toSeq
+    assert(row == Seq(("report_rerun.txt", 1)), s"got $row") // one failing DAY
   }
 
   test("a file that recovers before the horizon processes normally and drops its retry row") {

@@ -237,6 +237,12 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     StreamingPipeline.semanticGateBatch(b0, 0L, idxDir, out, t)
     assert(emitted() == Set(11L), s"marker-loss replay: ${emitted()}")
 
+    // the marker-loss replay re-appended 11's row — exactly the crash
+    // window compactSemanticIndex exists to clean: distinct rewrite drops
+    // the duplicate and later gating is unchanged
+    val (before, after) = Similarity.compactSemanticIndex(spark, idxDir)
+    assert(before == 3 && after == 2, s"compact: $before -> $after") // corpus 1 + 11 twice
+
     // batch 1: 20 dups the ADMITTED 11 (75° — only the appended index
     // knows); 21 fresh (40°: >30° from both 0° and 75°/80°... and from 10°
     // — 10 was NOT admitted, so it cannot veto)
