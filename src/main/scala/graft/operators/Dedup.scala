@@ -357,6 +357,31 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/fps")
   }
 
+  /** WITHIN-document duplicate-sentence removal — the boilerplate-cleanup
+    * transform of the C4/Gopher lineage (t10 only SCORES repetition; this
+    * rewrites the document): each doc keeps the FIRST occurrence of every
+    * distinct sentence ([[graft.functions.Text.sentenceArray]] segments, so
+    * the split arithmetic is t7's, mirrored in ANSI SQL), order preserved.
+    * One posexplode + two map-side-combined aggregations — no window over
+    * raw text, no shuffle wider than (doc, sentence).
+    *
+    * Output per doc (docs with ≥1 sentence): `n_sents` (before), `n_kept`
+    * (after), `cleaned` (kept sentences rejoined with single spaces — the
+    * queries hash it rather than carry full text through the compare).
+    */
+  def sentenceDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = df.select(col(idCol),
+      posexplode(Text.sentenceArray(col(textCol))).as(Seq("pos", "sent")))
+    sents.groupBy(col(idCol), col("sent"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_sents"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent"))).as("cleaned"))
+  }
+
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +
     * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost

@@ -637,13 +637,22 @@ object ExtensionQueries {
     // the chunking granularity most curation filters run at.
     "t7_sentences" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("sents",
-          filter(transform(split(col("text"), "[.!?]+"), x => trim(x)), x => length(x) > 0))
+        .withColumn("sents", Text.sentenceArray(col("text")))
         .select(col("doc_id"),
           size(col("sents")).as("n_sents"),
           round(coalesce(
             aggregate(col("sents"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
               size(col("sents")), lit(0.0)), 4).as("avg_sent_chars"))
+        .orderBy("doc_id")),
+
+    // T14 within-doc duplicate-sentence removal ([[Dedup.sentenceDedup]]):
+    // the C4/Gopher boilerplate-cleanup REWRITE (t10 only scores
+    // repetition) — keep the first occurrence of each distinct sentence,
+    // order preserved; the cleaned text crosses the compare as an md5.
+    "t14_sentence_dedup" -> ((s, d) =>
+      Dedup.sentenceDedup(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_sents"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
         .orderBy("doc_id")),
 
     // T8 PII scrubbing: redact email-shaped spans, count redactions — the
@@ -1921,6 +1930,26 @@ object ExtensionQueries {
         |  ROUND(COALESCE(CAST(list_aggregate(list_transform(sents, x -> len(x)), 'sum') AS DOUBLE)
         |    / len(sents), 0.0), 4) AS avg_sent_chars
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // t14: the dedup restated — unnest with subscripts, first-occurrence
+    // keep (MIN pos per distinct sentence), string_agg in position order.
+    "t14_sentence_dedup" ->
+      """WITH sarr AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS arr
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS pos
+        |  FROM sarr),
+        |kept AS (
+        |  SELECT doc_id, sent, MIN(pos) AS pos, COUNT(*) AS cnt
+        |  FROM flat GROUP BY doc_id, sent)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_sents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(sent, ' ' ORDER BY pos)) AS cleaned_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t8_pii_scrub" ->
       """SELECT doc_id,

@@ -207,6 +207,22 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(51L), survivors)
   }
 
+  test("sentenceDedup: first occurrence kept in order, counts right, clean docs untouched") {
+    val v = Seq(
+      (1L, "A first. B second! A first. C third? B second."), // A,B dup once each
+      (2L, "Only one sentence"),
+      (3L, "Same. Same. Same.")                               // collapses to one
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(v, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_sents", "n_kept", "cleaned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, "A first B second C third"), // original order preserved
+      (2L, 1L, 1L, "Only one sentence"),
+      (3L, 3L, 1L, "Same")))
+  }
+
   test("minhash signatures: deterministic across runs") {
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
     val b = Dedup.minhashSignatures(docs, "doc_id", "text", 8).orderBy("doc_id").collect()
