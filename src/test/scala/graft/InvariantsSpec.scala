@@ -28,6 +28,12 @@ class InvariantsSpec extends SparkSpec {
   private def batches(n: Int): Seq[List[(String, String, String, String)]] =
     (1 to n).map(i => batchGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("driver t1 smoke replica: SparkEntry.entry returns rows at sf0.001") {
+    // the driver's first gate; a broken flagship entry would zero the whole
+    // round's smoke check, so pin it here where sbt test catches it first
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("registry hygiene: no orphaned oracle keys, no cross-registry query shadowing") {
     // an oracleSql key with no matching query would dump nothing and surface
     // only as a read-error row in the driver's compare; a duplicated query
