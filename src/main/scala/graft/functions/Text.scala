@@ -74,15 +74,15 @@ object Text {
   val bpePattern: String =
     "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
-  /** BPE-ish piece count over raw text. */
   /** Sentence segments of `c`: split on sentence punctuation runs, trimmed,
-    * empties dropped — t7's exact arithmetic, shared with [[sentenceDedup]]
-    * so the two lanes cannot drift (the DuckDB twin is regexp_split_to_array
-    * + trim + len filter).
+    * empties dropped — t7's exact arithmetic, shared with
+    * [[graft.operators.Dedup.sentenceDedup]] so the two lanes cannot drift
+    * (the DuckDB twin is regexp_split_to_array + trim + len filter).
     */
   def sentenceArray(c: Column): Column =
     filter(transform(split(c, "[.!?]+"), x => trim(x)), x => length(x) > 0)
 
+  /** BPE-ish piece count over raw text. */
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(bpePattern))
 
