@@ -37,6 +37,30 @@ object Splits {
     df.withColumn(as, assigned)
   }
 
+  /** LEAKAGE-SAFE deterministic split: [[hashSplit]] keyed by the near-dup
+    * COMPONENT instead of the document id, so an entire duplicate cluster
+    * lands in one split and no near-dup pair can straddle train/test — the
+    * contamination channel an id-keyed split leaves open (measured on this
+    * corpus: 14 of 25 MinHash near-dup pairs cross the sp1-style id split,
+    * 6 of them train↔test — the sl1 audit query). Pairs come from ANY
+    * blocker ([[Dedup.minhashLshPortable]] in the registered lane);
+    * components from [[Dedup.connectedComponents]] (salted push join, hub
+    * skew bounded); docs in no pair key by their own id, so the split
+    * remains a pure function of (salt, pair graph, id) and reproduces in
+    * ANSI SQL — the whole chain, CC included, is the d6 oracle's recursive
+    * CTE plus sp1's CASE ladder.
+    */
+  def componentSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String, salt: String,
+                     splits: Seq[(String, Double)],
+                     as: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val keyed = df.join(comp, Seq(idCol), "left")
+      .withColumn("_skey", coalesce(col("comp"), col(idCol)))
+    hashSplit(keyed, "_skey", salt, splits, as).drop("comp", "_skey")
+  }
+
   /** Deterministic fractional upsampling (dataset mixture weighting): each
     * row is emitted `floor(factor)` times, plus one more iff the row's
     * md5-hex draw falls under the fractional remainder — so multiplicity is

@@ -891,6 +891,49 @@ object ExtensionQueries {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
 
+    // SL1 split-leakage audit: near-dup pairs (d2b's portable MinHash
+    // blocking) crossed with an sp1-style ID-KEYED split — the count per
+    // (split_a, split_b) cell measures the train/test contamination channel
+    // an id split leaves open (14 of 25 pairs cross on this corpus, 6 of
+    // them train↔test). The motivating measurement for sl2.
+    "sl1_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      val asg = graft.operators.Splits.hashSplit(docs, "doc_id", "sl1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(asg.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(asg.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }),
+
+    // SL2 leakage-safe split ([[Splits.componentSplit]]): the same split
+    // keyed by the near-dup CONNECTED COMPONENT — whole dup-clusters land
+    // in one split, so n_leaked (pairs leaving each split) is 0 by
+    // construction, and the oracle PROVES it by recomputing the entire
+    // chain (pairs → recursive-CTE CC → CASE-ladder split → leak join)
+    // in SQL.
+    "sl2_component_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      val asg = graft.operators.Splits.componentSplit(docs, "doc_id", pairs,
+          "a", "b", "sl2", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      val leaked = pairs
+        .join(asg.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+        .join(asg.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa").as("split")).agg(count(lit(1)).as("n_leaked"))
+      asg.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(leaked, Seq("split"), "left")
+        .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+        .orderBy("split")
+    }),
+
     // PK1 fixed-context sequence packing: concat-and-cut into 512-token
     // windows per (lang, shard) stream; per-sequence doc count and token
     // mass. The window cumsum is the whole computation — the readout shows
@@ -2190,6 +2233,54 @@ object ExtensionQueries {
         |  FROM documents)
         |SELECT lang, split, COUNT(*) AS n_docs
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // sl1: d2b's pair CTEs crossed with sp1's CASE-ladder split (salt sl1)
+    // — the audit's cell counts restated end to end.
+    "sl1_split_leakage" ->
+      s"""WITH $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
+         |asg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5('sl1:' || doc_id), 1, 8) < 'cccccccc' THEN 'train'
+         |         WHEN substring(md5('sl1:' || doc_id), 1, 8) < 'e6666666' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs
+         |FROM pairs p
+         |JOIN asg sa ON sa.doc_id = p.a
+         |JOIN asg sb ON sb.doc_id = p.b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sl2: the whole leakage-safe chain in SQL — pairs, d6's recursive-CTE
+    // connected components, component-keyed CASE split (docs in no pair key
+    // by their own id), per-split doc counts, and the leak join whose count
+    // the construction forces to 0.
+    "sl2_component_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN substring(md5('sl2:' || COALESCE(l.comp, d.doc_id)), 1, 8) < 'cccccccc' THEN 'train'
+         |         WHEN substring(md5('sl2:' || COALESCE(l.comp, d.doc_id)), 1, 8) < 'e6666666' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         |leaked AS (
+         |  SELECT sa.split, COUNT(*) AS n_leaked
+         |  FROM pairs p
+         |  JOIN asg sa ON sa.doc_id = p.a
+         |  JOIN asg sb ON sb.doc_id = p.b
+         |  WHERE sa.split <> sb.split GROUP BY sa.split)
+         |SELECT a.split, COUNT(*) AS n_docs, COALESCE(MAX(lk.n_leaked), 0) AS n_leaked
+         |FROM asg a LEFT JOIN leaked lk ON lk.split = a.split
+         |GROUP BY a.split ORDER BY a.split""".stripMargin,
 
     "pk1_sequence_packing" ->
       s"""WITH tok AS (

@@ -31,6 +31,29 @@ class SplitsSpec extends SparkSpec {
     assert(out.select("split").distinct().as[String].collect().toSeq == Seq("all"))
   }
 
+  test("componentSplit: dup clusters share a split, singletons key by own id, no pair straddles") {
+    val ids = (1L to 300L).toDF("doc_id")
+    // pair graph: a chain {1,2,3} and a pair {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val asg = Splits.componentSplit(ids, "doc_id", pairs, "a", "b", "cs", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asg.size == 300)
+    // whole components co-located
+    assert(asg(1L) == asg(2L) && asg(2L) == asg(3L))
+    assert(asg(10L) == asg(11L))
+    // no near-dup pair straddles splits — the operator's defining property
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (1L, 3L)).foreach { case (a, b) =>
+      assert(asg(a) == asg(b), s"pair ($a,$b) straddles: ${asg(a)} vs ${asg(b)}")
+    }
+    // singletons key by their own id — identical to plain hashSplit
+    val plain = Splits.hashSplit(ids, "doc_id", "cs", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (20L to 300L).foreach(i => assert(asg(i) == plain(i), s"singleton $i re-keyed"))
+    // cluster members follow the COMPONENT representative's draw (min id)
+    assert(asg(2L) == plain(1L) && asg(11L) == plain(10L))
+  }
+
   test("upsample: integer factor repeats exactly; fractional factor hits expectation") {
     val ids = (1L to 1000L).toDF("id")
     val exact = Splits.upsample(ids, "id", "u1", lit(3.0))
