@@ -92,15 +92,30 @@ object ScalableWindow {
 
     // 3. Slice sizes -> per-slice global offsets. Computed from `sliced`
     //    (BEFORE the window) so the broadcast side is one map-side-combined
-    //    aggregate, not a recompute through the sort. The prefix-sum window
-    //    runs over a (|part| x slices)-row frame — trivially small.
+    //    aggregate, not a recompute through the sort. The prefix sum runs
+    //    per part over the collected (≤ `slices`-entry, bounded by
+    //    construction) slice list as ONE array fold — deliberately not a
+    //    window: with a CONSTANT part key (h2/pr1's global-order-statistics
+    //    regime) Catalyst folds the partition key away and a prefix-sum
+    //    window would execute as the unpartitioned WindowExec this operator
+    //    family exists to avoid (and PlanQualitySpec bans).
     val sizes = sliced.groupBy(col(part), col("_slice")).agg(count(lit(1)).as("_cnt"))
-    val wOff = Window.partitionBy(col(part)).orderBy(col("_slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sizes
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
-      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy(col(part))))
-      .drop("_cnt")
+    val offs = sizes.groupBy(col(part))
+      // sort_array orders by the struct's leading field `_slice` (unique
+      // within a part), so the fold walks slices in slice order
+      .agg(sort_array(collect_list(struct(col("_slice"), col("_cnt")))).as("_sc"))
+      .withColumn("_n",
+        aggregate(col("_sc"), lit(0L), (a, x) => a + x.getField("_cnt")))
+      .withColumn("_po", aggregate(col("_sc"),
+        struct(lit(0L).as("t"), expr("CAST(array() AS ARRAY<BIGINT>)").as("o")),
+        (a, x) => struct(
+          (a.getField("t") + x.getField("_cnt")).as("t"),
+          concat(a.getField("o"), array(a.getField("t"))).as("o")),
+        a => a.getField("o")))
+      .select(col(part), col("_n"),
+        explode(arrays_zip(col("_sc"), col("_po"))).as("_z"))
+      .select(col(part), col("_z._sc._slice").as("_slice"),
+        col("_z._po").as("_off"), col("_n"))
 
     // 4. Within-slice rank: the only big sort, parallelism |part| x slices.
     val wSlice = Window.partitionBy(col(part), col("_slice"))

@@ -69,6 +69,13 @@ class PlanQualitySpec extends SparkSpec {
     // mix2: one-row n_max aggregate crossed into the |sources|-row rate
     // table — t6_tfidf's corpus-scalar shape.
     "mix2_temperature_mixing" -> 1,
+    // e6: one-row total-files scalar crossed into the ≤4-row status
+    // aggregate (replaced the surface's last unpartitioned window,
+    // round-14 verdict item 5) — t6_tfidf's corpus-scalar shape.
+    "e6_status_distribution" -> 1,
+    // up1: one-row (total tokens, source count) scalar crossed into the
+    // |sources|-row mixture table — same window→scalar replacement as e6.
+    "up1_mixture_upsample" -> 1,
     "h2_equidepth_histogram" -> 2,
     "pr1_percent_rank" -> 2)
 
