@@ -142,6 +142,27 @@ object ScaleProbe {
         .groupBy("cell").count()
         .agg(sum(expr("count * (count - 1) div 2")).as("cand"))
         .head().getLong(0)
+    // CC round-count ladder (round-15): the large-star/small-star claim is
+    // O(log n) rounds regardless of DIAMETER — measured on the worst shape
+    // (a pure path, diameter = n−1, where the old label propagation needed
+    // n−1 rounds) and on the real d6 near-dup pair graph.
+    for (n <- Seq(64L, 512L, 4096L, 32768L)) {
+      val path = spark.range(0L, n).select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, "a", "b")
+      val nLabeled = labels.filter(col("comp") === 0L).count()
+      println(f"PROBE-CC path n=$n%6d diameter=${n}%6d rounds=$rounds%3d " +
+        f"ok=${nLabeled == n + 1}%5s t=${(System.nanoTime() - t0) / 1e9}%5.1fs")
+    }
+    {
+      val pairs = Dedup.minhashLshPortable(all, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, "a", "b")
+      println(f"PROBE-CC d6-pairs n=${labels.count()}%6d rounds=$rounds%3d " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%5.1fs")
+    }
+
     val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val embIds = embAll.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
     val embFull = embIds.length.toLong

@@ -44,7 +44,7 @@ object Splits {
     * corpus: 14 of 25 MinHash near-dup pairs cross the sp1-style id split,
     * 6 of them train↔test — the sl1 audit query). Pairs come from ANY
     * blocker ([[Dedup.minhashLshPortable]] in the registered lane);
-    * components from [[Dedup.connectedComponents]] (salted push join, hub
+    * components from [[Dedup.connectedComponents]] (salted star joins, hub
     * skew bounded); docs in no pair key by their own id, so the split
     * remains a pure function of (salt, pair graph, id) and reproduces in
     * ANSI SQL — the whole chain, CC included, is the d6 oracle's recursive
@@ -54,11 +54,18 @@ object Splits {
                      aCol: String, bCol: String, salt: String,
                      splits: Seq[(String, Double)],
                      as: String = "split"): DataFrame = {
+    // collision-proof internal names: an input already carrying `comp`
+    // would make the join ambiguous, and a caller `_skey` would be silently
+    // overwritten then dropped (round-14 advice) — refuse the (improbable)
+    // reserved names instead of corrupting them
+    val internal = Seq("__cs_comp", "__cs_key")
+    require(!df.columns.exists(internal.contains),
+      s"input must not contain reserved columns ${internal.mkString(", ")}")
     val comp = Dedup.connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("id", idCol)
+      .select(col("id").as(idCol), col("comp").as("__cs_comp"))
     val keyed = df.join(comp, Seq(idCol), "left")
-      .withColumn("_skey", coalesce(col("comp"), col(idCol)))
-    hashSplit(keyed, "_skey", salt, splits, as).drop("comp", "_skey")
+      .withColumn("__cs_key", coalesce(col("__cs_comp"), col(idCol)))
+    hashSplit(keyed, "__cs_key", salt, splits, as).drop(internal: _*)
   }
 
   /** Deterministic fractional upsampling (dataset mixture weighting): each

@@ -347,6 +347,25 @@ class DedupSpec extends SparkSpec {
       strict = true).count() == 1)
   }
 
+  test("connected components: diameter-60 path converges in logarithmic rounds, under default maxIter") {
+    // the round-14 scale cliff: the old min-label propagation needed
+    // O(diameter) rounds and hard-failed its maxIter=25 require on exactly
+    // this shape (a templated-boilerplate dup chain). Large-star/small-star
+    // must label the whole path in O(log n) alternating rounds.
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs, "a", "b")
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.size == 61 && comp.values.toSet == Set(0L))
+    assert(rounds <= 10, s"expected logarithmic rounds on a diameter-60 path, got $rounds")
+  }
+
+  test("connected components: self-pair-only node labels itself") {
+    val pairs = Seq((1L, 2L), (9L, 9L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
+
   test("connected components: empty pair set yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)

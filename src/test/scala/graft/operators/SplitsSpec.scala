@@ -54,6 +54,24 @@ class SplitsSpec extends SparkSpec {
     assert(asg(2L) == plain(1L) && asg(11L) == plain(10L))
   }
 
+  test("componentSplit: an input `comp` column passes through untouched; reserved names refuse") {
+    // round-14 advice: the old working columns were `comp`/`_skey` — a
+    // caller frame already carrying `comp` hit an ambiguous-column
+    // AnalysisException and `_skey` was silently overwritten. Internal
+    // names are now collision-proof, and the (improbable) reserved names
+    // fail fast instead of corrupting.
+    val ids = (1L to 50L).toDF("doc_id").withColumn("comp", col("doc_id") * 2)
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val fr = Seq("train" -> 0.8, "test" -> 0.2)
+    val out = Splits.componentSplit(ids, "doc_id", pairs, "a", "b", "cs", fr)
+    assert(out.columns.toSeq == Seq("doc_id", "comp", "split"))
+    assert(out.filter(col("comp") =!= col("doc_id") * 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      Splits.componentSplit(ids.withColumn("__cs_key", lit(1)),
+        "doc_id", pairs, "a", "b", "cs", fr)
+    }
+  }
+
   test("upsample: integer factor repeats exactly; fractional factor hits expectation") {
     val ids = (1L to 1000L).toDF("id")
     val exact = Splits.upsample(ids, "id", "u1", lit(3.0))
