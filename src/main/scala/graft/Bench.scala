@@ -18,6 +18,13 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // Second warm pass for the image (ImageIO) lane only: codec JIT needs
+    // more than one encounter — BASELINE.md's m2 adjudication traced the
+    // recurring ~2x cold readings to exactly this, and a per-round false
+    // alarm is worth 5 extra untimed seconds (round-14 verdict item 7).
+    SparkEntry.queries.filter(_._1.matches("m\\d+_.*")).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     // Timed epochs in name order (Map hash order varies with the query set,
     // which would shuffle noise across rounds). Three timed epochs, min per
     // query: this host shows transient multi-second scheduler stalls that

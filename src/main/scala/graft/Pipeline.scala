@@ -361,7 +361,17 @@ object Pipeline {
     * relation); while `asOf − fechaPrimerFallo < horizonDays` the file is
     * left un-ledgered so the pending scan retries it next run; at/past the
     * horizon it is reported `expired` and the caller quarantines it
-    * ('Fallido' bitacora row → never re-listed). A file that recovers
+    * ('Fallido' bitacora row → never re-listed).
+    *
+    * Horizon boundary — DELIBERATE `>=` reading (round-14 advice asked for
+    * the pin): with the default `horizonDays = 2`, a file first failing on
+    * day D is retried on D+1 and quarantined on D+2 — i.e. the file spends
+    * exactly 2 calendar days (D and D+1) in the failing-retry state, which
+    * is how this engine reads the reference's "Reintento automático al día
+    * siguiente (máx. 2 días)": two days OF retrying, not two retry
+    * attempts after the first. A caller wanting the other reading (retries
+    * on D+1 AND D+2, quarantine D+3) passes `horizonDays = 3`.
+    * RetryHorizonSpec pins the boundary in both batch and streaming form. A file that recovers
     * simply processes: its ledger row drops on the next rewrite. LAYOUT
     * failures never enter here — a wrong header is deterministic, so
     * retrying cannot fix it and [[runBatch]] quarantines those immediately;

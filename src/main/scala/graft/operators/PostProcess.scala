@@ -63,6 +63,46 @@ object PostProcess {
     zipBackup(Paths.get(backupDir), stamp)
   }
 
+  /** Age-based retention sweep — the reference's ops policy
+    * (README.md:133-143: logs kept 30 days, backups 90 days) that the
+    * archive/zip steps above otherwise grow without bound on a long-lived
+    * deployment. Deletes regular files DIRECTLY under `dir` whose mtime is
+    * older than `maxAgeDays` before `asOf`, optionally restricted to a
+    * filename suffix. Crash-safe and idempotent by construction: list →
+    * filter by age → delete; a crash mid-sweep leaves only files that
+    * still qualify on the rerun, and files inside the horizon are never
+    * touched. `asOf` is a parameter (not wall clock) so sweeps are
+    * reproducible and testable. Returns the deleted paths; a missing dir
+    * is a no-op.
+    */
+  def retentionSweep(dir: Path, asOf: java.time.Instant, maxAgeDays: Int,
+                     suffix: Option[String] = None): Seq[Path] = {
+    require(maxAgeDays >= 1, s"maxAgeDays must be >= 1, got $maxAgeDays")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val cutoff = asOf.minus(java.time.Duration.ofDays(maxAgeDays.toLong))
+    val s = Files.list(dir)
+    val victims =
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => suffix.forall(sfx => p.getFileName.toString.endsWith(sfx)))
+        .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+        .toSeq
+      finally s.close()
+    // deleteIfExists: a concurrent/crashed earlier sweep may have removed
+    // a victim already — idempotence over strictness
+    victims.foreach(Files.deleteIfExists)
+    victims
+  }
+
+  /** The reference retention policy in one call: 90-day `.zip` backups in
+    * `backupDir`, 30-day `.log` files in `logDir` (README.md:133-143).
+    * Returns (deleted backups, deleted logs).
+    */
+  def applyRetention(backupDir: Path, logDir: Path, asOf: java.time.Instant,
+                     backupDays: Int = 90, logDays: Int = 30): (Seq[Path], Seq[Path]) =
+    (retentionSweep(backupDir, asOf, backupDays, Some(".zip")),
+      retentionSweep(logDir, asOf, logDays, Some(".log")))
+
   /** Small-file compaction for an append-accumulating parquet directory —
     * the ops counterpart of the per-file micro-batch design: every processed
     * file appends its own parquet parts, and at 100 TB a scan over millions

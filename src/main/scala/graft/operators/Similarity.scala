@@ -267,8 +267,12 @@ object Similarity {
     // the hash sample is statistical: an unluckily thin draw seeds fewer
     // cells than asked — fail loudly rather than return a silently coarser
     // quantizer (E[sample] ≥ max(target, n/2^20) makes this ~impossible,
-    // which is exactly why a silent occurrence must not pass)
-    require(cents.nonEmpty, s"kmeansCentroidsScalable: sample admitted no rows (n=$n, num=$num)")
+    // which is exactly why a silent occurrence must not pass). The guard
+    // checks the full seed count, not mere non-emptiness: 0 < rows < nCells
+    // is exactly the silent-coarsening outcome (round-14 advice).
+    require(cents.length == nCells,
+      s"kmeansCentroidsScalable: sample seeded ${cents.length} of $nCells cells " +
+        s"(n=$n, num=$num) — corpus or sample too thin for the asked cell count")
     for (_ <- 0 until iters) {
       val assigned = assignCells(sampleDf, cents.toSeq.toDF("cell", "cvec"))
       val byCell = labelCentroids(assigned, "cell", "embedding", scaleBits)

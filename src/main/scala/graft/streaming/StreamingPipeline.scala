@@ -68,41 +68,110 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val files = batch.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).toSeq
-        val (good, bad) = files.partition(f => Pipeline.checkHeader(spark, f).ok)
         def basenames(ps: Seq[String]) = ps.map(p => p.substring(p.lastIndexOf('/') + 1))
-        Pipeline.quarantine(spark, outDir, basenames(bad), asOf, sink)
+        // the gate re-opens each file, which can THROW even though the
+        // source already delivered rows (ACL flipped, truncated rewrite,
+        // deletion race) — route those through the same system-failure
+        // horizon as runBatch instead of failing the whole micro-batch.
+        // Their rows are excluded and the file stays un-ledgered; since the
+        // checkpoint will never redeliver it, [[reconcilePendingFiles]]'s
+        // retry-ledger pickup is what re-enters it after recovery.
+        val checks = files.map(f => f -> scala.util.Try(Pipeline.checkHeader(spark, f)))
+        val sysFailed = checks.collect { case (f, scala.util.Failure(e)) =>
+          (basenames(Seq(f)).head,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+        val horizon = Pipeline.recordSystemFailures(spark, outDir, sysFailed, asOf)
+        val (good, bad) = checks
+          .collect { case (f, scala.util.Success(c)) => (f, c) }
+          .partition(_._2.ok)
+        Pipeline.quarantine(spark, outDir,
+          basenames(bad.map(_._1)) ++ horizon.expired, asOf, sink)
         if (good.nonEmpty) {
+          val goodFiles = good.map(_._1)
           val goodBatch =
-            if (bad.isEmpty) batch else batch.filter(input_file_name().isin(good: _*))
+            if (goodFiles.size == files.size) batch
+            else batch.filter(input_file_name().isin(goodFiles: _*))
           Pipeline.processBatch(spark, goodBatch, outDir, asOf,
-            expectedFiles = basenames(good), sink = sink)
+            expectedFiles = basenames(goodFiles), sink = sink)
         }
         ()
       }
       .start()
 
-  /** Post-drain reconciliation for ZERO-ROW files: a header-only file emits
-    * no rows, so it is invisible to `foreachBatch` (whose file set derives
-    * from `input_file_name()` over data rows) — it would never be header-
-    * checked, quarantined, or ledgered, unlike the batch path. Run this
-    * after an AvailableNow drain completes: every not-yet-ledgered report
-    * file that truly has no data line gets its header check and ledger row
-    * ('Fallido' on bad layout, 'Completado' 0/0 otherwise). Files that DO
-    * have data rows are left alone (they belong to the stream — e.g. a file
-    * that arrived after the drain). Single-writer assumption as elsewhere.
+  /** Post-drain reconciliation — the streaming dispatcher's counterpart of
+    * [[Pipeline.runBatch]]'s per-file failure ladder, run after an
+    * AvailableNow drain completes. Handles the pending (listed, not yet
+    * ledgered) file classes the stream itself cannot:
+    *
+    *  - ZERO-ROW files: a header-only file emits no rows, so it is
+    *    invisible to `foreachBatch` (whose file set derives from
+    *    `input_file_name()` over data rows) — it gets its header check and
+    *    ledger row here ('Fallido' on bad layout, 'Completado' 0/0).
+    *  - SYSTEM-FAILING files (open throws — broken ACL, truncated upload,
+    *    a directory wearing a report name): the file source never delivers
+    *    them, so without this ladder they would silently never surface.
+    *    Routed through [[Pipeline.recordSystemFailures]], exactly
+    *    runBatch's 2-day horizon (README.md:110-115): retried while the
+    *    horizon holds — on recovery the source delivers them on the next
+    *    drain — and quarantined 'Fallido' once it passes.
+    *  - CONSUMED-BUT-EXCLUDED files: the in-batch gate hit a system
+    *    failure after the source had already delivered the rows
+    *    ([[runAvailableNow]]'s Try ladder). The checkpoint will never
+    *    redeliver them, so a pending DATA file carrying an open
+    *    retry-ledger row is re-processed through the batch path here once
+    *    it reads again.
+    *
+    * Pending data files with NO retry row are left alone (they belong to
+    * the stream — e.g. a file that arrived after the drain). Single-writer
+    * assumption as elsewhere; every step is idempotent (re-runs converge).
+    */
+  def reconcilePendingFiles(spark: SparkSession, inputDir: String,
+                            outDir: String, asOf: Date,
+                            sink: SinkMode = SinkMode.Parquet,
+                            horizonDays: Int = 2): Unit = {
+    val done = Pipeline.processedFiles(spark, outDir, sink)
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val pending = Pipeline.listReports(spark, inputDir).filterNot(f => done(base(f)))
+    val checks = pending.map(f => f -> scala.util.Try(Pipeline.isHeaderOnly(spark, f)))
+    val sysFailed = checks.collect { case (f, scala.util.Failure(e)) =>
+      (base(f), s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+    // read the retry ledger BEFORE recordSystemFailures rewrites it: a
+    // recovered file's row is pruned by the rewrite, and it is exactly the
+    // signal that the file was consumed-and-excluded rather than fresh
+    val retryDir = java.nio.file.Paths.get(outDir, "reintentos")
+    val retryListed: Set[String] =
+      if (!java.nio.file.Files.exists(retryDir)) Set.empty
+      else spark.read.parquet(retryDir.toString)
+        .select("nombreArchivo").collect().map(_.getString(0)).toSet
+    val dataPending = checks.collect { case (f, scala.util.Success(false)) => f }
+    val (procGood, procBad) = dataPending.filter(f => retryListed(base(f)))
+      .partition(f => Pipeline.checkHeader(spark, f).ok)
+    if (procGood.nonEmpty) {
+      val raw = spark.read
+        .option("header", "true")
+        .schema(Layout.rawSchema)
+        .csv(procGood: _*)
+        .withColumn("nombreArchivo", element_at(split(input_file_name(), "/"), -1))
+      Pipeline.processBatch(spark, raw, outDir, asOf,
+        expectedFiles = procGood.map(base), sink = sink)
+    }
+    val horizon = Pipeline.recordSystemFailures(spark, outDir, sysFailed, asOf, horizonDays)
+    val headerOnly = checks.collect { case (f, scala.util.Success(true)) => f }
+    val (okHeader, badHeader) = headerOnly.partition(f => Pipeline.checkHeader(spark, f).ok)
+    Pipeline.quarantine(spark, outDir,
+      badHeader.map(base) ++ procBad.map(base) ++ horizon.expired, asOf, sink)
+    Pipeline.ledgerRows(spark, outDir, okHeader.map(base), asOf, "Completado", sink)
+  }
+
+  /** Round-12 name for the zero-row slice of [[reconcilePendingFiles]];
+    * kept as a forwarder so existing callers pick up the full ladder.
     */
   def reconcileZeroRowFiles(spark: SparkSession, inputDir: String,
                             outDir: String, asOf: Date,
-                            sink: SinkMode = SinkMode.Parquet): Unit = {
-    val done = Pipeline.processedFiles(spark, outDir, sink)
-    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
-    val pending = Pipeline.listReports(spark, inputDir)
-      .filterNot(f => done(base(f)))
-      .filter(f => Pipeline.isHeaderOnly(spark, f))
-    val (good, bad) = pending.partition(f => Pipeline.checkHeader(spark, f).ok)
-    Pipeline.quarantine(spark, outDir, bad.map(base), asOf, sink)
-    Pipeline.ledgerRows(spark, outDir, good.map(base), asOf, "Completado", sink)
-  }
+                            sink: SinkMode = SinkMode.Parquet): Unit =
+    reconcilePendingFiles(spark, inputDir, outDir, asOf, sink)
 
   /** Streaming sessionization with CUSTOM state — the charter's
     * `flatMapGroupsWithState` surface (`session_window` covers the declarative

@@ -117,6 +117,73 @@ class RetryHorizonSpec extends SparkSpec with BeforeAndAfterAll {
       org.apache.spark.sql.functions.col("estatus") === "Fallido").count() == 0)
   }
 
+  test("streaming dispatcher: fail -> retry -> expire across AvailableNow drains") {
+    // the round-14 verdict item 6 contract: the 2-day quarantine horizon
+    // must hold under the streaming entry too. A directory wearing a report
+    // name is never delivered by the file source, so the post-drain
+    // reconcile ladder is what must carry the horizon.
+    val (inDir, outDir) = freshDirs()
+    val ckDir = Files.createTempDirectory("retry_ck")
+    Files.write(inDir.resolve("report_ok.txt"), goodRows.getBytes)
+    Files.createDirectory(inDir.resolve("report_broken.txt")) // open() throws
+
+    def drain(day: String): Unit = {
+      val q = streaming.StreamingPipeline.runAvailableNow(
+        spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf(day))
+      q.awaitTermination(120000)
+      streaming.StreamingPipeline.reconcilePendingFiles(
+        spark, inDir.toString, outDir.toString, Date.valueOf(day))
+    }
+
+    // day 1: good file processes through the stream; broken one opens a
+    // retry row via the reconcile, no ledger entry
+    drain("2024-03-01")
+    assert(bitacora(outDir).count() == 1)
+    val ledger1 = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getInt(3)))
+    assert(ledger1.toSeq == Seq(("report_broken.txt", "2024-03-01", 1)))
+
+    // day 2 (< horizon): still retried, attempts bump, still unledgered
+    drain("2024-03-02")
+    val ledger2 = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getInt(3)))
+    assert(ledger2.toSeq == Seq(("report_broken.txt", "2024-03-01", 2)))
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Fallido").count() == 0)
+
+    // day 3 (>= horizon): quarantined 'Fallido', never re-enters
+    drain("2024-03-03")
+    val fallido = bitacora(outDir)
+      .filter(org.apache.spark.sql.functions.col("estatus") === "Fallido")
+      .select("nombreArchivo").collect().map(_.getString(0))
+    assert(fallido.toSeq == Seq("report_broken.txt"))
+    drain("2024-03-04")
+    assert(bitacora(outDir).count() == 2) // nothing new
+  }
+
+  test("streaming dispatcher: a file that recovers mid-horizon is delivered by the next drain") {
+    val (inDir, outDir) = freshDirs()
+    val ckDir = Files.createTempDirectory("retry_ck2")
+    Files.createDirectory(inDir.resolve("report_flaky.txt"))
+    def drain(day: String): Unit = {
+      val q = streaming.StreamingPipeline.runAvailableNow(
+        spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf(day))
+      q.awaitTermination(120000)
+      streaming.StreamingPipeline.reconcilePendingFiles(
+        spark, inDir.toString, outDir.toString, Date.valueOf(day))
+    }
+    drain("2024-03-01")
+    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 1)
+    // upload completes: the directory becomes a real file; the SOURCE
+    // delivers it on the next drain, and its retry row prunes
+    Files.delete(inDir.resolve("report_flaky.txt"))
+    Files.write(inDir.resolve("report_flaky.txt"), goodRows.getBytes)
+    drain("2024-03-02")
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Completado").count() == 1)
+    assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 0)
+  }
+
   test("layout failures still quarantine immediately — the horizon is for system failures only") {
     val (inDir, outDir) = freshDirs()
     Files.write(inDir.resolve("report_badcols.txt"), "email,notthelayout\nx,y".getBytes)

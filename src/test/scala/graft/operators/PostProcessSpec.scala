@@ -43,6 +43,52 @@ class PostProcessSpec extends AnyFunSuite {
     assert(PostProcess.zipBackup(Paths.get("/nonexistent_dir_xyz"), "x").isEmpty)
   }
 
+  test("retentionSweep: deletes past-horizon files, keeps young ones, rerun is a no-op") {
+    import java.nio.file.attribute.FileTime
+    import java.time.Instant
+    val dir = Files.createTempDirectory("pp_ret")
+    val asOf = Instant.parse("2024-06-01T02:00:00Z")
+    def mk(name: String, ageDays: Long): java.nio.file.Path = {
+      val p = dir.resolve(name); Files.writeString(p, "x")
+      Files.setLastModifiedTime(p, FileTime.from(asOf.minus(java.time.Duration.ofDays(ageDays))))
+      p
+    }
+    val old1 = mk("010324.zip", 95)
+    val old2 = mk("150324.zip", 91)
+    val young = mk("280524.zip", 4)
+    val notZip = mk("notes.txt", 200) // suffix-filtered: untouched
+    val deleted = PostProcess.retentionSweep(dir, asOf, 90, Some(".zip"))
+    assert(deleted.toSet == Set(old1, old2))
+    assert(!Files.exists(old1) && !Files.exists(old2))
+    assert(Files.exists(young) && Files.exists(notZip))
+    // idempotent rerun: nothing left to delete
+    assert(PostProcess.retentionSweep(dir, asOf, 90, Some(".zip")).isEmpty)
+    // boundary: exactly maxAgeDays old is KEPT (strictly-older deletes)
+    val edge = mk("edge.zip", 90)
+    assert(PostProcess.retentionSweep(dir, asOf, 90, Some(".zip")).isEmpty)
+    assert(Files.exists(edge))
+    // missing dir is a no-op
+    assert(PostProcess.retentionSweep(dir.resolve("nope"), asOf, 90, None).isEmpty)
+  }
+
+  test("applyRetention: 90-day backups + 30-day logs in one call") {
+    import java.nio.file.attribute.FileTime
+    import java.time.Instant
+    val bak = Files.createTempDirectory("pp_ret_bak")
+    val logs = Files.createTempDirectory("pp_ret_log")
+    val asOf = Instant.parse("2024-06-01T02:00:00Z")
+    def mk(dir: java.nio.file.Path, name: String, ageDays: Long): java.nio.file.Path = {
+      val p = dir.resolve(name); Files.writeString(p, "x")
+      Files.setLastModifiedTime(p, FileTime.from(asOf.minus(java.time.Duration.ofDays(ageDays))))
+      p
+    }
+    val oldZip = mk(bak, "010224.zip", 120); mk(bak, "300524.zip", 2)
+    val oldLog = mk(logs, "etl-2024-04-01.log", 61); mk(logs, "etl-2024-05-30.log", 2)
+    val (dz, dl) = PostProcess.applyRetention(bak, logs, asOf)
+    assert(dz == Seq(oldZip) && dl == Seq(oldLog))
+    assert(Files.list(bak).count() == 1 && Files.list(logs).count() == 1)
+  }
+
   test("compactParquet merges small files in place, data intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pp_compact").resolve("t").toString
