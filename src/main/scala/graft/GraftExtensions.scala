@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotF32, LevBounded, MisraGries, TopKStruct, VectorizeDotProduct}
+import graft.functions.{DotF32, LevBounded, MisraGries, PqEncode, PqTables, TopKStruct, VectorizeDotProduct}
 
 /** Session extensions: registers the engine's native expressions and
   * optimizer rules (SparkSessionExtensions is the supported injection
@@ -60,6 +60,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"mg_sketch k must be an INT literal, got $other")
         }
         MisraGries(children.head, k)
+      }))
+    // PQ codec pair ([[graft.functions.PqEncode]]/[[PqTables]]): args are
+    // (embedding, flat codebooks literal, m, ksub) with m/ksub INT literals.
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an INT literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"pq_encode requires 4 arguments (emb, books, m, ksub), got ${children.size}")
+        PqEncode(children.head, children(1),
+          intLit(children(2), "pq_encode m"), intLit(children(3), "pq_encode ksub"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_tables"),
+      new ExpressionInfo(classOf[PqTables].getName, "pq_tables"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"pq_tables requires 4 arguments (emb, books, m, ksub), got ${children.size}")
+        PqTables(children.head, children(1),
+          intLit(children(2), "pq_tables m"), intLit(children(3), "pq_tables ksub"))
       }))
     // HOF-form dot products (user-written or Vectors.dotHof) compile down
     // to the native expression automatically.

@@ -174,6 +174,24 @@ object ScaleProbe {
         f"fixed16_cand=${d9Candidates(sub, 16)}%10d " +
         f"auto_cells=$auto%4d auto_cand=${d9Candidates(sub, auto)}%10d")
     }
+
+    // PQ index footprint (round 15): on-disk bytes of the raw `assigned`
+    // extent vs the PQ `codes` extent at e2l's production shape (m=16,
+    // ksub=256) — the compression claim behind the IVF-PQ lane, measured
+    // on the real corpus rather than asserted from 16·1B vs 64·4B.
+    {
+      val cents = operators.Similarity.kmeansCentroids(embAll, 16)
+      val model = operators.Pq.train(embAll, m = 16, ksub = 256)
+      val dir = java.nio.file.Files.createTempDirectory("pqprobe").toString
+      operators.Pq.buildPqIndex(embAll, cents, model, dir)
+      def bytes(sub: String): Long = {
+        val d = new java.io.File(s"$dir/$sub")
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }
+      val raw = bytes("assigned"); val pq = bytes("codes"); val cb = bytes("codebooks")
+      println(f"PROBE-PQ n=$embFull%6d assigned=$raw%9d B codes=$pq%9d B " +
+        f"codebooks=$cb%8d B ratio=${raw.toDouble / pq}%5.1fx")
+    }
     spark.stop()
   }
 }

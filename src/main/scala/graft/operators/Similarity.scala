@@ -626,6 +626,15 @@ object Similarity {
     val fs = committed.getFileSystem(
       corpus.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(committed)) fs.delete(committed, true)
+    // a rebuild also invalidates any PQ extent: the old codes were encoded
+    // from the OLD corpus/centroids, and silently serving them against the
+    // new assignment would be the exact staleness this delete exists to
+    // prevent — callers re-run Pq.addPqExtent (Pq.buildPqIndex does);
+    // until then the compressed search fails loudly on the missing extent
+    Seq("codes", "codebooks").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     centroids.select(col("cell"), col("cvec"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
     assignCells(corpus, centroids)
@@ -670,21 +679,48 @@ object Similarity {
   /** Append rows ALREADY in index layout (cell, vec_id, embedding, nrm) —
     * the streaming gate's append path ([[appendToSemanticIndex]] is the
     * re-assigning form for raw vectors).
+    *
+    * PQ coherence: when the index carries a PQ extent
+    * ([[Pq.addPqExtent]]'s `codebooks` + `codes`), the appended rows are
+    * ALSO encoded under the persisted codebooks and appended to `codes` —
+    * otherwise every append would silently shrink [[Pq.ivfPqTopKIndexed]]'s
+    * effective corpus. Codes are written FIRST: a crash between the two
+    * writes then leaves only orphan code rows, which the exact re-rank's
+    * join against `assigned` drops (bounded noise, replayed away by the
+    * streaming gate's marker protocol) — the reverse order would leave
+    * raw rows the compressed scan can never see, a silent permanent miss.
     */
   private[graft] def appendAssignedToSemanticIndex(assigned: DataFrame,
-                                                   dir: String): Unit =
-    assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-      .write.mode("append").parquet(s"$dir/assigned")
+                                                   dir: String): Unit = {
+    val spark = assigned.sparkSession
+    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cbPath)) {
+      val rows = assigned
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        .localCheckpoint() // two writes below — compute the gate chain once
+      val model = Pq.PqModel.fromDF(spark.read.parquet(s"$dir/codebooks"))
+      rows.withColumn("codes", Pq.encodeCol(col("embedding"), model))
+        .select(col("cell"), col("vec_id"), col("codes"))
+        .write.mode("append").parquet(s"$dir/codes")
+      rows.write.mode("append").parquet(s"$dir/assigned")
+    } else {
+      assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        .write.mode("append").parquet(s"$dir/assigned")
+    }
+  }
 
   /** Admit vectors into the persisted index (parquet append — linear in
     * the admitted batch): assignment under the INDEX's own centroid frame.
+    * PQ-extent coherence per [[appendAssignedToSemanticIndex]].
     */
   def appendToSemanticIndex(admitted: DataFrame, dir: String): Unit = {
     val spark = admitted.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    assignCells(admitted, cents)
-      .withColumn("nrm", Vectors.norm2(col("embedding")))
-      .write.mode("append").parquet(s"$dir/assigned")
+    appendAssignedToSemanticIndex(
+      assignCells(admitted, cents)
+        .withColumn("nrm", Vectors.norm2(col("embedding"))),
+      dir)
   }
 
   /** Compact the semantic index's `assigned` extent exactly-distinct — the
@@ -694,11 +730,19 @@ object Similarity {
     * stores — duplicate rows (gating/search stay exact via distinct-based
     * consumers; the ROWS still cost every subsequent join until compacted).
     * Same rename-aside ladder, readable at every crash point; single-writer
-    * (serialize against gate batches). Returns (rows before, rows after).
+    * (serialize against gate batches). A PQ `codes` extent, when present,
+    * is compacted alongside (it accumulates the same appends). Returns
+    * (rows before, rows after) of the `assigned` extent.
     */
   def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, numFiles: Int = 4): (Long, Long) =
+                           dir: String, numFiles: Int = 4): (Long, Long) = {
+    // the PQ codes extent accumulates the same per-batch appends (and the
+    // same crash-window duplicates) as `assigned` — compact it alongside
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codes)) Dedup.compactDistinctDir(spark, dir, "codes", numFiles)
     Dedup.compactDistinctDir(spark, dir, "assigned", numFiles)
+  }
 
   /** Cells per corpus so that E[|cell|] ≈ `targetCell`: [[semanticDedup]]'s
     * pair volume is Σ|cell|² ≈ N·targetCell — LINEAR in N — when the cell

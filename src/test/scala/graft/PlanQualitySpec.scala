@@ -52,6 +52,13 @@ class PlanQualitySpec extends SparkSpec {
     // assignCells crosses run EAGERLY at construction (bounded sample ×
     // 16-row broadcast) and never appear in the returned plan.
     "e2k_ivf_scalable_recall" -> 3,
+    // e2l: brute-force ground truth (1 scalar BNL, e2's shape) + the PQ
+    // queryCells centroid cross (16-row broadcast, e2d's query-side shape).
+    // The corpus-side assignCells cross is localCheckpointed inside
+    // ivfPqTopKWithCentroids (it feeds both the codes extent and the
+    // re-rank raw side), so it runs bounded at construction and never
+    // appears in the returned plan — d9's pattern.
+    "e2l_ivfpq_recall" -> 2,
     // e2i is e2's brute-force lane (bounded query-set broadcast) with the
     // label-mismatch residual folded into the non-equi condition; e2j's
     // bucket equi-join keeps it BNL-free.
