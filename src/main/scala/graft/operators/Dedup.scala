@@ -816,6 +816,50 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]]'s 100 TB lane: a Bloom filter over the eval
+    * suite's shingle hashes prunes the training-side inverted index BEFORE
+    * any join. Identical output (hash-checked by the d7b oracle): Bloom
+    * filters have NO false negatives, so every genuinely shared shingle
+    * survives the prefilter, and false positives die in the exact equi-join
+    * verify — the prefilter changes cost, never results.
+    *
+    * Why this matters at scale: [[contaminationPairs]] broadcasts the eval
+    * inverted index as a JOIN HASH RELATION (~tens of bytes per shingle
+    * entry — benchmark suites with 10^8-10^9 distinct n-grams outgrow a
+    * sane broadcast budget), and every exploded training shingle flows into
+    * that join. Here the eval side ships as ~1.2 BYTES per entry (1% fpp),
+    * the might-contain probe is one codegen'd virtual call per training
+    * shingle ([[graft.functions.BloomMightContain]] — no boxing, stage
+    * stays whole-stage codegen), and only surviving shingles — in the
+    * uncontaminated common case a tiny fraction — reach the verify join,
+    * which is left unhinted so AQE broadcasts a small eval index and
+    * shuffle-joins a huge one (where the prefilter has already collapsed
+    * the train side: the canonical semi-join reduction). Joins key on
+    * xxhash64(shingle) — the d4 posture: 8-byte keys, 2^-64 cross-shingle
+    * collision odds, counts exact because distinctness is established on
+    * the string set before hashing.
+    */
+  def contaminationPairsBloom(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              minShared: Int = 2, fpp: Double = 0.01): DataFrame = {
+    require(minShared >= 1 && fpp > 0 && fpp < 1, s"minShared=$minShared fpp=$fpp")
+    def inv(df: DataFrame, as: String) =
+      shingleArrays(df, idCol, textCol)
+        .select(col(idCol).as(as),
+          explode(transform(array_distinct(col("sh")), s => xxhash64(s))).as("h"))
+    // benchmark-sized by contract; feeds the filter build AND the verify join
+    val evalInv = inv(evalDocs, "eval_id").localCheckpoint()
+    val bf = evalInv.stat.bloomFilter("h", math.max(1L, evalInv.count()), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    inv(train, "train_id")
+      .filter(call_function("bloom_might_contain", col("h"), lit(bos.toByteArray)))
+      .join(evalInv, "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard similarity for all pairs that
     * share at least one shingle, within a blocking key (e.g. language) —
     * the shingle inverted index IS the join, so complexity is bounded by

@@ -815,6 +815,22 @@ object ExtensionQueries {
         .orderBy("train_id", "eval_id")
     }),
 
+    // D7b decontamination's 100 TB lane ([[Dedup.contaminationPairsBloom]],
+    // round 15): a Bloom filter over the eval suite's shingle hashes (1.2
+    // B/entry vs tens of bytes for a broadcast hash relation) prunes the
+    // training inverted index BEFORE any join; no false negatives, and
+    // false positives die in the exact equi-join verify — so the result is
+    // IDENTICAL to d7 and the oracle hash-checks the whole prefilter
+    // machinery against the same SQL.
+    "d7b_decontamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairsBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", minShared = 2)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // D5 edit-distance near-dup via the raw length-band BUILDING BLOCK:
     // two-bucket length-band blocking per lang, bounded levenshtein verify
     // (banded DP, O(maxDist·len) per pair). Candidate volume is quadratic
@@ -1769,6 +1785,22 @@ object ExtensionQueries {
          |SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
 
     "d7_decontamination" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+         |  FROM inv t JOIN inv e ON t.s = e.s
+         |  WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared FROM pairs
+         |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
+
+    // d7b: the Bloom-prefiltered lane returns EXACTLY d7's pairs (no false
+    // negatives; false positives die in the verify join), so the oracle is
+    // d7's SQL verbatim — a hash match here checks the entire prefilter
+    // machinery, not just row counts.
+    "d7b_decontamination_bloom" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
          |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),

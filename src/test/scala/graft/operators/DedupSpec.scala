@@ -455,4 +455,29 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, d)).toSet
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
+
+  test("contaminationPairsBloom == contaminationPairs at any fpp (no false negatives)") {
+    // a corpus with one heavy contamination, one single-shingle overlap
+    // (below minShared), and clean docs — the Bloom lane must return the
+    // exact broadcast-join result even at an absurd 0.5 fpp, because false
+    // positives die in the verify join and false negatives cannot happen
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta different tail entirely here"),
+      (3L, "nothing in common with anything else at all whatsoever truly"),
+      (4L, "one shared alpha beta gamma only and then unrelated words follow"),
+      (97L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // eval
+      (194L, "completely disjoint evaluation document with unique tokens")  // eval
+    ).toDF("doc_id", "text")
+    val train = corpus.filter($"doc_id" % 97 =!= 0)
+    val evalDocs = corpus.filter($"doc_id" % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("train_id", "eval_id")
+        .as[(Long, Long, Long)].collect().toSeq
+    val exact = rows(Dedup.contaminationPairs(train, evalDocs, "doc_id", "text", 2))
+    assert(exact.nonEmpty && exact.forall(_._2 == 97L))
+    for (fpp <- Seq(0.5, 0.01))
+      assert(rows(Dedup.contaminationPairsBloom(train, evalDocs, "doc_id", "text",
+        minShared = 2, fpp = fpp)) == exact, s"fpp=$fpp diverged")
+  }
 }
