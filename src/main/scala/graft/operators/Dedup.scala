@@ -382,6 +382,43 @@ object Dedup {
           x => x.getField("sent"))).as("cleaned"))
   }
 
+  /** CROSS-document sentence dedup — the CCNet/RefinedWeb line-dedup pass
+    * ([[sentenceDedup]] removes repeats WITHIN a doc; this removes the
+    * boilerplate repeated ACROSS docs — headers, footers, nav chrome —
+    * which within-doc dedup cannot see): every distinct sentence is kept
+    * only in its earliest-id document (at that doc's first occurrence of
+    * it), dropped from every later doc; docs are rebuilt from their kept
+    * sentences in original order. Rule is min(doc_id) per sentence — the
+    * deterministic keep-smallest greedy the whole dedup family uses.
+    *
+    * Shuffle discipline: the keeper join keys on md5(sentence) (the e1b
+    * fingerprint posture — raw sentence text is a carried value, never a
+    * shuffle KEY), the keeper frame is one map-side-combined min
+    * aggregate, and the rebuild is [[sentenceDedup]]'s two aggregations.
+    * Cost is linear in total sentences; no all-pairs anywhere.
+    *
+    * Output per doc (docs with ≥1 sentence): `n_sents` (before), `n_kept`
+    * (after — 0 for a doc that was pure boilerplate), `cleaned` (kept
+    * sentences rejoined with single spaces).
+    */
+  def crossDocSentenceDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df.select(col(idCol),
+        posexplode(Text.sentenceArray(col(textCol))).as(Seq("pos", "sent")))
+      .groupBy(col(idCol), col("sent"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("cnt"))
+      .withColumn("fp", md5(col("sent")))
+    val keeper = perDoc.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"))
+    perDoc.join(keeper, "fp")
+      .withColumn("kept", col(idCol) === col("keep_id"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_sents"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"), struct(col("pos"), col("sent"))))),
+          x => x.getField("sent"))).as("cleaned"))
+  }
+
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +
     * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost

@@ -732,6 +732,19 @@ object ExtensionQueries {
           md5(col("cleaned")).as("cleaned_md5"))
         .orderBy("doc_id")),
 
+    // D10 CROSS-document sentence dedup ([[Dedup.crossDocSentenceDedup]],
+    // round 15 — the CCNet/RefinedWeb line-dedup pass): a sentence survives
+    // only in its earliest-id document; boilerplate shared across docs
+    // (which t14's within-doc pass cannot see) is stripped everywhere
+    // else and docs are rebuilt in original sentence order. Keeper join
+    // keys on md5(sentence) — both engines run the identical fingerprint
+    // arithmetic, so the rebuilt-text hashes compare exactly.
+    "d10_crossdoc_sentence_dedup" -> ((s, d) =>
+      Dedup.crossDocSentenceDedup(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_sents"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id")),
+
     // T8 PII scrubbing: redact email-shaped spans, count redactions — the
     // standard pre-training cleanup pass (extend the alternation for
     // phones/IPs/SSNs at production time; one regexp pass per pattern).
@@ -2134,6 +2147,34 @@ object ExtensionQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  md5(string_agg(sent, ' ' ORDER BY pos)) AS cleaned_md5
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d10: t14's split arithmetic, then the cross-doc keeper rule —
+    // min(doc_id) per md5(sentence) — and the same rebuild. string_agg over
+    // only the kept rows via FILTER; a pure-boilerplate doc keeps zero
+    // sentences and hashes the empty string, matching concat_ws on an
+    // empty array.
+    "d10_crossdoc_sentence_dedup" ->
+      """WITH sarr AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS arr
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, unnest(arr) AS sent, generate_subscripts(arr, 1) AS pos
+        |  FROM sarr),
+        |perdoc AS (
+        |  SELECT doc_id, sent, MIN(pos) AS pos, COUNT(*) AS cnt
+        |  FROM flat GROUP BY doc_id, sent),
+        |keeper AS (
+        |  SELECT md5(sent) AS fp, MIN(doc_id) AS keep_id
+        |  FROM perdoc GROUP BY md5(sent))
+        |SELECT p.doc_id,
+        |  CAST(SUM(p.cnt) AS BIGINT) AS n_sents,
+        |  CAST(COALESCE(SUM(CASE WHEN p.doc_id = k.keep_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(p.sent, ' ' ORDER BY p.pos)
+        |    FILTER (WHERE p.doc_id = k.keep_id), '')) AS cleaned_md5
+        |FROM perdoc p JOIN keeper k ON k.fp = md5(p.sent)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     "t8_pii_scrub" ->
       """SELECT doc_id,

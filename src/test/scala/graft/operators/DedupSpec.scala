@@ -456,6 +456,28 @@ class DedupSpec extends SparkSpec {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
   }
 
+  test("crossDocSentenceDedup: boilerplate survives only in the earliest doc, rebuild ordered") {
+    val corpus = Seq(
+      (1L, "Welcome to our site. Unique alpha content here. Welcome to our site."),
+      (2L, "Welcome to our site. Unique beta content instead."),
+      (3L, "Totally original document. Unique beta content instead."),
+      (4L, "Welcome to our site.") // pure boilerplate → keeps nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSentenceDedup(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_sents", "n_kept", "cleaned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // doc 1: 3 sentences, within-doc repeat collapses AND it owns both
+      (1L, 3L, 2L, "Welcome to our site Unique alpha content here"),
+      // doc 2: loses the boilerplate to doc 1, owns "Unique beta content instead"
+      (2L, 2L, 1L, "Unique beta content instead"),
+      // doc 3: loses "Unique beta..." to doc 2, keeps its original sentence
+      (3L, 2L, 1L, "Totally original document"),
+      // doc 4: everything owned elsewhere — kept row with empty rebuild
+      (4L, 1L, 0L, "")))
+  }
+
   test("contaminationPairsBloom == contaminationPairs at any fpp (no false negatives)") {
     // a corpus with one heavy contamination, one single-shingle overlap
     // (below minShared), and clean docs — the Bloom lane must return the

@@ -262,6 +262,41 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(emitted2 == Set(30L), s"rebuilt-index gate: $emitted2") // 31 caught by 30's append
   }
 
+  test("streaming semantic gate keeps a PQ extent coherent across batches") {
+    import graft.operators.{Pq, Similarity}
+    import spark.implicits._
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val t = math.cos(math.toRadians(30))
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val corpus = Seq((1L, at(0))).toDF("vec_id", "embedding")
+    val model = Pq.train(
+      (0 until 8).map(i => (i.toLong, at(i * 45.0))).toDF("vec_id", "embedding"),
+      m = 2, ksub = 4, sampleSize = 8, iters = 4)
+    val idxDir = Files.createTempDirectory("sem_idx_pq").toString
+    val out = Files.createTempDirectory("sem_out_pq").toString
+    Pq.buildPqIndex(corpus, cents, model, idxDir)
+    def counts() = (spark.read.parquet(s"$idxDir/assigned").count(),
+      spark.read.parquet(s"$idxDir/codes").count())
+    assert(counts() == ((1L, 1L)))
+    // two gate batches admit 11 (80°) then 21 (40°) — each append must
+    // extend codes alongside assigned (the coherence contract)
+    StreamingPipeline.semanticGateBatch(
+      Seq((11L, at(80))).toDF("vec_id", "embedding"), 0L, idxDir, out, t)
+    assert(counts() == ((2L, 2L)), s"after batch 0: ${counts()}")
+    StreamingPipeline.semanticGateBatch(
+      Seq((21L, at(40))).toDF("vec_id", "embedding"), 1L, idxDir, out, t)
+    assert(counts() == ((3L, 3L)), s"after batch 1: ${counts()}")
+    // the compressed search must see the streamed-in vectors
+    val hits = Pq.ivfPqTopKIndexed(idxDir,
+        Seq((100L, at(78))).toDF("vec_id", "embedding"), 2, nProbe = 2)
+      .select("b_id").as[Long].collect().toSet
+    assert(hits.contains(11L), s"streamed vector invisible to PQ lane: $hits")
+  }
+
   test("streaming semantic gate end-to-end: MemoryStream drains through the same index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Similarity
