@@ -419,6 +419,43 @@ object Dedup {
           x => x.getField("sent"))).as("cleaned"))
   }
 
+  /** Duplicated-span statistics — the detection core of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): for each document, how many of its
+    * `window`-token sliding windows occur ≥2 times ANYWHERE in the corpus
+    * (including elsewhere in the same doc). `dup_ratio` near 1 marks a doc
+    * that is substantially verbatim-copied text — the population that
+    * doc-level near-dup (d2/d3) misses when copied spans are embedded in
+    * otherwise-fresh documents.
+    *
+    * Windows are md5-fingerprinted token slices (the e1b posture: the
+    * 32-hex hash, not the text, is the shuffle key; both engines run the
+    * identical fingerprint so the d11 oracle hash-checks every count).
+    * Cost: one explode to ~n_tokens window rows per doc, one
+    * map-side-combined (doc, window) count, one window-keyed global count,
+    * one equi-join back — linear in corpus token count, no all-pairs.
+    * Docs shorter than `window` tokens have no windows and emit no row.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 10): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val wins = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= window)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - window),
+        i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(window)))))).as("wh"))
+    val perDoc = wins.groupBy(col(idCol), col("wh"))
+      .agg(count(lit(1)).as("k"))
+    val global = perDoc.groupBy(col("wh")).agg(sum(col("k")).as("c"))
+    perDoc.join(global, "wh")
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("c") >= 2, col("k")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", round(
+        col("n_dup").cast("double") / col("n_windows").cast("double"), 4))
+  }
+
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +
     * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost

@@ -745,6 +745,39 @@ object ExtensionQueries {
           md5(col("cleaned")).as("cleaned_md5"))
         .orderBy("doc_id")),
 
+    // D11 duplicated-span statistics ([[Dedup.dupSpanStats]], round 15 —
+    // the detection core of Lee et al. exact substring dedup): per doc,
+    // how many of its 10-token sliding windows occur >=2 times anywhere in
+    // the corpus. Flags verbatim-copied spans embedded in otherwise-fresh
+    // docs — the population doc-level near-dup can't see. Window md5s are
+    // the shuffle keys on both engines, so every count hash-checks.
+    "d11_dup_span_stats" -> ((s, d) =>
+      Dedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text", window = 10)
+        .orderBy("doc_id")),
+
+    // T15 C4 cleaning rules (Raffel et al. 2020, the C4 corpus filters —
+    // the other canonical named rule set next to t13's Gopher battery):
+    // line-level keep = sentence with >=3 words; page-level flags = lorem
+    // ipsum, curly brace (code), "javascript", terminal-punctuation ending;
+    // c4_pass = >=5 surviving lines and no page-level flag. (C4's bad-words
+    // list and its three-sentence-span dedup are out of scope here — span
+    // dedup is d10/d11's job; the list is a config input, not arithmetic.)
+    "t15_c4_filters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sents", Text.sentenceArray(col("text")))
+        .withColumn("n_sents", size(col("sents")).cast("long"))
+        .withColumn("n_lines_kept", size(filter(col("sents"),
+          x => size(Text.tokens(x)) >= 3)).cast("long"))
+        .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+        .withColumn("has_brace", col("text").contains("{"))
+        .withColumn("has_js", lower(col("text")).contains("javascript"))
+        .withColumn("ends_terminal", rtrim(col("text")).rlike("[.!?\"']$"))
+        .withColumn("c4_pass", col("n_lines_kept") >= 5 &&
+          !col("has_lorem") && !col("has_brace") && !col("has_js"))
+        .select("doc_id", "n_sents", "n_lines_kept", "has_lorem", "has_brace",
+          "has_js", "ends_terminal", "c4_pass")
+        .orderBy("doc_id")),
+
     // T8 PII scrubbing: redact email-shaped spans, count redactions — the
     // standard pre-training cleanup pass (extend the alternation for
     // phones/IPs/SSNs at production time; one regexp pass per pattern).
@@ -2175,6 +2208,50 @@ object ExtensionQueries {
         |    FILTER (WHERE p.doc_id = k.keep_id), '')) AS cleaned_md5
         |FROM perdoc p JOIN keeper k ON k.fp = md5(p.sent)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // t15: the same sentence split as t7/t14, the same tokenizer as every
+    // t-lane, LIKE flags, and the rule conjunction restated.
+    "t15_c4_filters" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> len(x) > 0) AS sents
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(sents) AS BIGINT) AS n_sents,
+        |    CAST(len(list_filter(sents, x ->
+        |      len(list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'),
+        |        y -> len(y) > 0)) >= 3)) AS BIGINT) AS n_lines_kept
+        |  FROM s)
+        |SELECT doc_id, n_sents, n_lines_kept,
+        |  (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+        |  (text LIKE '%{%') AS has_brace,
+        |  (lower(text) LIKE '%javascript%') AS has_js,
+        |  regexp_matches(rtrim(text), '[.!?"'']$') AS ends_terminal,
+        |  (n_lines_kept >= 5 AND NOT (lower(text) LIKE '%lorem ipsum%')
+        |    AND NOT (text LIKE '%{%')
+        |    AND NOT (lower(text) LIKE '%javascript%')) AS c4_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // d11: the identical window fingerprints (md5 of the space-joined
+    // 10-token slice) and the same perdoc/global count chain.
+    "d11_dup_span_stats" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, CAST(len(toks) AS INTEGER) - 9),
+         |      i -> md5(array_to_string(toks[i+1:i+10], ' ')))) AS wh
+         |  FROM tok WHERE len(toks) >= 10),
+         |perdoc AS (SELECT doc_id, wh, COUNT(*) AS k FROM w GROUP BY doc_id, wh),
+         |gl AS (SELECT wh, SUM(k) AS c FROM perdoc GROUP BY wh)
+         |SELECT p.doc_id,
+         |  CAST(SUM(p.k) AS BIGINT) AS n_windows,
+         |  CAST(SUM(CASE WHEN g.c >= 2 THEN p.k ELSE 0 END) AS BIGINT) AS n_dup,
+         |  ROUND(CAST(SUM(CASE WHEN g.c >= 2 THEN p.k ELSE 0 END) AS DOUBLE)
+         |    / SUM(p.k), 4) AS dup_ratio
+         |FROM perdoc p JOIN gl g USING (wh)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     "t8_pii_scrub" ->
       """SELECT doc_id,

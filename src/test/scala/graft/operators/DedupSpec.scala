@@ -478,6 +478,38 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 0L, "")))
   }
 
+  test("dupSpanStats: window counts match a driver-side slide, short docs drop") {
+    // doc 1 and 2 share an 11-token verbatim run (→ two shared 10-windows
+    // each); doc 3 repeats a span within itself; doc 4 is fresh; doc 5 is
+    // under 10 tokens and must emit no row
+    val shared = "one two three four five six seven eight nine ten eleven"
+    val corpus = Seq(
+      (1L, s"$shared unique tail alpha"),
+      (2L, s"prefix beta $shared"),
+      (3L, "a b c d e f g h i j a b c d e f g h i j"),
+      (4L, "fresh words entirely distinct from any other document in corpus"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(corpus, "doc_id", "text", window = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup").as[(Long, Long, Long)].collect().toSeq
+    // driver-side slide over the same tokenizer arithmetic
+    def toks(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val wins = corpus.as[(Long, String)].collect().toSeq.flatMap { case (id, t) =>
+      val tk = toks(t)
+      if (tk.length < 10) Seq.empty
+      else (0 to tk.length - 10).map(i => (id, tk.slice(i, i + 10).mkString(" ")))
+    }
+    val global = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = wins.groupBy(_._1).map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(w => global(w._2) >= 2).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(!got.exists(_._1 == 5L))
+    assert(got.find(_._1 == 3L).get._3 > 0) // within-doc repeat counts as dup
+    assert(got.find(_._1 == 4L).get._3 == 0)
+  }
+
   test("contaminationPairsBloom == contaminationPairs at any fpp (no false negatives)") {
     // a corpus with one heavy contamination, one single-shingle overlap
     // (below minShared), and clean docs — the Bloom lane must return the
