@@ -760,6 +760,55 @@ object Dedup {
                           maxIter: Int = 25, saltBuckets: Int = 16): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter, saltBuckets)._1
 
+  /** Incremental [[connectedComponents]] — the d8 daily-ingest discipline
+    * for the dedup GRAPH: fold a delta edge batch into existing labels
+    * without re-running CC over the historical edge set. Each existing
+    * component contracts to its label super-node (comp = min member id, so
+    * the super-node IS the canonical label), delta endpoints map through
+    * the old labels, and CC runs only on the contracted delta graph —
+    * per-batch cost scales with |delta| + touched components, never with
+    * history.
+    *
+    * Labels match batch CC over (old edges ∪ delta) EXACTLY: contraction
+    * preserves connectivity (each old component is connected by
+    * construction), and because old labels are component minima, the
+    * contracted run's minima are the true global minima. DedupSpec pins
+    * the equivalence property; the d6b oracle hash-checks it against the
+    * full-graph recursive CTE.
+    *
+    * @param oldLabels (id, comp) as produced by [[connectedComponents]] —
+    *                  comp MUST be the component-minimum id (this
+    *                  function's own output satisfies that, so batches
+    *                  chain).
+    * @param delta     new pair rows; endpoints may be old ids, new ids, or
+    *                  a mix.
+    * @return (id, comp) over old ids ∪ delta endpoint ids.
+    */
+  def connectedComponentsIncremental(oldLabels: DataFrame, delta: DataFrame,
+                                     aCol: String, bCol: String,
+                                     maxIter: Int = 25,
+                                     saltBuckets: Int = 16): DataFrame = {
+    // consumed by two endpoint joins + the relabel join + the anti-join
+    val old = oldLabels.select(col("id"), col("comp")).localCheckpoint()
+    val contracted = delta.select(col(aCol).as("a"), col(bCol).as("b"))
+      .join(old.select(col("id").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(old.select(col("id").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    // super-node labels over the delta-touched subgraph only
+    val sub = connectedComponents(contracted, "a", "b", maxIter, saltBuckets)
+      .localCheckpoint()
+    // old ids: re-label through their component's super-node if it was
+    // touched, keep the old comp otherwise
+    val touched = sub.select(col("id").as("comp"), col("comp").as("new_comp"))
+    val oldUpdated = old.join(touched, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    // genuinely-new ids (delta endpoints unseen before): labeled directly.
+    // Old comp labels are real old ids, so the anti-join keeps them out.
+    val newIds = sub.join(old.select(col("id")), Seq("id"), "left_anti")
+    oldUpdated.union(newIds)
+  }
+
   /** [[connectedComponents]] plus the number of alternating rounds it took —
     * the observable ScaleProbe reads to back the O(log n) round-count claim
     * with measurements instead of citation.

@@ -900,6 +900,27 @@ object ExtensionQueries {
         .orderBy("comp")
     }),
 
+    // D6b incremental connected components
+    // ([[Dedup.connectedComponentsIncremental]], round 15 — the d8 daily-
+    // ingest discipline for the dedup GRAPH): CC over the d8 corpus split's
+    // "historical" pairs (both endpoints % 10 != 0), then the delta pairs
+    // (any % 10 == 0 endpoint) folded in by contracting old components to
+    // their label super-nodes — per-batch cost |delta| + touched
+    // components, never the historical edge set. Labels provably equal
+    // batch CC over the full graph, so the oracle is d6's recursive CTE
+    // over ALL pairs — a hash match checks the whole contraction chain.
+    "d6b_incremental_cc" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPortable(Tables.documents(s, d), "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05).localCheckpoint()
+      val oldPairs = pairs.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
+      val deltaPairs = pairs.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      Dedup.connectedComponentsIncremental(
+          Dedup.connectedComponents(oldPairs, "a", "b"), deltaPairs, "a", "b")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy("comp")
+    }),
+
     // C1 end-to-end curation pipeline — the charter's operators composed the
     // way a training-data pipeline actually runs them: length gate → quality
     // score (t2's decimal-exact composite) → near-dup keeper selection
@@ -1906,6 +1927,22 @@ object ExtensionQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+         |SELECT comp, COUNT(*) AS n_members, MAX(id) AS max_id
+         |FROM labels GROUP BY comp ORDER BY comp""".stripMargin,
+
+    // d6b: incremental CC provably equals batch CC over the full pair
+    // graph — the oracle IS d6's recursive CTE, verbatim.
+    "d6b_incremental_cc" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.05),
          |edges AS (SELECT a AS src, b AS dst FROM pairs

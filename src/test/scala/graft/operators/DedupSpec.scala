@@ -478,6 +478,30 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 0L, "")))
   }
 
+  test("connectedComponentsIncremental: merges old components, labels new ids, keeps untouched") {
+    val old = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a", "b"), "a", "b")
+    // delta bridges comps 1 and 10, attaches new id 30 to comp 20's member,
+    // and introduces a fresh isolated pair (40, 41)
+    val out = Dedup.connectedComponentsIncremental(old,
+        Seq((2L, 10L), (21L, 30L), (40L, 41L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 20L, 40L -> 40L, 41L -> 40L))
+  }
+
+  test("connectedComponentsIncremental == batch CC on a random graph, chained batches") {
+    val rnd = new scala.util.Random(73)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val batch = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val slices = edges.grouped(40).toSeq
+    var labels = Dedup.connectedComponents(slices.head.toDF("a", "b"), "a", "b")
+    for (s <- slices.tail)
+      labels = Dedup.connectedComponentsIncremental(labels, s.toDF("a", "b"), "a", "b")
+    assert(labels.as[(Long, Long)].collect().toSet == batch)
+  }
+
   test("dupSpanStats: window counts match a driver-side slide, short docs drop") {
     // doc 1 and 2 share an 11-token verbatim run (→ two shared 10-windows
     // each); doc 3 repeats a span within itself; doc 4 is fresh; doc 5 is
