@@ -382,25 +382,36 @@ object Pipeline {
     * same bounded per-file cardinality as bitacora — rewritten whole each
     * run via a driver-side merge (same discipline as the documented
     * one-row-per-file ledger collects).
+    *
+    * `partial = true` is for callers that see only a SLICE of the failing
+    * set (a streaming micro-batch sees its own file list): prior rows not
+    * mentioned in `failures` are preserved instead of dropped, and horizon
+    * decisions are returned only for the passed files. Full-view callers
+    * (runBatch, reconcilePendingFiles) keep the default whole-rewrite,
+    * whose next run prunes rows for files that processed or quarantined
+    * meanwhile.
     */
   def recordSystemFailures(spark: SparkSession, outDir: String,
                            failures: Seq[(String, String)], asOf: Date,
-                           horizonDays: Int = 2): RetryDecision = {
+                           horizonDays: Int = 2,
+                           partial: Boolean = false): RetryDecision = {
     import spark.implicits._
     require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
     val dir = Paths.get(outDir, "reintentos")
-    val prior: Map[String, (Date, Date, Int)] =
+    val prior: Map[String, (Date, Date, Int, String)] =
       if (!Files.exists(dir)) Map.empty
       else spark.read.parquet(dir.toString)
-        .select("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo", "intentos")
+        .select("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
+          "intentos", "motivo")
         .collect()
-        .map(r => r.getString(0) -> (r.getDate(1), r.getDate(2), r.getInt(3))).toMap
+        .map(r => r.getString(0) ->
+          (r.getDate(1), r.getDate(2), r.getInt(3), r.getString(4))).toMap
     val merged = failures.map { case (f, motivo) =>
       // intentos counts failing DAYS, not run invocations: a same-day
       // idempotent rerun (crash mid-batch, rerun) must not inflate the
       // audit count, so the bump is gated on the last-failure date moving
       val (first, n) = prior.get(f)
-        .map { case (d, last, k) => (d, if (last.before(asOf)) k + 1 else k) }
+        .map { case (d, last, k, _) => (d, if (last.before(asOf)) k + 1 else k) }
         .getOrElse((asOf, 1))
       (f, first, asOf, n, motivo)
     }
@@ -408,7 +419,23 @@ object Pipeline {
       java.time.temporal.ChronoUnit.DAYS.between(
         first.toLocalDate, asOf.toLocalDate) >= horizonDays
     }
-    if (merged.nonEmpty || Files.exists(dir))
+    // partial: the caller sees only a SLICE of the currently-failing set
+    // (a streaming micro-batch sees its own files, not every pending
+    // file), so prior rows it does not mention are PRESERVED — the
+    // whole-rewrite drop-on-recovery semantic belongs to full-view callers
+    // (runBatch's pending scan, reconcilePendingFiles), whose next rewrite
+    // prunes rows for files that processed or quarantined meanwhile.
+    // Horizon decisions are likewise only returned for the files the
+    // caller actually passed — it cannot quarantine a file outside its
+    // view.
+    val mentioned = failures.map(_._1).toSet
+    val preserved =
+      if (!partial) Seq.empty
+      else prior.collect { case (f, (first, last, n, motivo)) if !mentioned(f) =>
+        (f, first, last, n, motivo)
+      }.toSeq
+    val rows = merged ++ preserved
+    if (rows.nonEmpty || Files.exists(dir))
       // EXPIRED rows stay in this rewrite: the caller quarantines them
       // AFTER this returns, and a crash in between must leave the
       // first-failure date on disk — dropping the row first would restart
@@ -416,7 +443,7 @@ object Pipeline {
       // the file is in bitacora, never re-lists, and its stale row drops on
       // the next rewrite. Recovered files drop out immediately (they
       // processed and live in bitacora now).
-      merged.toDF("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
+      rows.toDF("nombreArchivo", "fechaPrimerFallo", "fechaUltimoFallo",
           "intentos", "motivo")
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     RetryDecision(retry.map(_._1), expired.map(_._1))

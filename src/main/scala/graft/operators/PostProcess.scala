@@ -85,7 +85,11 @@ object PostProcess {
       try s.iterator().asScala
         .filter(p => Files.isRegularFile(p))
         .filter(p => suffix.forall(sfx => p.getFileName.toString.endsWith(sfx)))
-        .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
+        // the stat tolerates the same concurrent-removal race the delete
+        // below does: a file another sweep (or the uploader) removed
+        // between list and stat is simply not a victim, not a sweep abort
+        .filter(p => scala.util.Try(
+          Files.getLastModifiedTime(p).toInstant.isBefore(cutoff)).getOrElse(false))
         .toSeq
       finally s.close()
     // deleteIfExists: a concurrent/crashed earlier sweep may have removed

@@ -184,11 +184,23 @@ object Pq {
     * candidate scan reads (m ints/row instead of dims floats/row).
     */
   def addPqExtent(spark: SparkSession, dir: String, model: PqModel): Unit = {
-    model.toDF(spark).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // `codebooks` is the PQ-coherence MARKER (appendAssignedToSemanticIndex
+    // gates on it; the indexed search reads it), so it is removed FIRST and
+    // written LAST: every crash window leaves the index either fully
+    // PQ-coherent or visibly PQ-less (reads fail loudly on the missing
+    // extent, appends skip codes, a rerun re-encodes from the current
+    // `assigned`). Marker-first ordering would let a crash strand a
+    // codebooks extent whose codes are missing or encoded under an older
+    // model — appends would then silently grow a codes extent that lacks
+    // the base corpus.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cbPath)) fs.delete(cbPath, true)
     spark.read.parquet(s"$dir/assigned")
       .withColumn("codes", encodeCol(col("embedding"), model))
       .select(col("cell"), col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    model.toDF(spark).write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
   /** Build a full IVF-PQ index: the semantic index (centroids + raw

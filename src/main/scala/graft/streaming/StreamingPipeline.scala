@@ -61,7 +61,8 @@ object StreamingPipeline {
     */
   def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
                       checkpointDir: String, asOf: Date,
-                      sink: SinkMode = SinkMode.Parquet): StreamingQuery =
+                      sink: SinkMode = SinkMode.Parquet,
+                      horizonDays: Int = 2): StreamingQuery =
     reportStream(spark, inputDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -76,12 +77,17 @@ object StreamingPipeline {
         // Their rows are excluded and the file stays un-ledgered; since the
         // checkpoint will never redeliver it, [[reconcilePendingFiles]]'s
         // retry-ledger pickup is what re-enters it after recovery.
+        // partial = true: this micro-batch sees ONLY its own files — a
+        // whole rewrite here would erase the retry rows of every OTHER
+        // pending file (and with them the first-failure dates the horizon
+        // runs on), silently losing consumed-but-excluded files.
         val checks = files.map(f => f -> scala.util.Try(Pipeline.checkHeader(spark, f)))
         val sysFailed = checks.collect { case (f, scala.util.Failure(e)) =>
           (basenames(Seq(f)).head,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
-        val horizon = Pipeline.recordSystemFailures(spark, outDir, sysFailed, asOf)
+        val horizon = Pipeline.recordSystemFailures(spark, outDir, sysFailed, asOf,
+          horizonDays, partial = true)
         val (good, bad) = checks
           .collect { case (f, scala.util.Success(c)) => (f, c) }
           .partition(_._2.ok)
@@ -133,7 +139,13 @@ object StreamingPipeline {
     val done = Pipeline.processedFiles(spark, outDir, sink)
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val pending = Pipeline.listReports(spark, inputDir).filterNot(f => done(base(f)))
-    val checks = pending.map(f => f -> scala.util.Try(Pipeline.isHeaderOnly(spark, f)))
+    // BOTH opens (zero-row probe + header check) inside one Try: the file
+    // can vanish/truncate/lose ACL between the two, and a throw from the
+    // second open must route to the same system-failure horizon as the
+    // first — not crash the whole reconcile and skip every other pending
+    // file's ledgering.
+    val checks = pending.map(f => f -> scala.util.Try(
+      (Pipeline.isHeaderOnly(spark, f), Pipeline.checkHeader(spark, f))))
     val sysFailed = checks.collect { case (f, scala.util.Failure(e)) =>
       (base(f), s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }
@@ -145,9 +157,10 @@ object StreamingPipeline {
       if (!java.nio.file.Files.exists(retryDir)) Set.empty
       else spark.read.parquet(retryDir.toString)
         .select("nombreArchivo").collect().map(_.getString(0)).toSet
-    val dataPending = checks.collect { case (f, scala.util.Success(false)) => f }
-    val (procGood, procBad) = dataPending.filter(f => retryListed(base(f)))
-      .partition(f => Pipeline.checkHeader(spark, f).ok)
+    val dataPending = checks.collect { case (f, scala.util.Success((false, hdr))) => (f, hdr) }
+    val (procGoodH, procBadH) = dataPending.filter { case (f, _) => retryListed(base(f)) }
+      .partition(_._2.ok)
+    val (procGood, procBad) = (procGoodH.map(_._1), procBadH.map(_._1))
     if (procGood.nonEmpty) {
       val raw = spark.read
         .option("header", "true")
@@ -158,8 +171,9 @@ object StreamingPipeline {
         expectedFiles = procGood.map(base), sink = sink)
     }
     val horizon = Pipeline.recordSystemFailures(spark, outDir, sysFailed, asOf, horizonDays)
-    val headerOnly = checks.collect { case (f, scala.util.Success(true)) => f }
-    val (okHeader, badHeader) = headerOnly.partition(f => Pipeline.checkHeader(spark, f).ok)
+    val headerOnly = checks.collect { case (f, scala.util.Success((true, hdr))) => (f, hdr) }
+    val (okHeaderH, badHeaderH) = headerOnly.partition(_._2.ok)
+    val (okHeader, badHeader) = (okHeaderH.map(_._1), badHeaderH.map(_._1))
     Pipeline.quarantine(spark, outDir,
       badHeader.map(base) ++ procBad.map(base) ++ horizon.expired, asOf, sink)
     Pipeline.ledgerRows(spark, outDir, okHeader.map(base), asOf, "Completado", sink)

@@ -184,6 +184,63 @@ class RetryHorizonSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.read.parquet(outDir.resolve("reintentos").toString).count() == 0)
   }
 
+  test("recordSystemFailures: a partial view preserves the rows it cannot see") {
+    val (_, outDir) = freshDirs()
+    // full-view run opens A's row
+    Pipeline.recordSystemFailures(spark, outDir.toString,
+      Seq(("report_A.txt", "boom")), Date.valueOf("2024-03-01"))
+    // a partial caller (a streaming micro-batch) failing only B must not
+    // erase A's first-failure date — that date IS the horizon
+    Pipeline.recordSystemFailures(spark, outDir.toString,
+      Seq(("report_B.txt", "crash")), Date.valueOf("2024-03-02"), partial = true)
+    def ledger() = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => r.getString(0) -> (r.getDate(1).toString, r.getString(4))).toMap
+    assert(ledger() == Map(
+      "report_A.txt" -> ("2024-03-01", "boom"),
+      "report_B.txt" -> ("2024-03-02", "crash")))
+    // a partial caller with nothing failing leaves the ledger untouched
+    Pipeline.recordSystemFailures(spark, outDir.toString, Seq.empty,
+      Date.valueOf("2024-03-02"), partial = true)
+    assert(ledger().keySet == Set("report_A.txt", "report_B.txt"))
+    // the full-view rewrite still prunes recovered files (only B failing now)
+    Pipeline.recordSystemFailures(spark, outDir.toString,
+      Seq(("report_B.txt", "crash")), Date.valueOf("2024-03-02"))
+    assert(ledger().keySet == Set("report_B.txt"))
+  }
+
+  test("streaming: a new file's micro-batch must not erase other files' retry rows") {
+    // regression for the ledger-wipe bug: day-2's micro-batch (which sees
+    // ONLY the newly-arrived file) used to rewrite the whole retry ledger,
+    // erasing the broken file's first-failure date — restarting its
+    // horizon every day a new file arrived, so it would retry forever.
+    val (inDir, outDir) = freshDirs()
+    val ckDir = Files.createTempDirectory("retry_ck3")
+    Files.createDirectory(inDir.resolve("report_broken.txt"))
+    def drain(day: String): Unit = {
+      val q = streaming.StreamingPipeline.runAvailableNow(
+        spark, inDir.toString, outDir.toString, ckDir.toString, Date.valueOf(day))
+      q.awaitTermination(120000)
+      streaming.StreamingPipeline.reconcilePendingFiles(
+        spark, inDir.toString, outDir.toString, Date.valueOf(day))
+    }
+    drain("2024-03-01") // reconcile opens the broken file's row
+    Files.write(inDir.resolve("report_new.txt"), goodRows.getBytes)
+    drain("2024-03-02") // new file fires a micro-batch; row must survive
+    val ledger = spark.read.parquet(outDir.resolve("reintentos").toString)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getInt(3)))
+    assert(ledger.toSeq == Seq(("report_broken.txt", "2024-03-01", 2)),
+      s"ledger after day-2 drain: ${ledger.toSeq}")
+    assert(bitacora(outDir).filter(
+      org.apache.spark.sql.functions.col("estatus") === "Completado").count() == 1)
+    // day 3: 2 days elapsed from the PRESERVED first-failure date →
+    // quarantined on schedule
+    drain("2024-03-03")
+    val fallido = bitacora(outDir)
+      .filter(org.apache.spark.sql.functions.col("estatus") === "Fallido")
+      .select("nombreArchivo").collect().map(_.getString(0))
+    assert(fallido.toSeq == Seq("report_broken.txt"))
+  }
+
   test("layout failures still quarantine immediately — the horizon is for system failures only") {
     val (inDir, outDir) = freshDirs()
     Files.write(inDir.resolve("report_badcols.txt"), "email,notthelayout\nx,y".getBytes)
