@@ -192,6 +192,42 @@ object ScaleProbe {
       println(f"PROBE-PQ n=$embFull%6d assigned=$raw%9d B codes=$pq%9d B " +
         f"codebooks=$cb%8d B ratio=${raw.toDouble / pq}%5.1fx")
     }
+
+    // Round-15 lane growth: cross-doc sentence dedup (d10) and dup-span
+    // detection (d11) on the same nested documents ladder — both are
+    // claimed linear in corpus tokens (one explode + map-side-combined
+    // aggregates), so the observable is total exploded units + wall.
+    for (frac <- Seq(4, 2, 1) if ids.nonEmpty) {
+      val n = math.max(1, (full / frac).toInt)
+      val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val d10rows = Dedup.crossDocSentenceDedup(sub, "doc_id", "text").count()
+      val t10 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val wtot = Dedup.dupSpanStats(sub, "doc_id", "text", 10)
+        .agg(sum(col("n_windows")), sum(col("n_dup"))).head()
+      val t11 = (System.nanoTime() - t1) / 1e9
+      println(f"PROBE-R15 sf0.1/$frac%-4s n=$n%6d d10_docs=$d10rows%6d t=$t10%5.1fs | " +
+        f"d11_windows=${wtot.getLong(0)}%9d dup=${wtot.getLong(1)}%8d t=$t11%5.1fs")
+    }
+    {
+      // d6b: the incremental fold's contracted subgraph vs the full edge
+      // set — the cost argument is |contracted| << |edges| once most of
+      // the graph is historical.
+      val pairs = Dedup.minhashLshPortable(all, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05).localCheckpoint()
+      val oldPairs = pairs.filter(col("a") % 10 =!= 0 && col("b") % 10 =!= 0)
+      val deltaPairs = pairs.filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      val t0 = System.nanoTime()
+      val batchComps = Dedup.connectedComponents(pairs, "a", "b").count()
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      val oldLabels = Dedup.connectedComponents(oldPairs, "a", "b").localCheckpoint()
+      val t1 = System.nanoTime()
+      val incComps = Dedup.connectedComponentsIncremental(oldLabels, deltaPairs, "a", "b").count()
+      val tInc = (System.nanoTime() - t1) / 1e9
+      println(f"PROBE-R15 d6b edges=${pairs.count()}%6d delta=${deltaPairs.count()}%6d " +
+        f"batch_nodes=$batchComps%6d t=$tBatch%5.1fs | inc_nodes=$incComps%6d t_inc=$tInc%5.1fs")
+    }
     spark.stop()
   }
 }
