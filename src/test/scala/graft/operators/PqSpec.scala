@@ -199,6 +199,22 @@ class PqSpec extends SparkSpec {
       !new java.io.File(s"$dir/codebooks").exists())
   }
 
+  test("encodeCol stays inside whole-stage codegen at production (m, ksub)") {
+    // the reason PqEncode exists: the composed struct-argmax form blew
+    // Janino's 64 KB method limit at 8x16 and dropped the stage to
+    // interpreted eval. The native expression must keep a parquet-backed
+    // encode inside a codegen stage even at the 16x256 production shape.
+    val corpus = clusteredCorpus(71, n = 256, dims = 64)
+    val model = Pq.train(corpus, m = 16, ksub = 256, sampleSize = 256, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqcg").toString
+    corpus.write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+      .select(col("vec_id"), Pq.encodeCol(col("embedding"), model).as("codes"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+    assert(df.count() == 256)
+  }
+
   test("rebuilding the PQ index overwrites both extents (rerun-safe)") {
     val corpus = clusteredCorpus(53, n = 100)
     val cents = Similarity.kmeansCentroids(corpus, nCells = 4, sampleSize = 100, iters = 4)
