@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, LanguageModel, Multimodal}
 import graft.functions.Text
 
 /** One-off scale audit for the dedup family (SURVEY §6): measures CANDIDATE
@@ -227,6 +227,38 @@ object ScaleProbe {
       val tInc = (System.nanoTime() - t1) / 1e9
       println(f"PROBE-R15 d6b edges=${pairs.count()}%6d delta=${deltaPairs.count()}%6d " +
         f"batch_nodes=$batchComps%6d t=$tBatch%5.1fs | inc_nodes=$incComps%6d t_inc=$tInc%5.1fs")
+    }
+
+    // Late-round-15 lanes on the nested ladder: the NB classifier (t16) and
+    // DSIR weighting (ws2) both claim one token-granularity shuffle with
+    // everything downstream re-aggregated from distinct-word frames — the
+    // observables are the model-relation size (distinct (class, word) /
+    // distinct word rows: sub-linear in tokens, bounded by vocabulary) and
+    // wall; m5's decode is exactly linear in samples by construction.
+    for (frac <- Seq(4, 2, 1) if ids.nonEmpty) {
+      val n = math.max(1, (full / frac).toInt)
+      val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val nbOut = LanguageModel.naiveBayesClassify(
+        sub.filter(col("doc_id") % 2 === 0), sub.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang").count()
+      val tNb = (System.nanoTime() - t0) / 1e9
+      val modelRows = sub.filter(col("doc_id") % 2 === 0)
+        .select(col("lang"), explode(graft.functions.Text.tokens(col("text"))).as("w"))
+        .select("lang", "w").distinct().count()
+      val t1 = System.nanoTime()
+      val wts = LanguageModel.importanceWeights(sub, "doc_id", "text",
+        col("lang") === "en").localCheckpoint()
+      val wsTok = wts.agg(sum(col("n_toks"))).head().getLong(0)
+      val tWs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val samples = Multimodal.decodePcmFeatures(
+          Multimodal.syntheticPcm(sub.select("doc_id"), "doc_id"))
+        .agg(sum(col("audio.n_samples"))).head().getLong(0)
+      val tM5 = (System.nanoTime() - t2) / 1e9
+      println(f"PROBE-R15B sf0.1/$frac%-4s n=$n%6d t16_model=$modelRows%7d " +
+        f"out=$nbOut%6d t=$tNb%5.1fs | ws2_toks=$wsTok%8d t=$tWs%5.1fs | " +
+        f"m5_samples=$samples%8d t=$tM5%5.1fs")
     }
     spark.stop()
   }

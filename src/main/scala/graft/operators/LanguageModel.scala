@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -62,5 +62,138 @@ object LanguageModel {
       .join(scored, Seq(idCol), "left")
       .groupBy(col(idCol))
       .agg(count(col("lp")).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
+  }
+
+  /** Multinomial Naive Bayes document classification — the classifier-based
+    * curation gate (CCNet / fastText-style language-or-quality labeling):
+    * train per-class unigram models on a labeled corpus, score every test
+    * document under every class, keep the argmax. Closed-form counts-based
+    * training (no iterative fitting), so the whole train+predict round trip
+    * is ANSI-SQL-expressible and oracle-checkable — unlike gradient-fit
+    * classifiers whose per-step float order is engine-private.
+    *
+    * Distributed shape (100 TB framing): the MODEL is corpus-vocabulary-
+    * sized, so the per-(class, word) count relation stays distributed and
+    * scoring equi-joins each test document's distinct words against it on
+    * (word, label) — never a model broadcast, never per-document model
+    * state. Only the per-CLASS frame (|classes| rows: prior, token total,
+    * vocab size) broadcasts, and test tokens pre-aggregate to per-doc
+    * distinct-word counts before the |classes|-way fan-out, so the scoring
+    * join's input is O(distinct words per doc × classes), not O(tokens ×
+    * classes). The argmax is one `min(struct(-score, label))` aggregate —
+    * no per-document window sort.
+    *
+    * Scoring: score(d, c) = ln P(c) + Σ_w cnt_d(w) · ln P(w|c) with add-k
+    * smoothing P(w|c) = (c(w,c)+k)/(N_c+k·V), V = train vocabulary size.
+    * A test word unseen for a class contributes the smoothed floor via the
+    * left join's `coalesce(c, 0)`; ties break toward the lexicographically
+    * smallest label, deterministically. Test documents with zero tokens
+    * are dropped (no evidence → no claim).
+    *
+    * @return (id, pred_<labelCol>, score) — score is the winning class's
+    *         log-joint, rounded to 4 decimals for cross-engine hashing
+    *         (same discipline as [[bigramLmScores]]).
+    */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, labelCol: String,
+                         k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    // the raw token stream is shuffled ONCE, into the per-(class, word)
+    // model counts; the per-class token totals and the vocabulary size
+    // re-aggregate from that (much smaller) distinct-word frame instead of
+    // paying two more token-granularity shuffles — exact integer sums, so
+    // re-aggregation changes nothing but the shuffle volume
+    val wc = spread(train.select(col(labelCol), col(textCol)))
+      .select(col(labelCol), explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy(col(labelCol), col("w"))
+      .agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // feeds scoring join, per-class totals, vocab count
+    // per-class frame: doc prior + token total (+ vocab size, same for all
+    // classes) — |classes| rows, broadcast by construction
+    val nd = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
+    val nt = wc.groupBy(col(labelCol)).agg(sum(col("cw")).as("n_tok"))
+    val vocab = wc.agg(count_distinct(col("w")).as("v"))
+    val totDocs = train.agg(count(lit(1)).as("n_all"))
+    val classes = nd.join(nt, labelCol)
+      .crossJoin(broadcast(vocab))   // one row
+      .crossJoin(broadcast(totDocs)) // one row
+      .select(col(labelCol),
+        (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("prior_lp"),
+        col("n_tok"), col("v"))
+    // test side: distinct-word counts per document, then the classes fan-out
+    val testWords = spread(test.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val scored = testWords
+      .crossJoin(broadcast(classes)) // |classes| rows
+      .join(wc, Seq(labelCol, "w"), "left")
+      .select(col(idCol), col(labelCol), col("prior_lp"),
+        (col("cnt") * (log(coalesce(col("cw"), lit(0L)) + lit(k))
+          - log(col("n_tok") + lit(k) * col("v")))).as("lp"))
+    scored.groupBy(col(idCol), col(labelCol))
+      .agg((first(col("prior_lp")) + sum(col("lp"))).as("score"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col(labelCol).as("lbl"))).as("best"))
+      .select(col(idCol), col("best.lbl").as(s"pred_$labelCol"),
+        round(-col("best.ns"), 4).as("score"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how much more likely its unigrams are under a
+    * TARGET corpus model than under the RAW corpus model, then resample
+    * proportionally to exp(mean log-ratio) — the standard recipe for
+    * steering a web-scale crawl toward a high-quality target domain
+    * without hand-written filter rules.
+    *
+    * Both models are add-k-smoothed unigram LMs computed in ONE pass over
+    * the exploded tokens (conditional aggregation: target counts and raw
+    * counts share the groupBy(word) shuffle); per-document scoring joins
+    * the doc's distinct words against that count relation on the word key
+    * — model stays distributed, same discipline as [[bigramLmScores]].
+    * The mean (not sum) of log-ratios normalizes for document length so
+    * the weight is a quality signal, not a length signal.
+    *
+    * The weight is rounded to 6 decimals so downstream deterministic
+    * samplers ([[graft.operators.Splits.weightedSample]]) feed from
+    * bit-identical doubles on every engine — the unrounded mean's last
+    * ulps are float-summation-order noise with no information in them.
+    *
+    * @param isTarget boolean Column selecting the target-domain rows of
+    *                 `docs` (e.g. `col("lang") === "en"`).
+    * @return (id, n_toks, weight): weight = round(exp(avg log-ratio), 6);
+    *         documents with zero tokens get weight null.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    // the raw token stream is shuffled ONCE, into per-(doc, word) counts
+    // (the scoring join's left side); both corpus models and the totals
+    // re-aggregate from that much smaller frame — exact integer sums, so
+    // only the shuffle volume changes
+    val docWords = spread(docs.select(col(idCol), col(textCol), isTarget.as("tgt")))
+      .select(col(idCol), col("tgt"), explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("tgt"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds word counts, corpus totals AND doc scoring
+    // one groupBy(word) carries BOTH models: target hits as a conditional
+    // sum riding the raw count's shuffle
+    val wcnt = docWords.groupBy(col("w")).agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(col("cnt")).as("cr"))
+    // corpus totals: one row, broadcast
+    val tot = docWords.agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("nt"),
+      sum(col("cnt")).as("nr"),
+      count_distinct(col("w")).as("v"))
+    docWords
+      .join(wcnt, "w")
+      .crossJoin(broadcast(tot)) // one row
+      .select(col(idCol), col("cnt"),
+        (col("cnt") * ((log(col("ct") + lit(k)) - log(col("nt") + lit(k) * col("v")))
+          - (log(col("cr") + lit(k)) - log(col("nr") + lit(k) * col("v"))))).as("lr"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_toks"),
+        round(exp(sum(col("lr")) / sum(col("cnt"))), 6).as("weight"))
   }
 }

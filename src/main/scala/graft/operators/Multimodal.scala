@@ -403,4 +403,108 @@ object Multimodal {
       .withColumn("chunk_bytes", length(col("chunk")).cast("long"))
       .select("media_id", "chunk_idx", "chunk", "chunk_bytes")
   }
+
+  // ---------- audio (PCM) lane: real byte decode, exact-integer features ----------
+
+  /** Sample i of the synthetic id-keyed waveform: a full-swing pseudo-noise
+    * signed 16-bit value, pure arithmetic in (id, i) so a DuckDB oracle can
+    * regenerate every sample in closed form (the m2/m4 discipline applied
+    * to audio). floorMod keeps the lattice identical to SQL `%` on the
+    * non-negative operands the generator feeds it.
+    */
+  def pcmSample(id: Long, i: Int): Int =
+    Math.floorMod(id * 31L + i.toLong * 7919L, 65536L).toInt - 32768
+
+  /** Deterministic synthetic PCM table: one mono s16le clip per id,
+    * `800 + id % 257` samples of [[pcmSample]] noise, serialized as real
+    * little-endian bytes — so the decode lane exercises genuine binary
+    * parsing, not a pre-decoded array. Executor-side generation: only ids
+    * leave the driver, payloads are born distributed.
+    */
+  def syntheticPcm(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (800 + id % 257).toInt
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = pcmSample(id, i)
+          bytes(2 * i) = (v & 0xff).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        Row(id, bytes, Row("audio/pcm-s16le", null, null, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Per-clip audio feature struct — every field an EXACT integer (energy
+    * as sum of squares, not float RMS) so the lane hash-compares across
+    * engines with zero float tolerance.
+    */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("n_frames", LongType),
+    StructField("sum_sq", LongType),
+    StructField("n_zero_cross", LongType),
+    StructField("max_frame_ssq", LongType)))
+
+  /** Partition-parallel PCM decode + frame-level feature extraction: parse
+    * the s16le byte stream, then per clip report sample count, total energy
+    * (Σ v², exact in Long: 2^30 per sample, petabyte-scale clips before
+    * overflow), zero-crossing count (sign flips between consecutive
+    * samples), and over non-overlapping `frameLen`-sample frames (trailing
+    * partial frame excluded) the frame count and the loudest frame's
+    * energy. The decode is the genuine article — byte order, width, and
+    * truncation bugs all surface here — while staying codec-free (raw PCM
+    * needs no library, so the lane runs offline; a real compressed-audio
+    * decoder would replace ONLY the `toShort` loop). mapPartitions for the
+    * same reason as [[decodeImages]]: per-row byte work with no shuffle,
+    * payloads never leave their partition.
+    */
+  def decodePcmFeatures(media: DataFrame, frameLen: Int = 160): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("audio", audioSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val n = bytes.length / 2
+        var sumSq = 0L
+        var zc = 0L
+        var maxFrame = 0L
+        var frameSsq = 0L
+        val nFrames = (n / frameLen).toLong
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          // s16le: low byte unsigned, high byte carries the sign
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toLong
+          sumSq += v * v
+          if (i > 0 && (v < 0) != prevNeg) zc += 1
+          prevNeg = v < 0
+          if (i / frameLen < nFrames) {
+            frameSsq += v * v
+            if ((i + 1) % frameLen == 0) {
+              if (frameSsq > maxFrame) maxFrame = frameSsq
+              frameSsq = 0L
+            }
+          }
+          i += 1
+        }
+        Row(r.getLong(idIdx), Row(n.toLong, nFrames, sumSq, zc, maxFrame))
+      }
+    }(enc)
+  }
 }

@@ -257,6 +257,33 @@ object ExtensionQueries {
       LanguageModel.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // T16 Naive Bayes language classifier (fastText/CCNet-style curation
+    // gate): train per-lang unigram models on the even-id half of the
+    // corpus, predict the odd-id half. Model counts stay distributed
+    // (equi-join on (word, lang)); only the |classes|-row prior frame
+    // broadcasts; argmax is a min-struct aggregate, not a window sort.
+    "t16_nb_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      LanguageModel.naiveBayesClassify(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // WS2 DSIR importance resampling (arXiv:2302.03169): weight every doc
+    // by exp(mean unigram log-ratio) of target (lang='en') vs raw corpus
+    // models, then draw a deterministic weighted sample of 50 via the ws1
+    // Efraimidis–Spirakis bounded-heap machinery — the end-to-end "steer
+    // the crawl toward the target domain" selection pass.
+    "ws2_dsir_resample" -> ((s, d) => {
+      val w = LanguageModel.importanceWeights(
+        Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+      graft.operators.Splits.weightedSample(w, "doc_id", "ws2", col("weight"), k = 50)
+    }),
+
     // E3 word frequency top-20 (explode + count + top-k).
     "e3_word_topk" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1010,6 +1037,26 @@ object ExtensionQueries {
           max(col("chunk_idx")).as("last_idx"))
         .orderBy("media_id")),
 
+    // M5 audio decode + frame features: REAL s16le byte parsing of
+    // deterministic synthetic PCM clips (m2's discipline applied to audio),
+    // per-clip exact-integer features — total energy, zero crossings,
+    // per-160-sample-frame energies. Every output is a Long, so the oracle
+    // regenerates the waveform in closed form and hash-compares with zero
+    // float tolerance; a byte-order, sign-extension, or framing fencepost
+    // bug all mismatch here.
+    "m5_audio_features" -> ((s, d) =>
+      Multimodal.decodePcmFeatures(
+          Multimodal.syntheticPcm(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+          frameLen = 160)
+        .select(col("media_id"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.sum_sq").as("sum_sq"),
+          col("audio.n_zero_cross").as("n_zero_cross"),
+          col("audio.max_frame_ssq").as("max_frame_ssq"))
+        .orderBy("media_id")),
+
     // M4 image near-dup — the multimodal x dedup bridge: REAL PNG decode of
     // deterministic grid images, 64-bit dHash (exact integer block-mean
     // grid, so the signature is closed-form in the id), then the SAME 2^16-
@@ -1680,6 +1727,70 @@ object ExtensionQueries {
          |SELECT t.doc_id, COUNT(lp) AS n_bigrams, ROUND(AVG(lp), 4) AS lm_score
          |FROM tok t LEFT JOIN scored s ON s.doc_id = t.doc_id
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "t16_nb_langid" ->
+      s"""WITH train AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents WHERE doc_id % 2 = 0),
+         |test AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 2 = 1),
+         |ttok AS (SELECT lang, unnest(toks) AS w FROM train),
+         |wc AS (SELECT lang, w, COUNT(*) AS cw FROM ttok GROUP BY lang, w),
+         |nd AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang),
+         |nt AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY lang),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM ttok),
+         |tot AS (SELECT COUNT(*) AS n_all FROM train),
+         |classes AS (
+         |  SELECT nd.lang, ln(n_docs) - ln(n_all) AS prior_lp, n_tok, v
+         |  FROM nd JOIN nt USING (lang) CROSS JOIN vocab CROSS JOIN tot),
+         |tw AS (
+         |  SELECT doc_id, w, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM test) x GROUP BY doc_id, w),
+         |sc AS (
+         |  SELECT tw.doc_id, c.lang,
+         |    c.prior_lp + SUM(cnt * (ln(COALESCE(cw, 0) + 0.5)
+         |                            - ln(n_tok + 0.5 * v))) AS score
+         |  FROM tw CROSS JOIN classes c
+         |  LEFT JOIN wc ON wc.lang = c.lang AND wc.w = tw.w
+         |  GROUP BY tw.doc_id, c.lang, c.prior_lp),
+         |best AS (
+         |  SELECT doc_id, lang AS pred_lang, ROUND(score, 4) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM sc)
+         |SELECT b.doc_id, d.lang, b.pred_lang, b.score
+         |FROM best b JOIN documents d USING (doc_id)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "ws2_dsir_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt, unnest($toksSql) AS w FROM documents),
+         |wcnt AS (
+         |  SELECT w, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+         |  FROM tok GROUP BY w),
+         |tot AS (
+         |  SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt, COUNT(*) AS nr,
+         |         COUNT(DISTINCT w) AS v
+         |  FROM tok),
+         |dw AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w),
+         |lr AS (
+         |  SELECT doc_id, cnt,
+         |    cnt * ((ln(ct + 0.5) - ln(nt + 0.5 * v))
+         |         - (ln(cr + 0.5) - ln(nr + 0.5 * v))) AS lr
+         |  FROM dw JOIN wcnt USING (w) CROSS JOIN tot),
+         |wts AS (
+         |  SELECT doc_id, ROUND(exp(SUM(lr) / SUM(cnt)), 6) AS weight
+         |  FROM lr GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id,
+         |    POW((CAST(md5_number_lower('ws2:' || CAST(doc_id AS VARCHAR)) AS DOUBLE) + 1.0)
+         |          / 18446744073709551616.0,
+         |        1.0 / weight) AS kk
+         |  FROM wts WHERE weight > 0)
+         |SELECT rank, doc_id, priority FROM (
+         |  SELECT doc_id, ROUND(kk, 6) AS priority,
+         |    ROW_NUMBER() OVER (ORDER BY kk DESC, doc_id DESC) AS rank
+         |  FROM s) t
+         |WHERE rank <= 50
+         |ORDER BY rank""".stripMargin,
 
     "e3_word_topk" ->
       s"""SELECT word, COUNT(*) AS n FROM (
@@ -2382,6 +2493,42 @@ object ExtensionQueries {
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // m5: regenerate the synthetic s16le waveform sample by sample (pure
+    // arithmetic in (doc_id, i)) and restate every exact-integer feature.
+    // DuckDB SUM(BIGINT) returns HUGEINT, hence the explicit casts.
+    "m5_audio_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, 800 + doc_id % 257 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM base),
+        |v AS (
+        |  SELECT doc_id, n, i,
+        |    ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+        |  FROM s),
+        |lagd AS (
+        |  SELECT doc_id, n, i, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM v),
+        |tot AS (
+        |  SELECT doc_id, MAX(n) AS n_samples,
+        |    CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL
+        |                    AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_cross
+        |  FROM lagd GROUP BY doc_id),
+        |frames AS (
+        |  SELECT doc_id, i // 160 AS f, CAST(SUM(v * v) AS BIGINT) AS fssq
+        |  FROM v WHERE i // 160 < n // 160
+        |  GROUP BY doc_id, i // 160),
+        |fr AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    MAX(fssq) AS max_frame_ssq
+        |  FROM frames GROUP BY doc_id)
+        |SELECT t.doc_id AS media_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  n_frames, sum_sq, n_zero_cross, max_frame_ssq
+        |FROM tot t JOIN fr USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
 
     // m3: chunk windows of 64 bytes every 48 — count = ceil(n/48), byte
     // total = sum of min(64, n - i*48); byte-true via encode() like m1.

@@ -496,6 +496,29 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // 0.2*AVG threshold decorrelates to a per-part aggregate self-joined
+    // back to the fact. Scale discipline: the brand filter is a broadcast
+    // semi-join applied BEFORE the per-part average — the aggregate and the
+    // self-join only ever see the selected brand's lineitems (~1/25 of the
+    // fact), not the whole table; both sides of the threshold join share
+    // the l_partkey shuffle key. The threshold is one IEEE multiply of an
+    // exact-integer-sum average, bit-identical across engines.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val l23 = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val thresh = l23.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+      l23.join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q18 shape: HAVING on an aggregate, then join the surviving keys
     // back to the fact — the aggregate side is tiny after the filter, so the
     // join back is broadcast-able at any scale.
@@ -1649,6 +1672,20 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH l23 AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |thresh AS (
+        |  SELECT l_partkey AS t_partkey, 0.2 * AVG(l_quantity) AS qty_thresh
+        |  FROM l23 GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       COUNT(*) AS n_items
+        |FROM l23 JOIN thresh ON l_partkey = t_partkey
+        |WHERE l_quantity < qty_thresh""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

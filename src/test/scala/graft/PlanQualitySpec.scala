@@ -84,7 +84,16 @@ class PlanQualitySpec extends SparkSpec {
     // |sources|-row mixture table — same window→scalar replacement as e6.
     "up1_mixture_upsample" -> 1,
     "h2_equidepth_histogram" -> 2,
-    "pr1_percent_rank" -> 2)
+    "pr1_percent_rank" -> 2,
+    // t16: the one-row vocab scalar + one-row train-doc-count scalar crossed
+    // into the per-class prior frame, then that |classes|(=5)-row frame
+    // crossed into the per-doc word counts — all three bounded by
+    // construction; the MODEL relation joins on (word, lang) equi-keys and
+    // never nests.
+    "t16_nb_langid" -> 3,
+    // ws2: one-row corpus-totals scalar (target tokens, raw tokens, vocab)
+    // crossed into the per-doc word scoring — t6_tfidf's corpus-scalar shape.
+    "ws2_dsir_resample" -> 1)
 
   private def countBnl(plan: String): Int =
     "BroadcastNestedLoop".r.findAllMatchIn(plan).size

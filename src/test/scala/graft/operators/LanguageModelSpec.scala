@@ -28,4 +28,51 @@ class LanguageModelSpec extends SparkSpec {
       "doc_id", "text").collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(common.forall { case (id, _) => out(id) > out(99L) })
   }
+
+  test("naive Bayes recovers the class on separable vocabulary; zero-token docs drop") {
+    // two disjoint vocabularies → the classifier must get every test doc
+    // right; a test doc with no tokens carries no evidence and is dropped
+    val train = Seq(
+      (1L, "perro gato casa sol", "es"), (2L, "gato sol luna perro", "es"),
+      (3L, "dog cat house sun", "en"), (4L, "cat sun moon dog", "en"),
+      (5L, "sun dog cat cat", "en")).toDF("doc_id", "text", "lang")
+    val test = Seq((10L, "perro luna"), (11L, "dog moon"), (12L, "...")).toDF("doc_id", "text")
+    val out = LanguageModel.naiveBayesClassify(train, test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // doc 12 tokenizes to nothing
+    assert(out(0).getLong(0) == 10L && out(0).getString(1) == "es")
+    assert(out(1).getLong(0) == 11L && out(1).getString(1) == "en")
+  }
+
+  test("naive Bayes score matches hand math; ties break to the smallest label") {
+    // symmetric training: one doc per class, identical token counts, so a
+    // test word seen by neither class scores both classes EQUALLY — the
+    // argmax must deterministically pick the lexicographically smaller
+    val train = Seq((1L, "aa bb", "x1"), (2L, "cc dd", "x0")).toDF("doc_id", "text", "lang")
+    val test = Seq((9L, "zz")).toDF("doc_id", "text")
+    val out = LanguageModel.naiveBayesClassify(train, test, "doc_id", "text", "lang").collect()
+    assert(out.length == 1 && out(0).getString(1) == "x0")
+    // score = ln(1/2) + 1 * ln((0+0.5)/(2 + 0.5*4)) — prior + one unseen word
+    val want = math.log(0.5) + math.log(0.5 / 4.0)
+    val got = out(0).getDouble(2)
+    assert(math.abs(got - BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("importance weights steer toward the target domain and normalize for length") {
+    // target (tgt=true) speaks 'sun moon'; raw background speaks 'mud rock'.
+    // A sun-moon doc must outweigh a mud-rock doc; doubling a doc's length
+    // without changing its vocabulary mix must not change its weight.
+    val docs = Seq(
+      (1L, "sun moon sun moon", true), (2L, "sun moon sun moon", true),
+      (3L, "mud rock mud rock", false), (4L, "mud rock mud rock", false),
+      (5L, "sun moon", false),                      // target-like candidate
+      (6L, "mud rock", false),                      // background-like candidate
+      (7L, "sun moon sun moon", false)).toDF("doc_id", "text", "tgt") // 5 doubled
+    val out = LanguageModel.importanceWeights(docs, "doc_id", "text", $"tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(5L) > out(6L))
+    assert(out(5L) == out(7L)) // mean log-ratio, not sum: length-invariant
+    // weights are exp(mean log ratio): strictly positive
+    assert(out.values.forall(_ > 0.0))
+  }
 }

@@ -188,4 +188,43 @@ class MultimodalSpec extends SparkSpec {
     assert(m3 == Seq((3L, 0L, "hello ", 6L), (3L, 1L, "o worl", 6L), (3L, 2L, "rld!", 4L)))
     assert(!chunks.exists(_._1 == 2L)) // doc 2 is the empty payload
   }
+
+  test("PCM decode: hand-built s16le bytes round-trip to exact features") {
+    // samples 5, -3, 0, -1: sum_sq = 25+9+0+1 = 35; zero crossings at
+    // 5→-3 and -3→0 and 0→-1 (sign = v<0): 3 flips; frameLen 2 → frames
+    // [5,-3] ssq 34 and [0,-1] ssq 1 → max 34
+    val vals = Seq(5, -3, 0, -1)
+    val bytes = vals.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val media = Seq((7L, bytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodePcmFeatures(media, frameLen = 2).collect()
+    assert(out.length == 1)
+    val a = out(0).getStruct(1)
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4))
+      == ((4L, 2L, 35L, 3L, 34L)))
+  }
+
+  test("PCM decode: trailing partial frame excluded from frames, included in totals") {
+    // 5 samples, frameLen 2 → 2 full frames; the 5th sample (value 100)
+    // counts in sum_sq but no frame energy
+    val vals = Seq(1, 1, 1, 1, 100)
+    val bytes = vals.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val media = Seq((1L, bytes)).toDF("media_id", "payload")
+    val a = Multimodal.decodePcmFeatures(media, frameLen = 2).collect()(0).getStruct(1)
+    assert(a.getLong(0) == 5L && a.getLong(1) == 2L)
+    assert(a.getLong(2) == 4L + 10000L && a.getLong(4) == 2L)
+  }
+
+  test("syntheticPcm serializes the pcmSample lattice as true little-endian") {
+    val media = Multimodal.syntheticPcm(Seq(42L).toDF("doc_id"), "doc_id").collect()(0)
+    val bytes = media.getAs[Array[Byte]]("payload")
+    val n = (800 + 42 % 257).toInt
+    assert(bytes.length == n * 2)
+    (0 until n).foreach { i =>
+      val v = (bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)
+      assert(v == Multimodal.pcmSample(42L, i), s"sample $i")
+    }
+    // full-swing: the lattice hits negative and positive values
+    val decoded = (0 until n).map(i => Multimodal.pcmSample(42L, i))
+    assert(decoded.min < -16000 && decoded.max > 16000)
+  }
 }
