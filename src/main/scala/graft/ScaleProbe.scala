@@ -97,6 +97,10 @@ object ScaleProbe {
     val spark = Sessions.tune(SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional block filter: `runMain graft.ScaleProbe r15b` runs only the
+    // named probe families (base/cc/d9/pq/r15/r15b); no args = everything
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else tag => args.contains(tag)
     val all = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     val full = all.count()
 
@@ -122,13 +126,15 @@ object ScaleProbe {
     // clamped to >= 1 so a tiny corpus (< 8 docs) probes the smallest
     // non-empty subset instead of indexing ids(-1).
     val ids = all.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
-    for (frac <- Seq(8, 4, 2, 1) if ids.nonEmpty) {
-      val n = math.max(1, (full / frac).toInt)
-      val cut = ids(n - 1)
-      probe(s"sf0.1/$frac", all.filter(col("doc_id") <= cut).localCheckpoint(), n)
+    if (want("base")) {
+      for (frac <- Seq(8, 4, 2, 1) if ids.nonEmpty) {
+        val n = math.max(1, (full / frac).toInt)
+        val cut = ids(n - 1)
+        probe(s"sf0.1/$frac", all.filter(col("doc_id") <= cut).localCheckpoint(), n)
+      }
+      val up = upscale(all, 4).localCheckpoint()
+      probe("sf0.1 x4", up, up.count(), skipD5 = true)
     }
-    val up = upscale(all, 4).localCheckpoint()
-    probe("sf0.1 x4", up, up.count(), skipD5 = true)
 
     // d9 (SemDeDup) ladder: candidate volume = Σ n_c·(n_c−1)/2 from the
     // assignment alone (no pair join needed). Fixed 16 cells (the oracle
@@ -146,15 +152,15 @@ object ScaleProbe {
     // O(log n) rounds regardless of DIAMETER — measured on the worst shape
     // (a pure path, diameter = n−1, where the old label propagation needed
     // n−1 rounds) and on the real d6 near-dup pair graph.
-    for (n <- Seq(64L, 512L, 4096L, 32768L)) {
-      val path = spark.range(0L, n).select(col("id").as("a"), (col("id") + 1L).as("b"))
-      val t0 = System.nanoTime()
-      val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, "a", "b")
-      val nLabeled = labels.filter(col("comp") === 0L).count()
-      println(f"PROBE-CC path n=$n%6d diameter=${n}%6d rounds=$rounds%3d " +
-        f"ok=${nLabeled == n + 1}%5s t=${(System.nanoTime() - t0) / 1e9}%5.1fs")
-    }
-    {
+    if (want("cc")) {
+      for (n <- Seq(64L, 512L, 4096L, 32768L)) {
+        val path = spark.range(0L, n).select(col("id").as("a"), (col("id") + 1L).as("b"))
+        val t0 = System.nanoTime()
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(path, "a", "b")
+        val nLabeled = labels.filter(col("comp") === 0L).count()
+        println(f"PROBE-CC path n=$n%6d diameter=${n}%6d rounds=$rounds%3d " +
+          f"ok=${nLabeled == n + 1}%5s t=${(System.nanoTime() - t0) / 1e9}%5.1fs")
+      }
       val pairs = Dedup.minhashLshPortable(all, "doc_id", "text",
         numPerms = 16, bands = 8, threshold = 0.05)
       val t0 = System.nanoTime()
@@ -166,7 +172,7 @@ object ScaleProbe {
     val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val embIds = embAll.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
     val embFull = embIds.length.toLong
-    for (frac <- Seq(8, 4, 2, 1) if embIds.nonEmpty) {
+    for (frac <- Seq(8, 4, 2, 1) if want("d9") && embIds.nonEmpty) {
       val n = math.max(1, (embFull / frac).toInt)
       val sub = embAll.filter(col("vec_id") <= embIds(n - 1)).localCheckpoint()
       val auto = operators.Similarity.cellsForCorpus(n, 64)
@@ -179,7 +185,7 @@ object ScaleProbe {
     // extent vs the PQ `codes` extent at e2l's production shape (m=16,
     // ksub=256) — the compression claim behind the IVF-PQ lane, measured
     // on the real corpus rather than asserted from 16·1B vs 64·4B.
-    {
+    if (want("pq")) {
       val cents = operators.Similarity.kmeansCentroids(embAll, 16)
       val model = operators.Pq.train(embAll, m = 16, ksub = 256)
       val dir = java.nio.file.Files.createTempDirectory("pqprobe").toString
@@ -197,7 +203,7 @@ object ScaleProbe {
     // detection (d11) on the same nested documents ladder — both are
     // claimed linear in corpus tokens (one explode + map-side-combined
     // aggregates), so the observable is total exploded units + wall.
-    for (frac <- Seq(4, 2, 1) if ids.nonEmpty) {
+    for (frac <- Seq(4, 2, 1) if want("r15") && ids.nonEmpty) {
       val n = math.max(1, (full / frac).toInt)
       val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
       val t0 = System.nanoTime()
@@ -210,7 +216,7 @@ object ScaleProbe {
       println(f"PROBE-R15 sf0.1/$frac%-4s n=$n%6d d10_docs=$d10rows%6d t=$t10%5.1fs | " +
         f"d11_windows=${wtot.getLong(0)}%9d dup=${wtot.getLong(1)}%8d t=$t11%5.1fs")
     }
-    {
+    if (want("r15")) {
       // d6b: the incremental fold's contracted subgraph vs the full edge
       // set — the cost argument is |contracted| << |edges| once most of
       // the graph is historical.
@@ -235,7 +241,7 @@ object ScaleProbe {
     // observables are the model-relation size (distinct (class, word) /
     // distinct word rows: sub-linear in tokens, bounded by vocabulary) and
     // wall; m5's decode is exactly linear in samples by construction.
-    for (frac <- Seq(4, 2, 1) if ids.nonEmpty) {
+    for (frac <- Seq(4, 2, 1) if want("r15b") && ids.nonEmpty) {
       val n = math.max(1, (full / frac).toInt)
       val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
       val t0 = System.nanoTime()
