@@ -98,11 +98,18 @@ object ScaleProbe {
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional block filter: `runMain graft.ScaleProbe r15b` runs only the
-    // named probe families (base/cc/d9/pq/r15/r15b); no args = everything
+    // named probe families; no args = everything. Unknown tags fail loudly —
+    // a typo'd tag silently running NOTHING would read as "probe produced no
+    // output" rather than "tag not matched".
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b")
+    require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
     val all = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
-    val full = all.count()
+    // setup is gated too: a single-family run must not pay the other
+    // families' scans/collects
+    val needDocLadder = Seq("base", "r15", "r15b").exists(want)
+    val full = if (needDocLadder) all.count() else 0L
 
     def probe(tag: String, docs: DataFrame, n: Long, skipD5: Boolean = false): Unit = {
       def t(f: => Long): (Long, Double) = {
@@ -125,7 +132,9 @@ object ScaleProbe {
     // (this is a one-off measurement tool, not a pipeline operator); n is
     // clamped to >= 1 so a tiny corpus (< 8 docs) probes the smallest
     // non-empty subset instead of indexing ids(-1).
-    val ids = all.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val ids: Array[Long] =
+      if (needDocLadder) all.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      else Array.empty
     if (want("base")) {
       for (frac <- Seq(8, 4, 2, 1) if ids.nonEmpty) {
         val n = math.max(1, (full / frac).toInt)
@@ -170,7 +179,10 @@ object ScaleProbe {
     }
 
     val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val embIds = embAll.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val embIds: Array[Long] =
+      if (Seq("d9", "pq").exists(want))
+        embAll.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+      else Array.empty
     val embFull = embIds.length.toLong
     for (frac <- Seq(8, 4, 2, 1) if want("d9") && embIds.nonEmpty) {
       val n = math.max(1, (embFull / frac).toInt)

@@ -111,10 +111,17 @@ object LanguageModel {
     // per-class frame: doc prior + token total (+ vocab size, same for all
     // classes) — |classes| rows, broadcast by construction
     val nd = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
+    // left join + coalesce: a class whose training docs tokenize to NOTHING
+    // still exists (NB is well-defined at n_tok = 0 — every word scores the
+    // smoothed floor ln(k/(k·V)) and the prior carries the evidence); an
+    // inner join here would silently drop the class from prediction
     val nt = wc.groupBy(col(labelCol)).agg(sum(col("cw")).as("n_tok"))
     val vocab = wc.agg(count_distinct(col("w")).as("v"))
-    val totDocs = train.agg(count(lit(1)).as("n_all"))
-    val classes = nd.join(nt, labelCol)
+    // n_all re-aggregates from the |classes|-row frame — no third scan of
+    // the training corpus
+    val totDocs = nd.agg(sum(col("n_docs")).as("n_all"))
+    val classes = nd.join(nt, Seq(labelCol), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
       .crossJoin(broadcast(vocab))   // one row
       .crossJoin(broadcast(totDocs)) // one row
       .select(col(labelCol),
@@ -162,7 +169,8 @@ object LanguageModel {
     * @param isTarget boolean Column selecting the target-domain rows of
     *                 `docs` (e.g. `col("lang") === "en"`).
     * @return (id, n_toks, weight): weight = round(exp(avg log-ratio), 6);
-    *         documents with zero tokens get weight null.
+    *         documents with zero tokens carry no evidence and are dropped
+    *         (downstream samplers would exclude a null/zero weight anyway).
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, k: Double = 0.5): DataFrame = {

@@ -2526,8 +2526,9 @@ object ExtensionQueries {
         |    MAX(fssq) AS max_frame_ssq
         |  FROM frames GROUP BY doc_id)
         |SELECT t.doc_id AS media_id, CAST(n_samples AS BIGINT) AS n_samples,
-        |  n_frames, sum_sq, n_zero_cross, max_frame_ssq
-        |FROM tot t JOIN fr USING (doc_id)
+        |  COALESCE(n_frames, 0) AS n_frames, sum_sq, n_zero_cross,
+        |  COALESCE(max_frame_ssq, 0) AS max_frame_ssq
+        |FROM tot t LEFT JOIN fr USING (doc_id)
         |ORDER BY media_id""".stripMargin,
 
     // m3: chunk windows of 64 bytes every 48 — count = ceil(n/48), byte

@@ -58,6 +58,23 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(got - BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
   }
 
+  test("naive Bayes keeps a class whose training docs tokenize to nothing") {
+    // the "emoji" class has no tokens: it must survive into prediction
+    // (every word scores the smoothed floor, the prior carries the
+    // evidence) rather than silently vanish via an inner join on the
+    // token-count frame
+    val train = Seq(
+      (1L, "!!! ???", "sym"), (2L, "!!!", "sym"), (3L, "!!!", "sym"),
+      (4L, "dog cat", "en")).toDF("doc_id", "text", "lang")
+    val test = Seq((9L, "zebra")).toDF("doc_id", "text")
+    val out = LanguageModel.naiveBayesClassify(train, test, "doc_id", "text", "lang").collect()
+    // sym: prior ln(3/4) + ln(0.5/(0 + 0.5*2)); en: ln(1/4) + ln(0.5/(2 + 0.5*2))
+    val symScore = math.log(3.0 / 4) + math.log(0.5 / 1.0)
+    val enScore = math.log(1.0 / 4) + math.log(0.5 / 3.0)
+    assert(symScore > enScore) // the dominant-prior empty class wins here
+    assert(out.length == 1 && out(0).getString(1) == "sym")
+  }
+
   test("importance weights steer toward the target domain and normalize for length") {
     // target (tgt=true) speaks 'sun moon'; raw background speaks 'mud rock'.
     // A sun-moon doc must outweigh a mud-rock doc; doubling a doc's length
