@@ -127,7 +127,17 @@ object LanguageModel {
       .select(col(labelCol),
         (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("prior_lp"),
         col("n_tok"), col("v"))
-    // test side: distinct-word counts per document, then the classes fan-out
+    scoreNb(wc, classes, test, idCol, textCol, labelCol, k)
+  }
+
+  /** The NB scoring core shared by [[naiveBayesClassify]] (inline model)
+    * and [[scoreWithNbModel]] (persisted model): per-doc distinct-word
+    * counts × the |classes|-row broadcast frame, left-joined against the
+    * distributed (class, word) count relation, argmax via min-struct.
+    */
+  private def scoreNb(wc: DataFrame, classes: DataFrame, test: DataFrame,
+                      idCol: String, textCol: String, labelCol: String,
+                      k: Double): DataFrame = {
     val testWords = spread(test.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
@@ -143,6 +153,54 @@ object LanguageModel {
       .agg(min(struct((-col("score")).as("ns"), col(labelCol).as("lbl"))).as("best"))
       .select(col(idCol), col("best.lbl").as(s"pred_$labelCol"),
         round(-col("best.ns"), 4).as("score"))
+  }
+
+  /** Persist a trained NB model: the distributed (class, word) count
+    * relation plus the tiny per-class stats — the classifier twin of the
+    * persisted dedup/semantic indexes, so a model trained ONCE on a labeled
+    * corpus serves every later batch and stream gate without retraining.
+    * Extents: `word_counts` (label, w, cw — corpus-vocabulary-sized, stays
+    * distributed at read time), `class_stats` (label, n_docs, n_tok — one
+    * row per class), `totals` (n_all, v — one row). Raw counts, not derived
+    * log-probs: counts are exact integers (engine-portable, auditable) and
+    * the smoothing constant stays a SCORING-time choice.
+    */
+  def buildNbModel(train: DataFrame, textCol: String, labelCol: String,
+                   dir: String): Unit = {
+    val wc = spread(train.select(col(labelCol), col(textCol)))
+      .select(col(labelCol), explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy(col(labelCol), col("w"))
+      .agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // feeds its own write + both stats extents
+    wc.write.mode("overwrite").parquet(s"$dir/word_counts")
+    val nd = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
+    val nt = wc.groupBy(col(labelCol)).agg(sum(col("cw")).as("n_tok"))
+    val stats = nd.join(nt, Seq(labelCol), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .localCheckpoint() // consumed by its own write + the totals write
+    stats.write.mode("overwrite").parquet(s"$dir/class_stats")
+    stats.agg(sum(col("n_docs")).as("n_all"))
+      .crossJoin(broadcast(wc.agg(count_distinct(col("w")).as("v"))))
+      .write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** Score documents against a PERSISTED NB model ([[buildNbModel]]) —
+    * same output contract as [[naiveBayesClassify]]; the model relation is
+    * read, never recomputed (the point of persisting). `labelCol` names
+    * the model's label column (it's stored under that name in the extents).
+    */
+  def scoreWithNbModel(modelDir: String, test: DataFrame, idCol: String,
+                       textCol: String, labelCol: String,
+                       k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val spark = test.sparkSession
+    val wc = spark.read.parquet(s"$modelDir/word_counts")
+    val classes = spark.read.parquet(s"$modelDir/class_stats")
+      .crossJoin(broadcast(spark.read.parquet(s"$modelDir/totals"))) // one row
+      .select(col(labelCol),
+        (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("prior_lp"),
+        col("n_tok"), col("v"))
+    scoreNb(wc, classes, test, idCol, textCol, labelCol, k)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

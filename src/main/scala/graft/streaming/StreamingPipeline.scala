@@ -430,6 +430,49 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming quality/language CLASSIFIER gate — the third member of the
+    * gate family (exact-dedup, semantic, classifier): each micro-batch of
+    * documents is scored against a PERSISTED Naive Bayes model
+    * ([[graft.operators.LanguageModel.buildNbModel]] — trained once,
+    * offline, on a labeled corpus) and only documents whose predicted
+    * class is in `keepLabels` pass (the CCNet/fastText-style "keep the
+    * target language / quality tier" stream filter). Unlike the dedup
+    * gates the model is READ-ONLY — admission depends on nothing but the
+    * batch and the static model, so the per-batch body is a pure function
+    * and replay idempotency needs no exclusion/marker protocol, only the
+    * batch-scoped overwrite.
+    */
+  def classifierGateStream(docs: DataFrame, modelDir: String, outDir: String,
+                           checkpointDir: String, keepLabels: Seq[String],
+                           idCol: String = "doc_id", textCol: String = "text",
+                           labelCol: String = "lang"): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        classifierGateBatch(batch, batchId, modelDir, outDir, keepLabels,
+          idCol, textCol, labelCol)
+      }
+      .start()
+
+  /** One micro-batch of the classifier gate: score, keep the admitted
+    * docs (original columns + pred_<labelCol> + score), overwrite the
+    * batch-scoped partition. Documents that tokenize to nothing carry no
+    * evidence, get no prediction, and are dropped — the same contract as
+    * the batch classifier.
+    */
+  def classifierGateBatch(batch: DataFrame, batchId: Long, modelDir: String,
+                          outDir: String, keepLabels: Seq[String],
+                          idCol: String = "doc_id", textCol: String = "text",
+                          labelCol: String = "lang"): Unit = {
+    require(keepLabels.nonEmpty, "keepLabels must not be empty")
+    val scored = graft.operators.LanguageModel
+      .scoreWithNbModel(modelDir, batch, idCol, textCol, labelCol)
+    batch.join(scored.filter(col(s"pred_$labelCol").isin(keepLabels: _*)),
+        Seq(idCol))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Continuous CDC materialization: apply each micro-batch of changes to a
     * persisted keyed state table via [[graft.operators.Cdc.applyLog]] —
     * the streaming form of Delta/Hudi-style upsert materialization, with

@@ -75,6 +75,25 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getString(1) == "sym")
   }
 
+  test("persisted NB model scores identically to the inline classifier") {
+    val train = Seq(
+      (1L, "perro gato casa sol", "es"), (2L, "gato sol luna perro", "es"),
+      (3L, "dog cat house sun", "en"), (4L, "cat sun moon dog", "en")).toDF("doc_id", "text", "lang")
+    val test = Seq((10L, "perro luna gato"), (11L, "dog moon"), (12L, "sun sol")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    LanguageModel.buildNbModel(train, "text", "lang", dir)
+    val inline = LanguageModel.naiveBayesClassify(train, test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    val persisted = LanguageModel.scoreWithNbModel(dir, test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(persisted == inline)
+    // rebuild is idempotent (overwrite extents)
+    LanguageModel.buildNbModel(train, "text", "lang", dir)
+    val again = LanguageModel.scoreWithNbModel(dir, test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(again == inline)
+  }
+
   test("importance weights steer toward the target domain and normalize for length") {
     // target (tgt=true) speaks 'sun moon'; raw background speaks 'mud rock'.
     // A sun-moon doc must outweigh a mud-rock doc; doubling a doc's length

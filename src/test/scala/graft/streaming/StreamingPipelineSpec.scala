@@ -328,6 +328,42 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.read.parquet(gOut).select("vec_id").as[Long].collect().toSet == Set(11L))
   }
 
+  test("streaming classifier gate keeps only target-class docs; replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LanguageModel
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val train = Seq(
+      (1L, "perro gato casa sol", "es"), (2L, "gato sol luna perro", "es"),
+      (3L, "dog cat house sun", "en"), (4L, "cat sun moon dog", "en")).toDF("doc_id", "text", "lang")
+    val mDir = Files.createTempDirectory("nbgate_m").toString
+    val gOut = Files.createTempDirectory("nbgate_out").toString
+    val gCk = Files.createTempDirectory("nbgate_ck").toString
+    LanguageModel.buildNbModel(train, "text", "lang", mDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    stream.addData((10L, "dog moon cat"), (11L, "perro luna"), (12L, "..."))
+    val q1 = StreamingPipeline.classifierGateStream(docs, mDir, gOut, gCk, Seq("en"))
+    q1.awaitTermination(120000)
+    // only the en-classified doc passes; the es doc and the token-free doc drop
+    val got1 = spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet
+    assert(got1 == Set(10L))
+    // second drain: cross-batch independence (static model, new batch only)
+    stream.addData((20L, "sun dog"), (21L, "gato casa"))
+    val q2 = StreamingPipeline.classifierGateStream(docs, mDir, gOut, gCk, Seq("en"))
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet == Set(10L, 20L))
+    // replay of a completed batch overwrites to the same rows (idempotent)
+    StreamingPipeline.classifierGateBatch(
+      Seq((10L, "dog moon cat"), (11L, "perro luna")).toDF("doc_id", "text"),
+      0L, mDir, gOut, Seq("en"))
+    assert(spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet == Set(10L, 20L))
+    // admitted rows carry the prediction next to the original columns
+    val cols = spark.read.parquet(gOut).columns.toSet
+    assert(Set("doc_id", "text", "pred_lang", "score").subsetOf(cols))
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
