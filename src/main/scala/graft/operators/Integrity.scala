@@ -54,6 +54,23 @@ object Integrity {
         .cast("string").as("checksum"))
   }
 
+  /** Per-group [[tableChecksum]]: (groupCols..., n_rows, checksum) — the
+    * manifest shape a sharded training export ships beside its files, so a
+    * consumer verifies each shard independently (and a re-export proves
+    * itself identical shard by shard) without any side re-reading the
+    * other's data. Same one-pass map-side-combined aggregate; the group
+    * keys ride the same shuffle.
+    */
+  def groupedChecksum(df: DataFrame, groupCols: Seq[String],
+                      cols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(cols.nonEmpty, "cols must be non-empty")
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
+        .cast("string").as("checksum"))
+  }
+
   /** Key-level diff of two table versions — [[tableChecksum]] says WHETHER
     * two snapshots diverged; this says WHERE: one row per key that was
     * added, removed, or changed between `oldDf` and `newDf`, with both

@@ -336,6 +336,35 @@ object ExtensionQueries {
         .orderBy("split", "shard", "seq_id")
     }),
 
+    // C3 training-export manifest: the artifact a sharded export ships
+    // beside its files — per (split, shard): doc count, token total,
+    // packed-sequence count, and an order-insensitive content checksum
+    // ([[graft.operators.Integrity.groupedChecksum]]) so a consumer
+    // verifies each shard independently and a re-export proves itself
+    // byte-equivalent shard by shard. Same dedup→split→pack chain as c2
+    // (same salt, so this manifest DESCRIBES c2's export), one extra
+    // map-side-combined aggregate.
+    "c3_export_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = graft.operators.Dedup.exactByFingerprint(docs, "text", "doc_id")
+        .select("doc_id")
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val split = graft.operators.Splits.hashSplit(deduped, "doc_id", "c2",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      import graft.operators.Integrity
+      graft.operators.Splits
+        .packSequences(split, "split", "doc_id", col("n_toks"), ctxLen = 512,
+          shardSize = 1024)
+        .groupBy(col("split"), col("_shard").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_tokens")).as("n_toks"),
+          count_distinct(col("seq_id")).as("n_seqs"),
+          sum(Integrity.md5Lower64(Integrity.canonicalRow(Seq("doc_id", "n_toks"))))
+            .cast("decimal(38,0)").cast("string").as("checksum"))
+        .orderBy("split", "shard")
+    }),
+
     // Z1 z-order (Morton) layout keys ([[graft.operators.ZCurve]]): the
     // interleave is pure shift/mask arithmetic in one codegen'd expression,
     // verified bucket-by-bucket against the oracle computing the identical
@@ -1852,6 +1881,31 @@ object ExtensionQueries {
          |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS seq_tokens
          |FROM c GROUP BY split, shard, seq_id
          |ORDER BY split, shard, seq_id""".stripMargin,
+
+    "c3_export_manifest" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents JOIN keep USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, n_toks,
+         |    CASE WHEN substring(md5('c2:' || doc_id), 1, 8) < 'e6666666' THEN 'train'
+         |         ELSE 'val' END AS split
+         |  FROM d),
+         |c AS (
+         |  SELECT split, doc_id // 1024 AS shard, doc_id, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY split, doc_id // 1024 ORDER BY doc_id) AS cum
+         |  FROM s)
+         |SELECT split, shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         |  COUNT(DISTINCT CAST(FLOOR((cum - n_toks) / 512.0) AS BIGINT)) AS n_seqs,
+         |  CAST(CAST(SUM(CAST(md5_number_lower(concat_ws(chr(1),
+         |    coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+         |    coalesce(CAST(n_toks AS VARCHAR), chr(2)))) AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         |FROM c GROUP BY split, shard ORDER BY split, shard""".stripMargin,
 
     "z1_zorder_key" -> {
       // the same interleave algebra the Spark expression composes

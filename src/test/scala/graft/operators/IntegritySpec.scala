@@ -48,6 +48,21 @@ class IntegritySpec extends SparkSpec {
       (5L, "added", None, Some("fresh"))), out.mkString("\n"))
   }
 
+  test("groupedChecksum: per-group sums partition the table checksum; order-insensitive") {
+    val df = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"))
+      .toDF("id", "s", "g")
+    val per = Integrity.groupedChecksum(df, Seq("g"), Seq("id", "s"))
+      .orderBy("g").collect()
+    assert(per.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    // group sums add up to the whole-table checksum (same commutative sum)
+    val whole = Integrity.tableChecksum(df, Seq("id", "s")).head().getString(1)
+    assert(per.map(r => BigInt(r.getString(2))).sum == BigInt(whole))
+    // row order / partitioning cannot change the result
+    val shuffled = Integrity.groupedChecksum(df.orderBy(desc("id")).repartition(7),
+      Seq("g"), Seq("id", "s")).orderBy("g").collect()
+    assert(shuffled.map(_.getString(2)).toSeq == per.map(_.getString(2)).toSeq)
+  }
+
   test("null vs empty string hash differently; literal sentinel collides with null (documented)") {
     def sum1(v: Option[String]) =
       Integrity.tableChecksum(Seq((1L, v)).toDF("id", "s"), Seq("id", "s"))
