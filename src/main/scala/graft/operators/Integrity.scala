@@ -39,20 +39,27 @@ object Integrity {
     concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
 
+  /** The checksum AGGREGATE itself — sum of per-row portable hashes,
+    * emitted as its decimal-digit STRING (an opaque token to compare;
+    * decimals past 2^63 degrade to float64 in common client bridges
+    * (pandas), which would corrupt exactly the digits the comparison is
+    * for). The ONE definition every checksum consumer composes
+    * ([[tableChecksum]], [[groupedChecksum]], the c3 export manifest) —
+    * a second copy of the cast chain would silently desynchronize
+    * manifests from shard checksums.
+    */
+  def checksumAgg(cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
+      .cast("string").as("checksum")
+  }
+
   /** (n_rows, checksum): row count plus the sum of per-row hashes. Equal
     * checksums and counts mean equal multisets of canonical rows (up to
-    * md5-collision odds, ~2^-64 per pair). The checksum is emitted as its
-    * decimal-digit STRING: it is an opaque token to compare, and decimals
-    * past 2^63 degrade to float64 in common client bridges (pandas), which
-    * would corrupt exactly the digits the comparison is for.
+    * md5-collision odds, ~2^-64 per pair).
     */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "cols must be non-empty")
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
-        .cast("string").as("checksum"))
-  }
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"), checksumAgg(cols))
 
   /** Per-group [[tableChecksum]]: (groupCols..., n_rows, checksum) — the
     * manifest shape a sharded training export ships beside its files, so a
@@ -64,11 +71,8 @@ object Integrity {
   def groupedChecksum(df: DataFrame, groupCols: Seq[String],
                       cols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    require(cols.nonEmpty, "cols must be non-empty")
-    df.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("n_rows"),
-      sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
-        .cast("string").as("checksum"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), checksumAgg(cols))
   }
 
   /** Key-level diff of two table versions — [[tableChecksum]] says WHETHER

@@ -98,37 +98,57 @@ object LanguageModel {
                          textCol: String, labelCol: String,
                          k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
-    // the raw token stream is shuffled ONCE, into the per-(class, word)
-    // model counts; the per-class token totals and the vocabulary size
-    // re-aggregate from that (much smaller) distinct-word frame instead of
-    // paying two more token-granularity shuffles — exact integer sums, so
-    // re-aggregation changes nothing but the shuffle volume
+    val (wc, stats) = trainNb(train, textCol, labelCol)
+    scoreNb(wc, classesFrame(stats, totalsFrame(wc, stats), labelCol),
+      test, idCol, textCol, labelCol, k)
+  }
+
+  /** The NB training core shared by [[naiveBayesClassify]] (inline) and
+    * [[buildNbModel]] (persisted) — ONE source of the training arithmetic
+    * so the two paths cannot drift. Returns (wc, stats): the distributed
+    * (class, word) count relation and the |classes|-row (label, n_docs,
+    * n_tok) stats frame.
+    *
+    * The raw token stream is shuffled ONCE, into the per-(class, word)
+    * model counts; the per-class token totals re-aggregate from that (much
+    * smaller) distinct-word frame instead of paying a second
+    * token-granularity shuffle — exact integer sums, so re-aggregation
+    * changes nothing but the shuffle volume. The stats join is left +
+    * coalesce: a class whose training docs tokenize to NOTHING still
+    * exists (NB is well-defined at n_tok = 0 — every word scores the
+    * smoothed floor ln(k/(k·V)) and the prior carries the evidence); an
+    * inner join would silently drop the class from prediction.
+    */
+  private def trainNb(train: DataFrame, textCol: String,
+                      labelCol: String): (DataFrame, DataFrame) = {
     val wc = spread(train.select(col(labelCol), col(textCol)))
       .select(col(labelCol), explode(Text.tokens(col(textCol))).as("w"))
       .groupBy(col(labelCol), col("w"))
       .agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // feeds scoring join, per-class totals, vocab count
-    // per-class frame: doc prior + token total (+ vocab size, same for all
-    // classes) — |classes| rows, broadcast by construction
+      .localCheckpoint() // feeds the scoring join, per-class totals, vocab
     val nd = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
-    // left join + coalesce: a class whose training docs tokenize to NOTHING
-    // still exists (NB is well-defined at n_tok = 0 — every word scores the
-    // smoothed floor ln(k/(k·V)) and the prior carries the evidence); an
-    // inner join here would silently drop the class from prediction
     val nt = wc.groupBy(col(labelCol)).agg(sum(col("cw")).as("n_tok"))
-    val vocab = wc.agg(count_distinct(col("w")).as("v"))
-    // n_all re-aggregates from the |classes|-row frame — no third scan of
-    // the training corpus
-    val totDocs = nd.agg(sum(col("n_docs")).as("n_all"))
-    val classes = nd.join(nt, Seq(labelCol), "left")
+    val stats = nd.join(nt, Seq(labelCol), "left")
       .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
-      .crossJoin(broadcast(vocab))   // one row
-      .crossJoin(broadcast(totDocs)) // one row
+    (wc, stats)
+  }
+
+  /** One-row (n_all, v) corpus totals — re-aggregated from the stats/count
+    * frames, never from a second scan of the training corpus.
+    */
+  private def totalsFrame(wc: DataFrame, stats: DataFrame): DataFrame =
+    stats.agg(sum(col("n_docs")).as("n_all"))
+      .crossJoin(broadcast(wc.agg(count_distinct(col("w")).as("v"))))
+
+  /** The |classes|-row broadcast scoring frame (label, prior_lp, n_tok, v)
+    * — shared by the inline and persisted scoring paths.
+    */
+  private def classesFrame(stats: DataFrame, totals: DataFrame,
+                           labelCol: String): DataFrame =
+    stats.crossJoin(broadcast(totals)) // one row
       .select(col(labelCol),
         (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("prior_lp"),
         col("n_tok"), col("v"))
-    scoreNb(wc, classes, test, idCol, textCol, labelCol, k)
-  }
 
   /** The NB scoring core shared by [[naiveBayesClassify]] (inline model)
     * and [[scoreWithNbModel]] (persisted model): per-doc distinct-word
@@ -167,21 +187,11 @@ object LanguageModel {
     */
   def buildNbModel(train: DataFrame, textCol: String, labelCol: String,
                    dir: String): Unit = {
-    val wc = spread(train.select(col(labelCol), col(textCol)))
-      .select(col(labelCol), explode(Text.tokens(col(textCol))).as("w"))
-      .groupBy(col(labelCol), col("w"))
-      .agg(count(lit(1)).as("cw"))
-      .localCheckpoint() // feeds its own write + both stats extents
+    val (wc, stats0) = trainNb(train, textCol, labelCol)
     wc.write.mode("overwrite").parquet(s"$dir/word_counts")
-    val nd = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_docs"))
-    val nt = wc.groupBy(col(labelCol)).agg(sum(col("cw")).as("n_tok"))
-    val stats = nd.join(nt, Seq(labelCol), "left")
-      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
-      .localCheckpoint() // consumed by its own write + the totals write
+    val stats = stats0.localCheckpoint() // its own write + the totals write
     stats.write.mode("overwrite").parquet(s"$dir/class_stats")
-    stats.agg(sum(col("n_docs")).as("n_all"))
-      .crossJoin(broadcast(wc.agg(count_distinct(col("w")).as("v"))))
-      .write.mode("overwrite").parquet(s"$dir/totals")
+    totalsFrame(wc, stats).write.mode("overwrite").parquet(s"$dir/totals")
   }
 
   /** Score documents against a PERSISTED NB model ([[buildNbModel]]) —
@@ -194,13 +204,10 @@ object LanguageModel {
                        k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
     val spark = test.sparkSession
-    val wc = spark.read.parquet(s"$modelDir/word_counts")
-    val classes = spark.read.parquet(s"$modelDir/class_stats")
-      .crossJoin(broadcast(spark.read.parquet(s"$modelDir/totals"))) // one row
-      .select(col(labelCol),
-        (log(col("n_docs").cast("double")) - log(col("n_all").cast("double"))).as("prior_lp"),
-        col("n_tok"), col("v"))
-    scoreNb(wc, classes, test, idCol, textCol, labelCol, k)
+    scoreNb(spark.read.parquet(s"$modelDir/word_counts"),
+      classesFrame(spark.read.parquet(s"$modelDir/class_stats"),
+        spark.read.parquet(s"$modelDir/totals"), labelCol),
+      test, idCol, textCol, labelCol, k)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -352,7 +352,6 @@ object ExtensionQueries {
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_toks"))
       val split = graft.operators.Splits.hashSplit(deduped, "doc_id", "c2",
         Seq("train" -> 0.9, "val" -> 0.1))
-      import graft.operators.Integrity
       graft.operators.Splits
         .packSequences(split, "split", "doc_id", col("n_toks"), ctxLen = 512,
           shardSize = 1024)
@@ -360,8 +359,7 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("_tokens")).as("n_toks"),
           count_distinct(col("seq_id")).as("n_seqs"),
-          sum(Integrity.md5Lower64(Integrity.canonicalRow(Seq("doc_id", "n_toks"))))
-            .cast("decimal(38,0)").cast("string").as("checksum"))
+          graft.operators.Integrity.checksumAgg(Seq("doc_id", "n_toks")))
         .orderBy("split", "shard")
     }),
 

@@ -445,7 +445,12 @@ object StreamingPipeline {
   def classifierGateStream(docs: DataFrame, modelDir: String, outDir: String,
                            checkpointDir: String, keepLabels: Seq[String],
                            idCol: String = "doc_id", textCol: String = "text",
-                           labelCol: String = "lang"): StreamingQuery =
+                           labelCol: String = "lang"): StreamingQuery = {
+    // fail BEFORE start(): inside the streaming thread these would only
+    // surface asynchronously (a fire-and-forget caller sees a started
+    // query while every batch dies in the background)
+    require(keepLabels.nonEmpty, "keepLabels must not be empty")
+    requireNoReservedCols(docs, labelCol)
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -454,6 +459,19 @@ object StreamingPipeline {
           idCol, textCol, labelCol)
       }
       .start()
+  }
+
+  /** The gate's output attaches `pred_<labelCol>` and `score` next to the
+    * input columns — an input already carrying either would make the
+    * admitted join ambiguous and kill the parquet write on the FIRST
+    * batch, so refuse the reserved names up front (the componentSplit
+    * collision-guard idiom).
+    */
+  private def requireNoReservedCols(docs: DataFrame, labelCol: String): Unit = {
+    val reserved = Seq(s"pred_$labelCol", "score")
+    require(!docs.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString(", ")}")
+  }
 
   /** One micro-batch of the classifier gate: score, keep the admitted
     * docs (original columns + pred_<labelCol> + score), overwrite the
@@ -466,6 +484,7 @@ object StreamingPipeline {
                           idCol: String = "doc_id", textCol: String = "text",
                           labelCol: String = "lang"): Unit = {
     require(keepLabels.nonEmpty, "keepLabels must not be empty")
+    requireNoReservedCols(batch, labelCol)
     val scored = graft.operators.LanguageModel
       .scoreWithNbModel(modelDir, batch, idCol, textCol, labelCol)
     batch.join(scored.filter(col(s"pred_$labelCol").isin(keepLabels: _*)),
