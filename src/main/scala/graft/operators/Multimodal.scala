@@ -507,4 +507,118 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---------- audio fingerprint lane (energy-delta near-dup, the m6 bridge) ----------
+
+  /** Frame amplitude of the synthetic tone clip (id, frame j) — the
+    * [[gridValue]] scheme in one dimension: first md5 byte of "group:j"
+    * (group = id div 4), bumped for the group's r-th member on its first r
+    * frames. In-group pairs therefore differ on frames ⊆ {0,1,2}, which
+    * perturbs at most 3 of the 64 energy-delta comparisons — controlled
+    * Hamming distances, aperiodic across groups (same rationale as m4's
+    * md5 pattern: a linear formula would repeat and blow up cross-group
+    * pair volume).
+    */
+  def toneValue(id: Long, j: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id / 4}:$j".getBytes("UTF-8"))
+    val v = digest(0) & 0xff
+    if (id % 4 > 0 && j < id % 4) (v + 97) % 256 else v
+  }
+
+  /** Deterministic synthetic tone table: one s16le clip per id, `nFrames`
+    * frames of `frameLen` samples each held CONSTANT at [[toneValue]] —
+    * frame-constant amplitude means the frame energy recovers the value
+    * exactly (Σv² = frameLen·v², and v ≥ 0 makes energy order ≡ value
+    * order), so a DuckDB oracle states every signature bit in closed form.
+    * Executor-side generation: only ids leave the driver.
+    */
+  def syntheticPcmTones(df: DataFrame, idCol: String, frameLen: Int = 8,
+                        nFrames: Int = 65): DataFrame = {
+    require(frameLen > 0 && nFrames > 1, "frameLen > 0 and nFrames > 1 required")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = new Array[Byte](nFrames * frameLen * 2)
+        var j = 0
+        while (j < nFrames) {
+          val v = toneValue(id, j)
+          var i = 0
+          while (i < frameLen) {
+            val p = 2 * (j * frameLen + i)
+            bytes(p) = (v & 0xff).toByte
+            bytes(p + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          j += 1
+        }
+        Row(id, bytes, Row("audio/pcm-s16le", null, null, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** 64-bit energy-delta fingerprint of a PCM clip — [[dHash64]]'s
+    * structure on the time axis (the shape audio fingerprinters like
+    * Shazam-style hashes use: band/frame energy DELTAS survive gain and
+    * re-encoding where absolute levels don't): decode s16le, compute
+    * `nBits + 1` non-overlapping frame energies in exact Long arithmetic,
+    * bit k = E_k > E_{k+1}. None when the payload is shorter than the
+    * frame grid (no structure to fingerprint) — trailing samples beyond
+    * it are ignored.
+    */
+  def audioSig64(payload: Array[Byte], frameLen: Int = 8,
+                 nBits: Int = 64): Option[Long] = {
+    require(frameLen > 0 && nBits >= 1 && nBits <= 64, "1 <= nBits <= 64, frameLen > 0")
+    val need = (nBits + 1) * frameLen
+    if (payload.length / 2 < need) None
+    else {
+      val e = new Array[Long](nBits + 1)
+      var j = 0
+      while (j <= nBits) {
+        var s = 0L
+        var i = 0
+        while (i < frameLen) {
+          val p = 2 * (j * frameLen + i)
+          val v = ((payload(p) & 0xff) | (payload(p + 1) << 8)).toLong
+          s += v * v
+          i += 1
+        }
+        e(j) = s
+        j += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < nBits) {
+        if (e(k) > e(k + 1)) sig |= (1L << k)
+        k += 1
+      }
+      Some(sig)
+    }
+  }
+
+  /** Partition-parallel audio fingerprinting: media table → (media_id,
+    * asig), undersized payloads dropped. One row per clip — the signature
+    * frame feeds [[Dedup.simhashPairsFromSigs]] banding unchanged, making
+    * the pair machinery TRI-modal (text simhash, image dHash, audio
+    * energy-delta) above the signature layer.
+    */
+  def audioSigs(media: DataFrame, frameLen: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("asig", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioSig64(r.getAs[Array[Byte]](payloadIdx), frameLen)
+          .map(sig => Row(r.getLong(idIdx), sig))
+      }
+    }(enc)
+  }
 }

@@ -1084,6 +1084,22 @@ object ExtensionQueries {
           col("audio.max_frame_ssq").as("max_frame_ssq"))
         .orderBy("media_id")),
 
+    // M6 audio near-dup — the bridge's third modality: REAL s16le decode of
+    // deterministic tone clips, 64-bit energy-delta fingerprint (dHash's
+    // structure on the time axis — frame-energy DELTAS, the gain-invariant
+    // shape audio fingerprinters hash), then the SAME 2^16-key pigeonhole
+    // banding as text simhash and image dHash. Frame-constant amplitudes
+    // make every energy an exact integer, so the oracle restates each
+    // signature bit AND each banded pair digit for digit.
+    "m6_audio_neardup" -> ((s, d) => {
+      val media = Multimodal.syntheticPcmTones(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      // one row per clip; both banding self-join sides consume it
+      val sigs = Multimodal.audioSigs(media).localCheckpoint()
+      Dedup.simhashPairsFromSigs(sigs, "media_id", "asig", maxDist = 3, sigBits = 64)
+        .orderBy("a", "b")
+    }),
+
     // M4 image near-dup — the multimodal x dedup bridge: REAL PNG decode of
     // deterministic grid images, 64-bit dHash (exact integer block-mean
     // grid, so the signature is closed-form in the id), then the SAME 2^16-
@@ -2605,6 +2621,47 @@ object ExtensionQueries {
     // two's-complement term (SUM runs in HUGEINT, where positives minus
     // 2^63 is exactly the signed 64-bit value) — then replays the d3d
     // banding: 16-bit keys, sign-safe shift+mask, xor/popcount verify.
+    // m6: m4's closed-form signature oracle in one dimension — frame values
+    // from md5("group:j") bytes (bumped for the member's first r frames),
+    // bit k = v_k > v_{k+1} (frame-constant amplitude makes energy order
+    // identical to value order), then the same 4x16-bit banding restated.
+    "m6_audio_neardup" ->
+      """WITH frames AS (
+        |  SELECT doc_id, j FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 65)) AS j)),
+        |hx AS (
+        |  SELECT doc_id, j,
+        |    md5(CAST(doc_id // 4 AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+        |  FROM frames),
+        |vals AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id % 4 > 0 AND j < doc_id % 4
+        |         THEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) + 97) % 256
+        |         ELSE (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) END AS v
+        |  FROM hx),
+        |bits AS (
+        |  SELECT l.doc_id, CAST(l.j AS INTEGER) AS k
+        |  FROM vals l JOIN vals r
+        |    ON r.doc_id = l.doc_id AND r.j = l.j + 1
+        |  WHERE l.j < 64 AND l.v > r.v),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+        |                           ELSE CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS s
+        |  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |banded AS (
+        |  SELECT doc_id, s, band, (s >> (16 * band)) & 65535 AS key
+        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
+        |  FROM banded l JOIN banded r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
+
     "m4_image_neardup" ->
       """WITH cells AS (
         |  SELECT doc_id, bx, by FROM documents

@@ -189,6 +189,59 @@ class MultimodalSpec extends SparkSpec {
     assert(!chunks.exists(_._1 == 2L)) // doc 2 is the empty payload
   }
 
+  private def expectedASig(id: Long): Long = {
+    var sig = 0L
+    for (j <- 0 until 64)
+      if (Multimodal.toneValue(id, j) > Multimodal.toneValue(id, j + 1))
+        sig |= 1L << j
+    sig
+  }
+
+  test("audioSig64 recovers the closed-form signature through a REAL byte decode") {
+    // frame-constant amplitude: frame energy = frameLen·v² and v >= 0, so
+    // the energy order IS the value order — the decoded signature must
+    // equal the tone arithmetic bit for bit (a byte-order, framing, or
+    // bit-index bug all fail here); frameLen 8 and 3 exercise two grids
+    for (frameLen <- Seq(8, 3)) {
+      val ids = (0L to 19L).toDF("doc_id")
+      val sigs = Multimodal.audioSigs(
+          Multimodal.syntheticPcmTones(ids, "doc_id", frameLen = frameLen),
+          frameLen = frameLen)
+        .as[(Long, Long)].collect().toMap
+      assert(sigs.size == 20)
+      for ((id, sig) <- sigs) assert(sig == expectedASig(id), s"id=$id frameLen=$frameLen")
+    }
+  }
+
+  test("audioSig64: undersized payloads yield no signature; trailing samples ignored") {
+    assert(Multimodal.audioSig64(Array.emptyByteArray).isEmpty)
+    // 65*8 samples needed at the defaults; one frame short -> None
+    assert(Multimodal.audioSig64(new Array[Byte](64 * 8 * 2)).isEmpty)
+    assert(Multimodal.audioSig64(new Array[Byte](65 * 8 * 2)).isDefined)
+    // extra trailing samples change nothing
+    val base = Multimodal.syntheticPcmTones(Seq(5L).toDF("doc_id"), "doc_id")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.audioSig64(base ++ Array[Byte](1, 2, 3, 4))
+      == Multimodal.audioSig64(base))
+  }
+
+  test("audio near-dup banding is COMPLETE and EXACT over the tone corpus") {
+    // property (m6): banded pairs == brute-force Hamming <= 3 pairs over
+    // the same signatures; in-group perturbation touches frames {0,1,2}
+    // only, so every in-group pair qualifies: 6 per group is the floor
+    val ids = (0L to 79L).toDF("doc_id")
+    val sigs = Multimodal.audioSigs(
+      Multimodal.syntheticPcmTones(ids, "doc_id")).localCheckpoint()
+    val got = Dedup.simhashPairsFromSigs(sigs, "media_id", "asig", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = (for {
+      a <- 0L to 79L; b <- 0L to 79L if a < b
+      h = java.lang.Long.bitCount(expectedASig(a) ^ expectedASig(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.size >= 20 * 6, s"expected at least 6 pairs per group, got ${got.size}")
+  }
+
   test("PCM decode: hand-built s16le bytes round-trip to exact features") {
     // samples 5, -3, 0, -1: sum_sq = 25+9+0+1 = 35; zero crossings at
     // 5→-3 and -3→0 and 0→-1 (sign = v<0): 3 flips; frameLen 2 → frames
