@@ -621,4 +621,98 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---------- video lane (raw frames, scene-cut detection, the m7 bridge) ----------
+
+  /** Gray level of clip `id`, scene `s` — first md5 byte of "id:s".
+    * Constant WITHIN a scene, md5-fresh across scenes, so scene
+    * boundaries are exactly the frames where the value changes (adjacent
+    * scenes drawing the same byte — p = 1/256 per boundary — simply
+    * produce no cut, identically in the oracle).
+    */
+  def sceneValue(id: Long, s: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$s".getBytes("UTF-8"))
+    digest(0) & 0xff
+  }
+
+  /** Deterministic synthetic raw-frame "video": `nFrames` frames of w×h
+    * 8-bit gray pixels held constant at [[sceneValue]] per `sceneLen`-frame
+    * scene, concatenated as one binary payload (the fixed-size-frame
+    * layout a raw video buffer or decoded frame stack has). Frame-constant
+    * pixels make every frame mean the scene value EXACTLY, so the cut
+    * detector's output is closed-form in the id. Executor-side generation.
+    */
+  def syntheticVideo(df: DataFrame, idCol: String, w: Int = 16, h: Int = 12,
+                     nFrames: Int = 24, sceneLen: Int = 6): DataFrame = {
+    require(w > 0 && h > 0 && nFrames > 0 && sceneLen > 0, "positive dims required")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", metaSchema)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val fsz = w * h
+        val bytes = new Array[Byte](nFrames * fsz)
+        var f = 0
+        while (f < nFrames) {
+          java.util.Arrays.fill(bytes, f * fsz, (f + 1) * fsz,
+            sceneValue(id, f / sceneLen).toByte)
+          f += 1
+        }
+        Row(id, bytes, Row("video/raw-gray8", w, h, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Scene-cut detection over fixed-size raw frames — the keyframe/scene
+    * segmentation step a video training-data pipeline runs before
+    * captioning or frame sampling: decode each w×h 8-bit frame, compute
+    * its EXACT integer mean gray (sum of pixels div pixel count — Long
+    * arithmetic, no float drift), and emit one row per frame whose mean
+    * differs from its predecessor's by more than `threshold`. Trailing
+    * partial frames are ignored; a clip shorter than two frames has no
+    * cuts. Same mapPartitions posture as every decode here: per-row byte
+    * work, payloads never shuffled, output proportional to cuts.
+    *
+    * @return (media_id, frame_idx, prev_mean, next_mean) — frame_idx is
+    *         the first frame OF the new scene.
+    */
+  def sceneCuts(media: DataFrame, w: Int = 16, h: Int = 12,
+                threshold: Int = 0): DataFrame = {
+    require(w > 0 && h > 0 && threshold >= 0, "positive dims, threshold >= 0")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("prev_mean", LongType),
+      StructField("next_mean", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val fsz = w * h
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val id = r.getLong(idIdx)
+        val n = bytes.length / fsz
+        def mean(f: Int): Long = {
+          var s = 0L
+          var i = f * fsz
+          val end = (f + 1) * fsz
+          while (i < end) { s += (bytes(i) & 0xff); i += 1 }
+          s / fsz
+        }
+        // each frame's bytes are read exactly once, not once per neighbor
+        val means = Array.tabulate(n)(mean)
+        (1 until n).iterator.flatMap { f =>
+          if (math.abs(means(f) - means(f - 1)) > threshold)
+            Some(Row(id, f.toLong, means(f - 1), means(f)))
+          else None
+        }
+      }
+    }(enc)
+  }
 }

@@ -1084,6 +1084,19 @@ object ExtensionQueries {
           col("audio.max_frame_ssq").as("max_frame_ssq"))
         .orderBy("media_id")),
 
+    // M7 video scene-cut detection — the keyframe/scene segmentation step a
+    // video training-data pipeline runs before captioning or frame
+    // sampling: REAL fixed-size raw-frame byte decode, exact integer frame
+    // means, one row per frame whose mean jumps vs its predecessor.
+    // Frame-constant synthetic scenes (md5-keyed, 6 frames each) make every
+    // cut closed-form: the oracle regenerates scene values from md5
+    // arithmetic and restates each (frame_idx, prev, next) row.
+    "m7_video_scenes" -> ((s, d) =>
+      Multimodal.sceneCuts(
+          Multimodal.syntheticVideo(
+            Tables.documents(s, d).select(col("doc_id")), "doc_id"))
+        .orderBy("media_id", "frame_idx")),
+
     // M6 audio near-dup — the bridge's third modality: REAL s16le decode of
     // deterministic tone clips, 64-bit energy-delta fingerprint (dHash's
     // structure on the time axis — frame-energy DELTAS, the gain-invariant
@@ -2621,6 +2634,25 @@ object ExtensionQueries {
     // two's-complement term (SUM runs in HUGEINT, where positives minus
     // 2^63 is exactly the signed 64-bit value) — then replays the d3d
     // banding: 16-bit keys, sign-safe shift+mask, xor/popcount verify.
+    // m7: scene values from md5("id:scene") byte 0; a cut is any frame f>0
+    // whose scene value differs from frame f-1's (frame-constant pixels
+    // make the integer frame mean the scene value exactly).
+    "m7_video_scenes" ->
+      """WITH frames AS (
+        |  SELECT doc_id, unnest(range(0, 24)) AS f FROM documents),
+        |vals AS (
+        |  SELECT doc_id, f,
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS v
+        |  FROM (SELECT doc_id, f,
+        |          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f // 6 AS VARCHAR)) AS h
+        |        FROM frames) x)
+        |SELECT l.doc_id AS media_id, CAST(l.f AS BIGINT) AS frame_idx,
+        |  CAST(p.v AS BIGINT) AS prev_mean, CAST(l.v AS BIGINT) AS next_mean
+        |FROM vals l JOIN vals p ON p.doc_id = l.doc_id AND p.f = l.f - 1
+        |WHERE l.v <> p.v
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     // m6: m4's closed-form signature oracle in one dimension — frame values
     // from md5("group:j") bytes (bumped for the member's first r frames),
     // bit k = v_k > v_{k+1} (frame-constant amplitude makes energy order

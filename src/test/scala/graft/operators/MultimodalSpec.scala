@@ -242,6 +242,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got.size >= 20 * 6, s"expected at least 6 pairs per group, got ${got.size}")
   }
 
+  test("sceneCuts: hand-built frames cut exactly where the mean jumps past threshold") {
+    // 2x2 frames with means 10, 10, 13, 13, 5 -> cuts at f=2 (|13-10|=3)
+    // and f=4 (|5-13|=8); threshold=2 keeps both, threshold=5 only f=4
+    val means = Seq(10, 10, 13, 13, 5)
+    val bytes = means.flatMap(v => Seq.fill(4)(v.toByte)).toArray
+    val media = Seq((3L, bytes)).toDF("media_id", "payload")
+    val t2 = Multimodal.sceneCuts(media, w = 2, h = 2, threshold = 2)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(t2 == Seq((2L, 10L, 13L), (4L, 13L, 5L)))
+    val t5 = Multimodal.sceneCuts(media, w = 2, h = 2, threshold = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(t5 == Seq(4L))
+    // trailing partial frame ignored: 2 extra bytes change nothing
+    val t2b = Multimodal.sceneCuts(Seq((3L, bytes ++ Array[Byte](99, 99)))
+        .toDF("media_id", "payload"), w = 2, h = 2, threshold = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(t2b == Seq(2L, 4L))
+  }
+
+  test("sceneCuts recovers the closed-form scene boundaries through a REAL byte decode") {
+    // frame-constant pixels: integer frame mean == scene value, so cuts
+    // must be exactly the f>0 multiples of sceneLen where the md5 scene
+    // value changes
+    val ids = (0L to 19L).toDF("doc_id")
+    val got = Multimodal.sceneCuts(Multimodal.syntheticVideo(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = (for {
+      id <- 0L to 19L; f <- 1 until 24
+      p = Multimodal.sceneValue(id, (f - 1) / 6)
+      c = Multimodal.sceneValue(id, f / 6)
+      if p != c
+    } yield (id, f.toLong, p.toLong, c.toLong)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    // non-degenerate: nearly every clip has its 3 scene boundaries
+    assert(got.size >= 20 * 3 - 2, s"suspiciously few cuts: ${got.size}")
+  }
+
   test("PCM decode: hand-built s16le bytes round-trip to exact features") {
     // samples 5, -3, 0, -1: sum_sq = 25+9+0+1 = 35; zero crossings at
     // 5→-3 and -3→0 and 0→-1 (sign = v<0): 3 flips; frameLen 2 → frames
