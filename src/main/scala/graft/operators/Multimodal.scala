@@ -253,10 +253,17 @@ object Multimodal {
     * repeats every |modulus| groups, which made cross-group pair volume
     * quadratic in the corpus before this formula.
     */
+  /** First md5 byte of `key` as 0..255 — the ONE keyed-value primitive all
+    * three synthetic-media generators ([[gridValue]], [[toneValue]],
+    * [[sceneValue]]) derive from, and exactly what each oracle's
+    * `substr(md5(...), 1, 2)` hex arithmetic restates.
+    */
+  private def md5Byte0(key: String): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))(0) & 0xff
+
   def gridValue(id: Long, bx: Int, by: Int): Int = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${id / 4}:$bx:$by".getBytes("UTF-8"))
-    val v = digest(0) & 0xff
+    val v = md5Byte0(s"${id / 4}:$bx:$by")
     if (id % 4 > 0 && by == 0 && bx < id % 4) (v + 97) % 256 else v
   }
 
@@ -360,16 +367,26 @@ object Multimodal {
     * whole point: image near-dup reuses the text pipeline's pair machinery
     * above the signature layer.
     */
-  def dHashSigs(media: DataFrame): DataFrame = {
+  def dHashSigs(media: DataFrame): DataFrame =
+    sigFrame(media, "dhash")(dHash64(_))
+
+  /** Shared signature-frame scaffolding for the near-dup bridge lanes
+    * (image dHash, audio energy-delta, any future modality): media table →
+    * (media_id, <sigCol>), rows whose payload yields no signature (null,
+    * undecodable, undersized) dropped — ONE definition of the drop
+    * semantics and output shape, so the modality lanes cannot diverge.
+    */
+  private def sigFrame(media: DataFrame, sigCol: String)
+                      (sig: Array[Byte] => Option[Long]): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("media_id", LongType), StructField("dhash", LongType)))
+      StructField("media_id", LongType), StructField(sigCol, LongType)))
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        dHash64(r.getAs[Array[Byte]](payloadIdx))
-          .map(sig => Row(r.getLong(idIdx), sig))
+        Option(r.getAs[Array[Byte]](payloadIdx)).flatMap(sig)
+          .map(s => Row(r.getLong(idIdx), s))
       }
     }(enc)
   }
@@ -520,9 +537,7 @@ object Multimodal {
     * pair volume).
     */
   def toneValue(id: Long, j: Int): Int = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${id / 4}:$j".getBytes("UTF-8"))
-    val v = digest(0) & 0xff
+    val v = md5Byte0(s"${id / 4}:$j")
     if (id % 4 > 0 && j < id % 4) (v + 97) % 256 else v
   }
 
@@ -576,7 +591,7 @@ object Multimodal {
                  nBits: Int = 64): Option[Long] = {
     require(frameLen > 0 && nBits >= 1 && nBits <= 64, "1 <= nBits <= 64, frameLen > 0")
     val need = (nBits + 1) * frameLen
-    if (payload.length / 2 < need) None
+    if (payload == null || payload.length / 2 < need) None
     else {
       val e = new Array[Long](nBits + 1)
       var j = 0
@@ -608,19 +623,8 @@ object Multimodal {
     * the pair machinery TRI-modal (text simhash, image dHash, audio
     * energy-delta) above the signature layer.
     */
-  def audioSigs(media: DataFrame, frameLen: Int = 8): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType), StructField("asig", LongType)))
-    val enc = RowEncoder.encoderFor(outSchema)
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val idIdx = media.schema.fieldIndex("media_id")
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        audioSig64(r.getAs[Array[Byte]](payloadIdx), frameLen)
-          .map(sig => Row(r.getLong(idIdx), sig))
-      }
-    }(enc)
-  }
+  def audioSigs(media: DataFrame, frameLen: Int = 8): DataFrame =
+    sigFrame(media, "asig")(audioSig64(_, frameLen))
 
   // ---------- video lane (raw frames, scene-cut detection, the m7 bridge) ----------
 
@@ -630,11 +634,7 @@ object Multimodal {
     * scenes drawing the same byte — p = 1/256 per boundary — simply
     * produce no cut, identically in the oracle).
     */
-  def sceneValue(id: Long, s: Int): Int = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$id:$s".getBytes("UTF-8"))
-    digest(0) & 0xff
-  }
+  def sceneValue(id: Long, s: Int): Int = md5Byte0(s"$id:$s")
 
   /** Deterministic synthetic raw-frame "video": `nFrames` frames of w×h
     * 8-bit gray pixels held constant at [[sceneValue]] per `sceneLen`-frame
@@ -657,11 +657,13 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val fsz = w * h
         val bytes = new Array[Byte](nFrames * fsz)
+        // one md5 per SCENE, not per frame — the value is scene-constant
         var f = 0
         while (f < nFrames) {
-          java.util.Arrays.fill(bytes, f * fsz, (f + 1) * fsz,
-            sceneValue(id, f / sceneLen).toByte)
-          f += 1
+          val v = sceneValue(id, f / sceneLen).toByte
+          val end = math.min(f + sceneLen, nFrames)
+          java.util.Arrays.fill(bytes, f * fsz, end * fsz, v)
+          f = end
         }
         Row(id, bytes, Row("video/raw-gray8", w, h, bytes.length.toLong))
       }
@@ -695,7 +697,9 @@ object Multimodal {
     val fsz = w * h
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        // null payload = no frames = no cuts (the sigFrame drop semantics)
+        val bytes = Option(r.getAs[Array[Byte]](payloadIdx))
+          .getOrElse(Array.emptyByteArray)
         val id = r.getLong(idIdx)
         val n = bytes.length / fsz
         def mean(f: Int): Long = {
