@@ -274,9 +274,22 @@ object ScaleProbe {
           Multimodal.syntheticPcm(sub.select("doc_id"), "doc_id"))
         .agg(sum(col("audio.n_samples"))).head().getLong(0)
       val tM5 = (System.nanoTime() - t2) / 1e9
+      // m6 pairs are group-local by construction (md5 pattern is aperiodic
+      // across groups), so pair volume must grow LINEARLY with the corpus
+      // — 6 in-group pairs per 4 ids, minus rare >3-bit perturbation loss
+      val t3 = System.nanoTime()
+      val sigs = Multimodal.audioSigs(
+        Multimodal.syntheticPcmTones(sub.select("doc_id"), "doc_id")).localCheckpoint()
+      val m6pairs = Dedup.simhashPairsFromSigs(sigs, "media_id", "asig", 3).count()
+      val tM6 = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val m7cuts = Multimodal.sceneCuts(
+        Multimodal.syntheticVideo(sub.select("doc_id"), "doc_id")).count()
+      val tM7 = (System.nanoTime() - t4) / 1e9
       println(f"PROBE-R15B sf0.1/$frac%-4s n=$n%6d t16_model=$modelRows%7d " +
         f"out=$nbOut%6d t=$tNb%5.1fs | ws2_toks=$wsTok%8d t=$tWs%5.1fs | " +
-        f"m5_samples=$samples%8d t=$tM5%5.1fs")
+        f"m5_samples=$samples%8d t=$tM5%5.1fs | m6_pairs=$m6pairs%6d t=$tM6%5.1fs | " +
+        f"m7_cuts=$m7cuts%6d t=$tM7%5.1fs")
     }
     spark.stop()
   }

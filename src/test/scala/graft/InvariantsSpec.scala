@@ -69,6 +69,27 @@ class InvariantsSpec extends SparkSpec {
       s"stale baseline pins: ${(pinned -- registered).toSeq.sorted}")
   }
 
+  test("BASELINE.md pin table stays in lockstep with bench_baseline.json") {
+    // the enforced pins live in the json resource; the md table is the
+    // human-audited record of the same numbers. Round 15's review found the
+    // table six entries stale — a reader auditing a tripwire ratio for
+    // those queries found no documented pin while the table read as
+    // complete. Parse both and require identical key sets (tests run with
+    // cwd = repo root, where BASELINE.md lives).
+    val md = new java.io.File("BASELINE.md")
+    assume(md.exists(), "BASELINE.md not present (non-repo checkout)")
+    val tableKeys = scala.io.Source.fromFile(md, "UTF-8").getLines()
+      .flatMap("""^\| ([a-z0-9_]+) \| [0-9.]+ \|$""".r.findFirstMatchIn(_))
+      .map(_.group(1)).toSet
+    val in = getClass.getResourceAsStream("/graft/bench_baseline.json")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val jsonKeys = """"([a-z0-9_]+)"\s*:""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    assert(jsonKeys -- tableKeys == Set.empty,
+      s"pins missing from the BASELINE.md table: ${(jsonKeys -- tableKeys).toSeq.sorted}")
+    assert(tableKeys -- jsonKeys == Set.empty,
+      s"stale BASELINE.md table rows: ${(tableKeys -- jsonKeys).toSeq.sorted}")
+  }
+
   test("registry hygiene: intra-registry duplicate keys fail at construction") {
     // the cross-registry check above cannot see a key duplicated WITHIN one
     // Map literal — Scala dedupes it (last entry wins) before any spec runs,
