@@ -73,9 +73,12 @@ object Multimodal {
     * lane of the decode harness, not a stand-in for it.
     */
   def byteStats(payload: Array[Byte]): (Long, String, Double) = {
-    val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-    val mean = if (payload.isEmpty) 0.0 else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
-    (payload.length.toLong, head, mean)
+    // null = absent media: same stats as an empty payload (the decode
+    // family's degrade-don't-throw contract, see dHash64/audioSig64)
+    val p = if (payload == null) Array.emptyByteArray else payload
+    val head = p.take(8).map(b => f"${b & 0xff}%02x").mkString
+    val mean = if (p.isEmpty) 0.0 else p.map(b => (b & 0xff).toLong).sum.toDouble / p.length
+    (p.length.toLong, head, mean)
   }
 
   /** Partition-parallel byte-level decode: binary payload → feature struct. */
@@ -496,7 +499,9 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        // null payload = zero-sample clip (degrade, don't throw)
+        val bytes = Option(r.getAs[Array[Byte]](payloadIdx))
+          .getOrElse(Array.emptyByteArray)
         val n = bytes.length / 2
         var sumSq = 0L
         var zc = 0L

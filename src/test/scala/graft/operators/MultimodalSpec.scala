@@ -213,6 +213,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode family degrades on null payloads instead of throwing") {
+    // one contract across all modalities: absent media = absent/zero
+    // output, never an executor NPE (real sources have nullable payloads)
+    val nullMedia = Seq((1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    assert(Multimodal.byteStats(null) == ((0L, "", 0.0)))
+    assert(Multimodal.dHash64(null).isEmpty)
+    assert(Multimodal.audioSig64(null).isEmpty)
+    assert(Multimodal.dHashSigs(nullMedia).isEmpty)
+    assert(Multimodal.audioSigs(nullMedia).isEmpty)
+    assert(Multimodal.sceneCuts(nullMedia).isEmpty)
+    val a = Multimodal.decodePcmFeatures(nullMedia).collect()(0).getStruct(1)
+    assert(a.getLong(0) == 0L && a.getLong(2) == 0L)
+  }
+
   test("audioSig64: undersized payloads yield no signature; trailing samples ignored") {
     assert(Multimodal.audioSig64(Array.emptyByteArray).isEmpty)
     // 65*8 samples needed at the defaults; one frame short -> None
