@@ -94,6 +94,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(again == inline)
   }
 
+  test("rounded scores are partitioning-invariant on real data") {
+    // the oracle hash-compare assumes the 4/6-decimal rounding absorbs
+    // float-summation-order noise; prove it on the real corpus by running
+    // each scorer under two hostile partitionings and requiring EXACT
+    // (bitwise double) equality of every output row
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect().toSeq
+    val shuffled = docs.repartition(7, $"lang").localCheckpoint()
+    assert(rows(LanguageModel.bigramLmScores(docs, "doc_id", "text"))
+      == rows(LanguageModel.bigramLmScores(shuffled, "doc_id", "text")))
+    assert(rows(LanguageModel.importanceWeights(docs, "doc_id", "text", $"lang" === "en"))
+      == rows(LanguageModel.importanceWeights(shuffled, "doc_id", "text", $"lang" === "en")))
+    def nb(d: org.apache.spark.sql.DataFrame) = LanguageModel.naiveBayesClassify(
+      d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1), "doc_id", "text", "lang")
+    assert(rows(nb(docs)) == rows(nb(shuffled)))
+  }
+
   test("importance weights steer toward the target domain and normalize for length") {
     // target (tgt=true) speaks 'sun moon'; raw background speaks 'mud rock'.
     // A sun-moon doc must outweigh a mud-rock doc; doubling a doc's length
