@@ -1007,6 +1007,31 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // C4 classifier-era curation composition — c1's modern twin: where c1
+    // runs the HEURISTIC stack (near-dup CC + hand rules), c4 runs the
+    // model-based one a FineWeb-style pipeline uses — exact dedup → NB
+    // language gate (train on the labeled half, score every survivor,
+    // keep predicted-en) → DSIR importance weights → deterministic A-ES
+    // draw of the 30 highest-priority docs. Every stage is the
+    // already-oracle-checked operator; the lane pins their COMPOSITION
+    // (id plumbing, rounding hand-offs, filter order) end to end.
+    "c4_classifier_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = graft.operators.Dedup.exactByFingerprint(docs, "text", "doc_id")
+        .select("doc_id")
+      // two classifier consumers (train split + scoring) and the weight
+      // pass all read the deduped frame — materialize once
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val en = LanguageModel.naiveBayesClassify(
+          deduped.filter(col("doc_id") % 2 === 0), deduped, "doc_id", "text", "lang")
+        .filter(col("pred_lang") === "en")
+        .select("doc_id")
+      val w = LanguageModel.importanceWeights(
+        deduped, "doc_id", "text", col("lang") === "en")
+      graft.operators.Splits.weightedSample(
+        w.join(en, Seq("doc_id"), "left_semi"), "doc_id", "c4", col("weight"), k = 30)
+    }),
+
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
     // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
     // IEEE division, bit-identical across engines; rounding a double is not.
@@ -1815,6 +1840,75 @@ object ExtensionQueries {
          |SELECT b.doc_id, d.lang, b.pred_lang, b.score
          |FROM best b JOIN documents d USING (doc_id)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // c4: the composed stack restated — e1b's keeper, t16's train/score
+    // (test = every survivor), the argmax filtered to 'en', ws2's weight
+    // arithmetic over the deduped corpus, and the A-ES draw at salt 'c4'.
+    "c4_classifier_curation" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |dd AS (
+         |  SELECT doc_id, text, lang FROM documents JOIN keep USING (doc_id)),
+         |tr AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM dd WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, $toksSql AS toks FROM dd),
+         |ttok AS (SELECT lang, unnest(toks) AS w FROM tr),
+         |wc AS (SELECT lang, w, COUNT(*) AS cw FROM ttok GROUP BY lang, w),
+         |nd AS (SELECT lang, COUNT(*) AS n_docs FROM tr GROUP BY lang),
+         |nt AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY lang),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM ttok),
+         |tot AS (SELECT COUNT(*) AS n_all FROM tr),
+         |classes AS (
+         |  SELECT nd.lang, ln(n_docs) - ln(n_all) AS prior_lp, n_tok, v
+         |  FROM nd JOIN nt USING (lang) CROSS JOIN vocab CROSS JOIN tot),
+         |tw AS (
+         |  SELECT doc_id, w, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM te) x GROUP BY doc_id, w),
+         |sc AS (
+         |  SELECT tw.doc_id, c.lang,
+         |    c.prior_lp + SUM(cnt * (ln(COALESCE(cw, 0) + 0.5)
+         |                            - ln(n_tok + 0.5 * v))) AS score
+         |  FROM tw CROSS JOIN classes c
+         |  LEFT JOIN wc ON wc.lang = c.lang AND wc.w = tw.w
+         |  GROUP BY tw.doc_id, c.lang, c.prior_lp),
+         |en AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, lang,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |    FROM sc) t
+         |  WHERE rn = 1 AND lang = 'en'),
+         |tok2 AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt, unnest(toks) AS w
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM dd) y),
+         |wcnt AS (
+         |  SELECT w, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+         |  FROM tok2 GROUP BY w),
+         |tot2 AS (
+         |  SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt2, COUNT(*) AS nr,
+         |         COUNT(DISTINCT w) AS v2
+         |  FROM tok2),
+         |dw AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok2 GROUP BY doc_id, w),
+         |lr AS (
+         |  SELECT doc_id, cnt,
+         |    cnt * ((ln(ct + 0.5) - ln(nt2 + 0.5 * v2))
+         |         - (ln(cr + 0.5) - ln(nr + 0.5 * v2))) AS lr
+         |  FROM dw JOIN wcnt USING (w) CROSS JOIN tot2),
+         |wts AS (
+         |  SELECT doc_id, ROUND(exp(SUM(lr) / SUM(cnt)), 6) AS weight
+         |  FROM lr GROUP BY doc_id),
+         |s AS (
+         |  SELECT doc_id,
+         |    POW((CAST(md5_number_lower('c4:' || CAST(doc_id AS VARCHAR)) AS DOUBLE) + 1.0)
+         |          / 18446744073709551616.0,
+         |        1.0 / weight) AS kk
+         |  FROM wts JOIN en USING (doc_id) WHERE weight > 0)
+         |SELECT rank, doc_id, priority FROM (
+         |  SELECT doc_id, ROUND(kk, 6) AS priority,
+         |    ROW_NUMBER() OVER (ORDER BY kk DESC, doc_id DESC) AS rank
+         |  FROM s) t
+         |WHERE rank <= 30
+         |ORDER BY rank""".stripMargin,
 
     "ws2_dsir_resample" ->
       s"""WITH tok AS (

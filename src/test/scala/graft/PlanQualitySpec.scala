@@ -93,7 +93,11 @@ class PlanQualitySpec extends SparkSpec {
     "t16_nb_langid" -> 3,
     // ws2: one-row corpus-totals scalar (target tokens, raw tokens, vocab)
     // crossed into the per-doc word scoring — t6_tfidf's corpus-scalar shape.
-    "ws2_dsir_resample" -> 1)
+    "ws2_dsir_resample" -> 1,
+    // c4 composes t16's classifier (its 3 bounded crosses) with ws2's
+    // weight pass (its 1 corpus scalar) — the same four bounded broadcasts,
+    // no new nesting introduced by the composition.
+    "c4_classifier_curation" -> 4)
 
   private def countBnl(plan: String): Int =
     "BroadcastNestedLoop".r.findAllMatchIn(plan).size
