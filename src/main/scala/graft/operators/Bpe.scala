@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Distributed byte-pair-encoding tokenizer induction (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * operation a frontier-lab pipeline runs BEFORE any token-count accounting
+  * exists: learn the merge table from the corpus itself.
+  *
+  * Scale shape (the reason BPE training is feasible at 100 TB at all): the
+  * corpus is touched EXACTLY ONCE, by [[wordCounts]] — a map-side-combined
+  * `groupBy(word).count`, the cheapest shuffle in the engine. Every merge
+  * iteration after that runs on the WORD-FREQUENCY TABLE, whose cardinality
+  * is the corpus vocabulary (millions of rows, not billions of documents)
+  * and which only SHRINKS in byte volume as merges fuse symbols. Per
+  * iteration: one exploded pair count (map-side combined, bounded by
+  * vocab x avg word length), one 1-row argmax collect (the only driver
+  * traffic), one codegen'd `replace` over the vocab table. This is exactly
+  * the classic single-node algorithm's word-dict trick, distributed.
+  *
+  * Representation: a word's current symbol sequence is a string of
+  * INDIVIDUALLY PARENTHESIZED symbols (`"hello"` -> `"(h)(e)(l)(l)(o)"`).
+  * Applying merge (a, b) is then `replace(syms, "(a)(b)", "(ab)")` — and
+  * left-to-right non-overlapping string replace on this form is EXACTLY
+  * the greedy merge order Sennrich's reference applier uses (merge at the
+  * leftmost occurrence, resume scanning AFTER the merged pair). The wrap
+  * must be per-symbol, not a shared separator: with space-joined symbols
+  * (`" a a a a a "`) the pattern `" a a "` consumes the separator shared
+  * with the next pair, so back-to-back merges in a repeated-symbol run
+  * misgroup (`[aa, a, aa]` where greedy BPE gives `[aa, aa, a]`) — a bug
+  * this module's first draft had and BpeSpec now pins. With per-symbol
+  * parens, `"(a)(a)(a)(a)(a)"` -> `"(aa)(aa)(a)"`, and a pair match can
+  * never straddle a symbol boundary (`"(xa)(b)"` does not contain
+  * `"(a)(b)"`). Tokens are `[a-z0-9]+` ([[Text.tokens]]), so symbols never
+  * contain a paren. The same replace semantics hold verbatim in ANSI SQL /
+  * DuckDB, which is what makes the learned-merge lane (bpe3) fully
+  * hash-checkable by an unrolled oracle.
+  *
+  * Determinism: pair weights are exact integer sums; the argmax tie-break
+  * is (weight DESC, left ASC, right ASC) — a total order, so the learned
+  * merge sequence is a pure function of the corpus, independent of
+  * partitioning, rerun, or cluster size.
+  */
+object Bpe {
+
+  /** Corpus word-frequency table: `(word, cnt)`. The ONLY corpus-sized pass
+    * in the whole trainer; map-side combine collapses each partition's
+    * token stream to its local vocabulary before the shuffle.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `"(h)(e)(l)(l)(o)"` — the per-symbol-parenthesized form. The explicit
+    * empty-string filter guards Spark's `split(s, "", -1)` trailing-empty
+    * behavior (DuckDB's `string_split(s, '')` never emits one, and the two
+    * sides must symbolize identically).
+    */
+  def symbolize(word: Column): Column =
+    concat(lit("("),
+      array_join(filter(split(word, ""), s => length(s) > 0), ")("),
+      lit(")"))
+
+  /** The symbol array of a symbolized word: strip the outer parens, split
+    * on the `)(` joints (escaped — Spark's split is regex).
+    */
+  def symbols(syms: Column): Column =
+    split(syms.substr(lit(2), length(syms) - 2), "\\)\\(")
+
+  /** Adjacent symbol pairs of one symbolized word, as `array<struct<l,r>>`.
+    * Single-symbol words produce an empty array — the `when` guard matters
+    * because Spark's `sequence(1, 0)` counts DOWNWARD instead of returning
+    * empty.
+    */
+  private def adjacentPairs(syms: Column): Column = {
+    val parts = symbols(syms)
+    when(size(parts) >= 2,
+      transform(sequence(lit(1), size(parts) - 1),
+        i => struct(element_at(parts, i).as("l"), element_at(parts, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
+  /** Weighted adjacent-pair counts over a `(syms, cnt)` vocab table:
+    * `(l, r, weight)` where weight = sum over words of
+    * (occurrences in word) x (word frequency) — one explode + one
+    * map-side-combined aggregate, never corpus-sized.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(explode(adjacentPairs(col("syms"))).as("p"), col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("weight"))
+
+  /** One merge applied to a symbolized string: a codegen'd plain-string
+    * `replace` (not regex — symbols are [a-z0-9]+ so either would do, but
+    * plain replace is verbatim the oracle's replace()). See the
+    * representation note above for why left-to-right replace IS greedy BPE.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    replace(syms, lit(s"($l)($r)"), lit(s"($l$r)"))
+
+  /** A whole merge table applied in learned order: a fold of replaces —
+    * one flat codegen'd expression chain, no UDF, no shuffle.
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => applyMerge(c, l, r) }
+
+  /** Symbol count of a symbolized word — the BPE token count once the
+    * merge chain has been applied: one `(` per symbol, so count them
+    * (two codegen'd string ops, no split/array allocation).
+    */
+  def symbolCount(syms: Column): Column =
+    length(syms) - length(replace(syms, lit("("), lit("")))
+
+  /** Learn `nMerges` merges from a `(word, cnt)` table. Returns the merge
+    * table in learned order. Driver traffic is ONE ROW per iteration (the
+    * argmax); the vocab table is localCheckpointed each iteration to keep
+    * the plan flat (same discipline as the connected-components loop —
+    * without it the replace chain re-derives from iteration 0 every pass).
+    * Stops early when no pair remains (fully merged vocabulary).
+    */
+  def trainMerges(wc: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = wc.select(symbolize(col("word")).as("syms"), col("cnt").cast("long").as("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("weight"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        vocab = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Per-document BPE token count under a given merge table: symbolize
+    * every token occurrence, fold the merge chain (codegen'd replaces),
+    * sum symbol counts per document. Linear in corpus size, one shuffle
+    * (the final per-doc aggregate); with an empty merge table this is
+    * exactly the per-doc character count of the token stream.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .select(col(idCol),
+        symbolCount(applyMerges(symbolize(col("word")), merges)).as("n_syms"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_syms")).as("n_bpe_tokens"))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Prepare, Similarity}
+import graft.operators.{Bpe, Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Prepare, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -17,6 +17,18 @@ object ExtensionQueries {
   import ParityQueries.QFn
 
   private val stopList = Text.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** bpe2's FIXED merge table (applier-only lane — bpe3 learns its own):
+    * plausible English digram merges, including two second-order ones
+    * (th+e, an+d, in+g) so the chain exercises merged-symbol reuse. Shared
+    * with the oracle generator so both sides apply literally the same
+    * merges in the same order.
+    */
+  private val bpe2Merges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+    "a" -> "n", "o" -> "n", "e" -> "r", "an" -> "d", "in" -> "g")
+
+  /** bpe3 trains this many merges — mirrored by the oracle's unroll depth. */
+  private val bpe3NMerges = 8
 
   val queries: Map[String, QFn] = Registry.uniqueMap[QFn]("ExtensionQueries.queries")(
     // E1 exact dedup: deterministic keeper + dup count per (lang, source).
@@ -1408,7 +1420,42 @@ object ExtensionQueries {
       Dedup.editDistanceNearDupBlocked(Tables.documents(s, d), "doc_id", "text",
         maxDist = 6, numPerms = 16, bands = 8, candThreshold = 0.05,
         portable = true)
-        .orderBy("a", "b")))
+        .orderBy("a", "b")),
+
+    // BPE1 the tokenizer-induction kernel: weighted adjacent-symbol-pair
+    // counts over the corpus word-frequency table ([[Bpe.pairCounts]]) —
+    // the inner loop of BPE training, isolated. One corpus pass (the
+    // map-side-combined word count), one vocab-sized explode+agg; the
+    // (weight DESC, l, r) tie-break is a total order so top-20 is exact.
+    "bpe1_pair_counts" -> ((s, d) => {
+      val wc = Bpe.wordCounts(Tables.documents(s, d), "text")
+      Bpe.pairCounts(wc.select(Bpe.symbolize(col("word")).as("syms"), col("cnt")))
+        .orderBy(desc("weight"), asc("l"), asc("r")).limit(20)
+        .select(col("l").as("lsym"), col("r").as("rsym"), col("weight"))
+    }),
+
+    // BPE2 the tokenizer APPLIER under a fixed merge table: per-document
+    // BPE token count — the number every mixture/packing stage downstream
+    // consumes. The merge chain compiles to a flat codegen'd replace chain
+    // (no UDF); the oracle replays the identical replaces, so a greedy-scan
+    // or boundary bug hash-mismatches (BpeSpec pins the two classic traps).
+    "bpe2_apply_merges" -> ((s, d) =>
+      Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text", bpe2Merges)
+        .orderBy("doc_id")),
+
+    // BPE3 the full LEARNED lane: train 8 merges distributed
+    // ([[Bpe.trainMerges]] — corpus touched once, each iteration one
+    // vocab-sized agg + a 1-row argmax collect) and return the merge table
+    // in learned order. The oracle UNROLLS the same 8 iterations as chained
+    // materialized CTEs (pair-count -> argmax -> replace), so the entire
+    // learning trajectory — counts, tie-breaks, greedy application — is
+    // hash-checked end to end, not just the final vocabulary.
+    "bpe3_learned_merges" -> ((s, d) => {
+      val wc = Bpe.wordCounts(Tables.documents(s, d), "text")
+      val merges = Bpe.trainMerges(wc, bpe3NMerges)
+      val rows = merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      s.createDataFrame(rows).toDF("merge_rank", "lsym", "rsym")
+    }))
 
   // ---- oracles --------------------------------------------------------------
 
@@ -3075,5 +3122,77 @@ object ExtensionQueries {
          |  SELECT c.a, c.b, levenshtein(x.text, y.text) AS dist
          |  FROM cand5b c JOIN documents x ON x.doc_id = c.a
          |               JOIN documents y ON y.doc_id = c.b)
-         |SELECT a, b, dist FROM scored WHERE dist <= 6 ORDER BY a, b""".stripMargin)
+         |SELECT a, b, dist FROM scored WHERE dist <= 6 ORDER BY a, b""".stripMargin,
+
+    "bpe1_pair_counts" ->
+      s"""WITH $bpeWcSql,
+         |v0 AS (SELECT $bpeSymbolizeSql AS syms, cnt FROM wc)
+         |SELECT pr[1] AS lsym, pr[2] AS rsym, CAST(SUM(cnt) AS BIGINT) AS weight
+         |FROM (${bpePairsSql("v0")})
+         |GROUP BY 1, 2 ORDER BY weight DESC, lsym, rsym LIMIT 20""".stripMargin,
+
+    // bpe2: the identical replace chain, fold-generated from the SAME
+    // Scala merge list the Spark lane uses — per-symbol parens make plain
+    // left-to-right replace exactly Sennrich-greedy on both engines (see
+    // graft.operators.Bpe scaladoc).
+    "bpe2_apply_merges" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |sym AS (SELECT doc_id, $bpeSymbolizeSql AS syms FROM tok),
+         |m AS (SELECT doc_id, ${bpe2Merges.foldLeft("syms") { case (e, (l, r)) =>
+               s"replace($e, '($l)($r)', '($l$r)')" }} AS s FROM sym)
+         |SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe3_learned_merges" -> bpeLearnSql(bpe3NMerges))
+
+  /** Corpus word-frequency CTE matching [[Bpe.wordCounts]]. */
+  private def bpeWcSql =
+    s"""wc AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word)""".stripMargin
+
+  /** `(h)(e)(l)(l)(o)` — [[Bpe.symbolize]] over a `word` column. */
+  private def bpeSymbolizeSql =
+    "'(' || array_to_string(string_split(word, ''), ')(') || ')'"
+
+  /** Exploded adjacent symbol pairs `(pr, cnt)` of a `(syms, cnt)` vocab
+    * relation — [[Bpe.pairCounts]]'s explode. `generate_series(1, 0)` is
+    * empty in DuckDB, so single-symbol words contribute nothing, matching
+    * the Spark side's empty-array guard.
+    */
+  private def bpePairsSql(rel: String) =
+    s"""SELECT unnest(list_transform(generate_series(1, CAST(len(sy) AS INTEGER) - 1),
+       |    i -> [sy[i], sy[i+1]])) AS pr, cnt
+       |  FROM (SELECT string_split(substr(syms, 2, length(syms) - 2), ')(') AS sy, cnt FROM $rel)""".stripMargin
+
+  /** bpe3's oracle: the 8-iteration BPE training loop UNROLLED as chained
+    * CTEs — per iteration a pair-count aggregate, a 1-row argmax with the
+    * (weight DESC, l, r) tie-break, and the greedy replace applied to the
+    * whole vocabulary. `MATERIALIZED` stops DuckDB inlining each `v_i`
+    * into its two consumers (the reference chain would otherwise re-derive
+    * `v0` 2^n times).
+    */
+  private def bpeLearnSql(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS w
+         |  FROM (${bpePairsSql(s"v${i - 1}")})
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(syms,
+         |      '(' || (SELECT l FROM b$i) || ')(' || (SELECT r FROM b$i) || ')',
+         |      '(' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ')') AS syms, cnt
+         |  FROM v${i - 1})""".stripMargin
+    }
+    val sel = (1 to nMerges)
+      .map(i => s"SELECT $i AS merge_rank, (SELECT l FROM b$i) AS lsym, (SELECT r FROM b$i) AS rsym")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeWcSql,
+       |v0 AS MATERIALIZED (SELECT $bpeSymbolizeSql AS syms, cnt FROM wc),
+       |${stages.mkString(",\n")}
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
 }

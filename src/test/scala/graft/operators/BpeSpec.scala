@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE trainer + applier vs a naive single-node reference implementation
+  * written independently below (symbol lists + explicit greedy scan, no
+  * string replace) — so a representation bug in the space-joined form
+  * cannot cancel itself out across both sides.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- naive reference: classic Sennrich dict-based BPE on symbol lists ---
+
+  private def refPairCounts(vocab: Map[List[String], Long]): Map[(String, String), Long] =
+    vocab.toSeq.flatMap { case (syms, cnt) =>
+      syms.zip(syms.tail).map(p => p -> cnt)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def refMergeWord(syms: List[String], l: String, r: String): List[String] = {
+    // explicit greedy left-to-right scan with resume-after-merge
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def refTrain(words: Map[String, Long], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] =
+      words.toSeq.groupBy(_._1.map(_.toString).toList).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val pc = refPairCounts(vocab)
+      if (pc.isEmpty) done = true
+      else {
+        val (l, r) = pc.toSeq.minBy { case ((a, b), w) => (-w, a, b) }._1
+        merges += ((l, r))
+        vocab = vocab.toSeq.map { case (syms, cnt) => refMergeWord(syms, l, r) -> cnt }
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      }
+    }
+    merges.result()
+  }
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the hat and the bat chat"),
+    (3L, "that cat that hat that splat"),
+    (4L, "thin moths thrash in the thicket"),
+    (5L, "aaa aa aaaa banana bandana"),
+    (6L, "on and on and on it went")
+  ).toDF("doc_id", "text")
+
+  private def refWordCounts: Map[String, Long] =
+    docs.collect().flatMap(r => r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+
+  test("wordCounts matches a driver-side tally") {
+    val got = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(got == refWordCounts)
+  }
+
+  test("learned merge sequence matches the naive reference exactly") {
+    val wc = Bpe.wordCounts(docs, "text")
+    val got = Bpe.trainMerges(wc, 12)
+    val want = refTrain(refWordCounts, 12)
+    assert(got == want)
+  }
+
+  test("overlapping pair merges greedily left-to-right (aaa -> [aa, a])") {
+    // the representation trap: (a)(a)(a) must become (aa)(a), never (a)(aa)
+    val out = Seq("aaa").toDF("word")
+      .select(Bpe.applyMerge(Bpe.symbolize(col("word")), "a", "a").as("s"))
+      .as[String].head()
+    assert(out == "(aa)(a)")
+  }
+
+  test("back-to-back merges in an odd run group like Sennrich greedy (aaaaa -> [aa, aa, a])") {
+    // the shared-separator trap a space-joined form falls into: the first
+    // match must not consume the boundary the second match needs
+    val out = Seq("aaaaa").toDF("word")
+      .select(Bpe.applyMerge(Bpe.symbolize(col("word")), "a", "a").as("s"))
+      .as[String].head()
+    assert(out == "(aa)(aa)(a)")
+  }
+
+  test("symbol wrapping prevents cross-symbol matches (xa+b has no (a)(b) pair)") {
+    val out = Seq(("xa b fake")).toDF("text")
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .select(Bpe.applyMerge(Bpe.symbolize(col("w")), "a", "b").as("s"))
+      .as[String].collect().toSet
+    // tokens are xa, b, fake; none contains the adjacent pair (a, b)
+    assert(out == Set("(x)(a)", "(b)", "(f)(a)(k)(e)"))
+  }
+
+  test("applyMerges + symbolCount reproduce the reference tokenization") {
+    val wc = Bpe.wordCounts(docs, "text")
+    val merges = Bpe.trainMerges(wc, 8)
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    // reference: tokenize each doc's words with the learned merges
+    val want = docs.collect().map { r =>
+      val words = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = words.map { w =>
+        merges.foldLeft(w.map(_.toString).toList) { case (s, (l, r2)) => refMergeWord(s, l, r2) }.length.toLong
+      }.sum
+      r.getLong(0) -> n
+    }.toMap
+    assert(got == want)
+  }
+
+  test("trainer stops early on a fully merged vocabulary") {
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(tiny, "text")
+    val merges = Bpe.trainMerges(wc, 10)
+    assert(merges == Seq(("a", "b"))) // one merge exhausts all pairs
+  }
+
+  test("zero merges tokenize to per-doc character counts of the token stream") {
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", Nil).as[(Long, Long)].collect().toMap
+    val want = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(_.length.toLong).sum
+    }.toMap
+    assert(got == want)
+  }
+}
