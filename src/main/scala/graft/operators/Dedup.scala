@@ -939,6 +939,43 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-eval-document contamination VERDICTS: the fraction of an eval
+    * doc's distinct shingles that appear ANYWHERE in the training corpus,
+    * plus the thresholded `contaminated` flag — the number an actual
+    * decontamination pass filters on (the standard published protocol drops
+    * an eval doc / flags a train overlap when n-gram overlap exceeds a
+    * fraction, not when any 2 shingles match as in [[contaminationPairs]]).
+    *
+    * Shape: the eval inverted index (benchmark-sized) LEFT-SEMI-joins the
+    * raw training shingle stream — semi join, so duplicate occurrences of a
+    * shingle across training docs cannot double-count a match and no
+    * corpus-wide `distinct` pass is needed; cost is one linear pass over
+    * training shingles hashed on the join key. At 100 TB compose with the
+    * [[contaminationPairsBloom]] prefilter discipline (probe each training
+    * shingle against the eval Bloom before the shuffle) — false positives
+    * die in the exact semi join, so results are unchanged.
+    *
+    * Eval docs with NO shingles (< 3 tokens) are absent from the output —
+    * vacuously clean, and keeping the contract symmetric with the oracle's
+    * inverted-index formulation.
+    */
+  def contaminationFractions(train: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val evalInv = shingleArrays(evalDocs, idCol, textCol)
+      .select(col(idCol).as("eval_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val trainSh = shingleArrays(train, idCol, textCol)
+      .select(explode(col("sh")).as("shingle"))
+    val totals = evalInv.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = evalInv.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("eval_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("overlap_frac",
+        round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 4))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** [[contaminationPairs]]'s 100 TB lane: a Bloom filter over the eval
     * suite's shingle hashes prunes the training-side inverted index BEFORE
     * any join. Identical output (hash-checked by the d7b oracle): Bloom

@@ -68,6 +68,39 @@ object Splits {
     hashSplit(keyed, "__cs_key", salt, splits, as).drop(internal: _*)
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shard` (0..nShards-1) and a 1-based `pos` within its shard, both pure
+    * functions of (salt, id) — the reproducible document ordering a
+    * training run ships to its dataloader, stable across reruns, cluster
+    * sizes, partitionings, and engines (Spark's own `orderBy(rand(seed))`
+    * is none of those: rand is partition-layout-dependent). Changing
+    * `salt` re-rolls the whole permutation; epoch k = salt "run1:epoch3".
+    *
+    * Mechanics: sort key = signed-shifted `md5Lower64(salt:id)` (the
+    * [[graft.operators.Integrity.md5Lower64]] idiom — DuckDB's
+    * `md5_number_lower` minus 2^63, so the BIGINT order equals the
+    * unsigned hash order on both engines); shard = pmod(key, nShards);
+    * pos = exact rank of (key, id) within the shard via
+    * [[ScalableWindow.rowNumber]] — per-shard volume is N/nShards and the
+    * sliced ranker sorts it at |shards| x slices parallelism, so there is
+    * NO single-task global sort anywhere (the naive
+    * `row_number() OVER (ORDER BY hash)` global shuffle is exactly the
+    * scale killer this exists to avoid at 100 TB).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String,
+                           nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val internal = Seq("__ds_key", "shard", "pos")
+    require(!df.columns.exists(internal.contains),
+      s"input must not contain reserved columns ${internal.mkString(", ")}")
+    val key = (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      - lit(BigDecimal("9223372036854775808"))).cast("long")
+    val keyed = df.withColumn("__ds_key", key)
+      .withColumn("shard", pmod(col("__ds_key"), lit(nShards.toLong)).cast("int"))
+    ScalableWindow.rowNumber(keyed, "shard", "__ds_key", idCol, as = "pos")
+      .drop("__ds_key", "_n")
+  }
+
   /** Deterministic fractional upsampling (dataset mixture weighting): each
     * row is emitted `floor(factor)` times, plus one more iff the row's
     * md5-hex draw falls under the fractional remainder — so multiplicity is

@@ -30,6 +30,30 @@ object ExtensionQueries {
   /** bpe3 trains this many merges — mirrored by the oracle's unroll depth. */
   private val bpe3NMerges = 8
 
+  /** The t2 quality-feature chain, shared with c5's pruning lane. The
+    * quality combine runs in exact DECIMAL: 0.5*stop + 0.5*(1-punct) hits
+    * exact half-way 5th decimals (e.g. 0.52565) where double rounding
+    * diverges between engines; the 4-decimal ratios cast losslessly to
+    * DECIMAL(9,4), and both Spark and DuckDB round decimals half-up
+    * identically.
+    */
+  private def qualityFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("avg_token_len",
+        round(Text.totalTokenLen(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+      .withColumn("punct_ratio",
+        round(Text.punctCount(col("text")).cast("double") / greatest(col("n_chars"), lit(1)).cast("double"), 4))
+      .withColumn("stop_ratio",
+        round(Text.stopwordHits(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
+      .withColumn("quality",
+        round((col("stop_ratio").cast("decimal(9,4)")
+          + lit(1).cast("decimal(9,4)")
+          - col("punct_ratio").cast("decimal(9,4)"))
+          * lit(BigDecimal("0.5")), 4).cast("double"))
+
   val queries: Map[String, QFn] = Registry.uniqueMap[QFn]("ExtensionQueries.queries")(
     // E1 exact dedup: deterministic keeper + dup count per (lang, source).
     "e1_dedup_exact" -> ((s, d) =>
@@ -560,26 +584,7 @@ object ExtensionQueries {
 
     // T2 quality scoring: length/punct/stopword signals, composite score.
     "t2_quality_score" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", Text.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_chars", length(col("text")))
-        .withColumn("avg_token_len",
-          round(Text.totalTokenLen(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
-        .withColumn("punct_ratio",
-          round(Text.punctCount(col("text")).cast("double") / greatest(col("n_chars"), lit(1)).cast("double"), 4))
-        .withColumn("stop_ratio",
-          round(Text.stopwordHits(col("toks")).cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"), 4))
-        // quality = 0.5*stop + 0.5*(1-punct) hits exact half-way 5th decimals
-        // (e.g. 0.52565) where double rounding diverges between engines, so
-        // the combine happens in exact DECIMAL: the 4-decimal ratios cast
-        // losslessly to DECIMAL(9,4), and both Spark and DuckDB round
-        // decimals half-up identically.
-        .withColumn("quality",
-          round((col("stop_ratio").cast("decimal(9,4)")
-            + lit(1).cast("decimal(9,4)")
-            - col("punct_ratio").cast("decimal(9,4)"))
-            * lit(BigDecimal("0.5")), 4).cast("double"))
+      qualityFrame(Tables.documents(s, d))
         .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "punct_ratio", "stop_ratio", "quality")
         .orderBy("doc_id")),
 
@@ -1044,6 +1049,38 @@ object ExtensionQueries {
         w.join(en, Seq("doc_id"), "left_semi"), "doc_id", "c4", col("weight"), k = 30)
     }),
 
+    // C5 per-source quality-quota pruning: keep the top 30% of documents
+    // WITHIN EACH SOURCE by quality score — the diversity-preserving form
+    // of classifier pruning (a global threshold empties low-scoring
+    // sources; real curation budgets per domain). Exact per-source ranks
+    // via ScalableWindow's sliced machinery, so a 5-source 100 TB corpus
+    // never funnels a source's rows through one task's sort; the quota
+    // `ceil(0.3 * n_source)` uses the group size the ranker already
+    // computed — no second count pass.
+    "c5_source_quota_pruning" -> ((s, d) => {
+      val scored = qualityFrame(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("negq", -col("quality"))
+      graft.operators.ScalableWindow.rowNumber(scored, "source", "negq", "doc_id", as = "pos")
+        .filter(col("pos") <= ceil(lit(0.3) * col("_n")).cast("long"))
+        .select("source", "doc_id", "quality", "pos")
+        .orderBy("source", "pos")
+    }),
+
+    // D7c per-eval-doc contamination VERDICTS (vs d7's raw pair counts):
+    // fraction of the eval doc's distinct shingles found anywhere in the
+    // training corpus + the thresholded flag — the number a published
+    // decontamination protocol actually filters on. Semi-join shape, no
+    // corpus-wide distinct; composes with d7b's Bloom prefilter at scale.
+    "d7c_contamination_fraction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFractions(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy("eval_id")
+    }),
+
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
     // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
     // IEEE division, bit-identical across engines; rounding a double is not.
@@ -1190,6 +1227,18 @@ object ExtensionQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
+
+    // SH1 deterministic global training-order shuffle: (shard, pos) for
+    // every document as a pure function of (salt, id) — the reproducible
+    // dataloader ordering a training run exports. Rank runs through
+    // ScalableWindow's sliced machinery (no single-task global sort); the
+    // oracle re-derives the identical permutation from md5_number_lower
+    // and a plain per-shard row_number.
+    "sh1_deterministic_shuffle" -> ((s, d) =>
+      graft.operators.Splits.deterministicShuffle(
+          Tables.documents(s, d).select("doc_id"), "doc_id", "sh1", nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")),
 
     // SL1 split-leakage audit: near-dup pairs (d2b's portable MinHash
     // blocking) crossed with an sp1-style ID-KEYED split — the count per
@@ -2960,6 +3009,19 @@ object ExtensionQueries {
         |SELECT lang, split, COUNT(*) AS n_docs
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    // sh1: the signed-shifted md5_number_lower key, pmod shard, and exact
+    // per-shard rank — the whole permutation restated.
+    "sh1_deterministic_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(md5_number_lower('sh1:' || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |      - 9223372036854775808 AS BIGINT) AS key
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, CAST(((key % 8) + 8) % 8 AS INTEGER) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
     // sl1: d2b's pair CTEs crossed with sp1's CASE-ladder split (salt sl1)
     // — the audit's cell counts restated end to end.
     "sl1_split_leakage" ->
@@ -3143,7 +3205,54 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "bpe3_learned_merges" -> bpeLearnSql(bpe3NMerges))
+    "bpe3_learned_merges" -> bpeLearnSql(bpe3NMerges),
+
+    // c5: t2's quality formula + per-source rank/quota restated with a
+    // plain window (the oracle runs at benchmark scale; the Spark side's
+    // sliced ranker is the scale divergence under test).
+    "c5_source_quota_pruning" ->
+      s"""WITH tok AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM tok),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
+         |  FROM feat),
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS pos,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT source, doc_id, quality, pos FROM r
+         |WHERE pos <= CAST(CEIL(0.3 * n) AS BIGINT) ORDER BY source, pos""".stripMargin,
+
+    // d7c: the semi-join overlap fraction — eval inverted index, EXISTS
+    // against the training shingle stream, per-doc totals, IEEE division
+    // rounded 4, threshold flag.
+    "d7c_contamination_fraction" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+         |mat AS (
+         |  SELECT eval_id, COUNT(*) AS n_matched
+         |  FROM ev WHERE EXISTS (SELECT 1 FROM tr WHERE tr.s = ev.s)
+         |  GROUP BY 1)
+         |SELECT t.eval_id,
+         |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) AS overlap_frac,
+         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) >= 0.5 AS contaminated
+         |FROM tot t LEFT JOIN mat m ON m.eval_id = t.eval_id
+         |ORDER BY t.eval_id""".stripMargin)
 
   /** Corpus word-frequency CTE matching [[Bpe.wordCounts]]. */
   private def bpeWcSql =

@@ -558,4 +558,23 @@ class DedupSpec extends SparkSpec {
       assert(rows(Dedup.contaminationPairsBloom(train, evalDocs, "doc_id", "text",
         minShared = 2, fpp = fpp)) == exact, s"fpp=$fpp diverged")
   }
+
+  test("contaminationFractions: hand-computed overlap, no double count from repeated train shingles, shingle-less eval absent") {
+    val train = Seq(
+      (1L, "a b c d e f"),          // shingles: "a b c","b c d","c d e","d e f"
+      (2L, "a b c d e f"),          // the SAME shingles again — semi join must not double count
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (10L, "a b c d q r"),         // 4 shingles: "a b c","b c d","c d q","d q r" -> 2 matched
+      (11L, "p q"),                 // < 3 tokens: no shingles -> absent from output
+      (12L, "m n o p q r")          // 4 shingles, 0 matched
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFractions(train, evalDocs, "doc_id", "text", threshold = 0.5)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 4L, 2L, 0.5, true),
+      (12L, 4L, 0L, 0.0, false)))
+  }
 }

@@ -149,4 +149,51 @@ class SplitsSpec extends SparkSpec {
     // doc 1025 starts a FRESH shard stream: its cum restarts at 0
     assert(packed == Set((1L, 0L, 0L), (1025L, 1L, 0L), (1026L, 1L, 0L)))
   }
+
+  test("deterministicShuffle: per-shard positions are contiguous ranks; assignment matches the brute-force window") {
+    val df = (1L to 500L).toDF("id")
+    val got = Splits.deterministicShuffle(df, "id", "s", nShards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    // brute-force reference: same key arithmetic, driver-side sort
+    val ref = (1L to 500L).map { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8"))
+      // md5Lower64: last 8 digest bytes assembled in REVERSE (byte 15 most
+      // significant, byte 8 least — DuckDB md5_number_lower), signed shift
+      val unsigned = (0 until 8).map(i => BigInt(d(8 + i) & 0xff) << (8 * i)).sum
+      id -> (unsigned - (BigInt(1) << 63)).toLong
+    }.toMap
+    val want = ref.toSeq.groupBy { case (_, k) => (((k % 4) + 4) % 4).toInt }
+      .flatMap { case (sh, xs) =>
+        xs.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, sh, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("deterministicShuffle: invariant to input partitioning; salt re-rolls the permutation") {
+    val df = (1L to 300L).toDF("id")
+    val a = Splits.deterministicShuffle(df.repartition(13), "id", "e1", 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    val b = Splits.deterministicShuffle(df.repartition(2), "id", "e1", 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    val c = Splits.deterministicShuffle(df, "id", "e2", 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(a != c) // different salt, different permutation
+    // every shard's positions are exactly 1..n_shard under any salt
+    Seq(a, c).foreach { s =>
+      s.groupBy(_._2).foreach { case (_, xs) =>
+        assert(xs.map(_._3).toSeq.sorted == (1L to xs.size).toSeq)
+      }
+    }
+  }
+
+  test("deterministicShuffle: reserved column names refuse loudly") {
+    val df = (1L to 10L).toDF("id").withColumn("shard", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Splits.deterministicShuffle(df, "id", "s", 4)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }
