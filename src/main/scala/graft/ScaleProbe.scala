@@ -101,14 +101,14 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
     val all = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     // setup is gated too: a single-family run must not pay the other
     // families' scans/collects
-    val needDocLadder = Seq("base", "r15", "r15b").exists(want)
+    val needDocLadder = Seq("base", "r15", "r15b", "r15c").exists(want)
     val full = if (needDocLadder) all.count() else 0L
 
     def probe(tag: String, docs: DataFrame, n: Long, skipD5: Boolean = false): Unit = {
@@ -290,6 +290,40 @@ object ScaleProbe {
         f"out=$nbOut%6d t=$tNb%5.1fs | ws2_toks=$wsTok%8d t=$tWs%5.1fs | " +
         f"m5_samples=$samples%8d t=$tM5%5.1fs | m6_pairs=$m6pairs%6d t=$tM6%5.1fs | " +
         f"m7_cuts=$m7cuts%6d t=$tM7%5.1fs")
+    }
+
+    // Late-round-15 training-assembly lanes. The BPE claim under test: the
+    // corpus is touched once (word count) and every training iteration is
+    // VOCABULARY-sized — so the observables are vocab rows (Heaps-law
+    // sub-linear in corpus) and the iteration-1 pair-relation size (bounded
+    // by vocab x word length), with the 4-merge train wall tracking vocab,
+    // not corpus. sh1/c5 are linear passes whose rank parallelism is
+    // shards/sources x slices by construction; d7c is one semi join linear
+    // in training shingles.
+    for (frac <- Seq(4, 2, 1) if want("r15c") && ids.nonEmpty) {
+      val n = math.max(1, (full / frac).toInt)
+      val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val wc = graft.operators.Bpe.wordCounts(sub, "text").localCheckpoint()
+      val vocabRows = wc.count()
+      val tWc = (System.nanoTime() - t0) / 1e9
+      val pairRows = graft.operators.Bpe.pairCounts(
+        wc.select(graft.operators.Bpe.symbolize(col("word")).as("syms"), col("cnt"))).count()
+      val t1 = System.nanoTime()
+      graft.operators.Bpe.trainMerges(wc, 4)
+      val tTrain = (System.nanoTime() - t1) / 1e9
+      val t2b = System.nanoTime()
+      val shRows = graft.operators.Splits.deterministicShuffle(
+        sub.select("doc_id"), "doc_id", "probe", 8).count()
+      val tSh = (System.nanoTime() - t2b) / 1e9
+      val t3b = System.nanoTime()
+      val d7cRows = Dedup.contaminationFractions(
+        sub.filter(col("doc_id") % 97 =!= 0), sub.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text").count()
+      val tFr = (System.nanoTime() - t3b) / 1e9
+      println(f"PROBE-R15C sf0.1/$frac%-4s n=$n%6d bpe_vocab=$vocabRows%7d " +
+        f"t=$tWc%5.1fs bpe_pairs=$pairRows%6d train4=$tTrain%5.1fs | " +
+        f"sh1=$shRows%6d t=$tSh%5.1fs | d7c=$d7cRows%5d t=$tFr%5.1fs")
     }
     spark.stop()
   }
