@@ -145,6 +145,39 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a learned merge table — the tokenizer artifact a training
+    * pipeline trains ONCE and every downstream stage (token accounting,
+    * packing, mixture budgeting, the streaming annotator) then loads
+    * read-only, the same train-offline/apply-everywhere discipline as the
+    * persisted NB model and dedup/semantic indexes. Stored as
+    * `(merge_rank, lsym, rsym)` parquet; order IS the algorithm, so rank
+    * travels with the rows rather than relying on file order.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("merge_rank", "lsym", "rsym")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table in learned order. Driver-side by design:
+    * a merge table is tokenizer-vocabulary-sized (tens of thousands of
+    * rows, NOT corpus-sized) and must become literal arguments of the
+    * codegen'd replace chain — the same bounded-collect class as the
+    * per-file ledgers.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir)
+      .orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym")))
+      .toSeq
+
+  /** Train on a corpus and persist in one call. */
+  def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int, dir: String): Unit =
+    saveMerges(docs.sparkSession, trainMerges(wordCounts(docs, textCol), nMerges), dir)
+
   /** Per-document BPE token count under a given merge table: symbolize
     * every token occurrence, fold the merge chain (codegen'd replaces),
     * sum symbol counts per document. Linear in corpus size, one shuffle

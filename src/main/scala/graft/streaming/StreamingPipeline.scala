@@ -461,6 +461,39 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming BPE token annotator over a PERSISTED merge table
+    * ([[graft.operators.Bpe.saveMerges]]): every micro-batch gets
+    * `n_bpe_tokens` attached, and rows over `maxTokens` (if set) are
+    * dropped — the ingest-side token accounting/length gate a training
+    * pipeline runs as documents arrive, priced under the SAME tokenizer the
+    * final export bills with. The merge table loads ONCE at stream
+    * construction (it is tokenizer-sized and becomes literal arguments of
+    * the codegen'd replace chain — per-batch reload would re-collect it on
+    * every trigger for no freshness gain: the artifact is immutable by
+    * contract, like the NB model). Read-only model ⇒ pure per-batch body ⇒
+    * replay needs only the batch-scoped overwrite, no marker protocol.
+    */
+  def tokenGateStream(docs: DataFrame, mergesDir: String, outDir: String,
+                      checkpointDir: String, maxTokens: Long = Long.MaxValue,
+                      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery = {
+    import graft.operators.Bpe
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(!docs.columns.contains("n_bpe_tokens"),
+      "input must not contain reserved column n_bpe_tokens")
+    val merges = Bpe.loadMerges(docs.sparkSession, mergesDir)
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.join(
+            Bpe.tokenCounts(batch, idCol, textCol, merges), Seq(idCol), "left")
+          .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+          .filter(col("n_bpe_tokens") <= maxTokens)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+  }
+
   /** The gate's output attaches `pred_<labelCol>` and `score` next to the
     * input columns — an input already carrying either would make the
     * admitted join ambiguous and kill the parquet write on the FIRST

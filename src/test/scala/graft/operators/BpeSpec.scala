@@ -122,6 +122,21 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"))) // one merge exhausts all pairs
   }
 
+  test("persisted merges round-trip in learned order; counts from disk == inline") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.trainAndSave(docs, "text", nMerges = 8, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 8))
+    val fromDisk = Bpe.tokenCounts(docs, "doc_id", "text", loaded)
+      .as[(Long, Long)].collect().toMap
+    val inline = Bpe.tokenCounts(docs, "doc_id", "text",
+      Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 8)).as[(Long, Long)].collect().toMap
+    assert(fromDisk == inline)
+    // retrain-and-save overwrites idempotently
+    Bpe.trainAndSave(docs, "text", nMerges = 8, dir)
+    assert(Bpe.loadMerges(spark, dir) == loaded)
+  }
+
   test("zero merges tokenize to per-doc character counts of the token stream") {
     val got = Bpe.tokenCounts(docs, "doc_id", "text", Nil).as[(Long, Long)].collect().toMap
     val want = docs.collect().map { r =>

@@ -364,6 +364,37 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Set("doc_id", "text", "pred_lang", "score").subsetOf(cols))
   }
 
+  test("streaming token gate annotates from persisted merges, drops over-budget and keeps token-free docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Bpe
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "the cat the hat"), (2L, "then that the")).toDF("doc_id", "text")
+    val mDir = Files.createTempDirectory("bpegate_m").toString
+    val gOut = Files.createTempDirectory("bpegate_out").toString
+    val gCk = Files.createTempDirectory("bpegate_ck").toString
+    Bpe.trainAndSave(corpus, "text", nMerges = 4, mDir)
+    val merges = Bpe.loadMerges(spark, mDir)
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    // doc 12 has NO tokens (punctuation only): must pass at 0, not vanish
+    stream.addData((10L, "the cat"), (11L, "a very long document with many many words here"), (12L, "..."))
+    val q1 = StreamingPipeline.tokenGateStream(docs, mDir, gOut, gCk, maxTokens = 10)
+    q1.awaitTermination(120000)
+    val got1 = spark.read.parquet(gOut).select("doc_id", "n_bpe_tokens")
+      .as[(Long, Long)].collect().toMap
+    val expect10 = Bpe.tokenCounts(Seq((10L, "the cat")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).as[(Long, Long)].head()._2
+    assert(got1 == Map(10L -> expect10, 12L -> 0L)) // 11 over budget, dropped
+    // second drain processes only the new batch; replay stays idempotent
+    stream.addData((20L, "that hat"))
+    val q2 = StreamingPipeline.tokenGateStream(docs, mDir, gOut, gCk, maxTokens = 10)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(gOut).select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 12L, 20L))
+  }
+
   test("watermarked hourly window emits finalized buckets in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
