@@ -183,6 +183,12 @@ object Bpe {
     * sum symbol counts per document. Linear in corpus size, one shuffle
     * (the final per-doc aggregate); with an empty merge table this is
     * exactly the per-doc character count of the token stream.
+    *
+    * Scale caveat: the replace chain is one expression PER MERGE — perfect
+    * for the oracle-checkable lanes (tens of merges), wrong for a
+    * production 32k-merge tokenizer, where a 32k-deep expression tree
+    * drowns the analyzer/codegen. That regime is [[tokenCountsScalable]];
+    * BpeSpec pins the two equal on learned merges.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame =
@@ -191,4 +197,72 @@ object Bpe {
         symbolCount(applyMerges(symbolize(col("word")), merges)).as("n_syms"))
       .groupBy(col(idCol))
       .agg(sum(col("n_syms")).as("n_bpe_tokens"))
+
+  /** [[tokenCounts]]'s production lane for REAL merge-table sizes: the
+    * classic rank-priority applier (hash the merge table once per
+    * partition, repeatedly merge the LOWEST-RANK pair present in the
+    * word), run per partition — merge-table size costs one broadcast hash
+    * map, never expression depth. Identical output to the replace chain:
+    * applying learned merges in rank order sequentially equals
+    * lowest-rank-first iteration because a merge only ever CREATES symbols
+    * whose pairs were learned later (a new pair containing the merged
+    * symbol cannot predate the symbol), so no lower-rank opportunity is
+    * ever created after its own pass — BpeSpec pins the equivalence on
+    * learned merges. Both appliers assume a WELL-ORDERED merge table
+    * (every merged symbol built by an earlier rank — true of any trainer
+    * output); an ill-ordered list is not a BPE merge table and the two
+    * forms may legitimately differ on it. Tokenization is [[Text.tokens]]'s
+    * contract restated in the JVM (lowercase, split on non-[a-z0-9], drop
+    * empties); mapPartitions is justified here the same way as the
+    * multimodal decoders: per-partition mutable state (the rank map) that
+    * SQL expressions cannot hold.
+    */
+  def tokenCountsScalable(docs: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankArr = merges.toArray
+    val out = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rank = rankArr.zipWithIndex.toMap
+        it.flatMap { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          var total = 0L
+          words.foreach { w =>
+            val syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
+            var done = false
+            while (!done && syms.length > 1) {
+              // lowest-rank pair present
+              var best = Int.MaxValue
+              var i = 0
+              while (i < syms.length - 1) {
+                rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+                i += 1
+              }
+              if (best == Int.MaxValue) done = true
+              else {
+                val (l, r) = rankArr(best)
+                // greedy left-to-right, resume after each merged pair
+                var j = 0
+                while (j < syms.length - 1) {
+                  if (syms(j) == l && syms(j + 1) == r) {
+                    syms(j) = l + r
+                    syms.remove(j + 1)
+                  }
+                  j += 1
+                }
+              }
+            }
+            total += syms.length
+          }
+          // token-free docs are ABSENT, matching the chain form's explode
+          if (words.isEmpty) None else Some((id, total))
+        }
+      }
+      .toDF(idCol, "n_syms")
+    out.groupBy(col(idCol)).agg(sum(col("n_syms")).as("n_bpe_tokens"))
+  }
 }

@@ -1067,6 +1067,40 @@ object ExtensionQueries {
         .orderBy("source", "pos")
     }),
 
+    // C6 the tokenized-export composition: the full modern assembly line a
+    // training export runs — exact dedup → per-source quality quota (c5's
+    // sliced ranker) → BPE token accounting under the fixed tokenizer
+    // (bpe2b's production applier) → deterministic shard/position shuffle
+    // (sh1) → per-shard manifest (doc count, token total, order-insensitive
+    // id checksum, chk1's idiom). Every stage is an already-oracle-checked
+    // operator; the lane pins their COMPOSITION — id plumbing, quota
+    // hand-off, token-count join, shard arithmetic — end to end (the
+    // c1/c4 discipline, now for the export side).
+    "c6_tokenized_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exactByFingerprint(docs, "text", "doc_id").select("doc_id")
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val scored = qualityFrame(deduped)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .withColumn("negq", -col("quality"))
+      val kept = graft.operators.ScalableWindow
+        .rowNumber(scored, "source", "negq", "doc_id", as = "qpos")
+        .filter(col("qpos") <= ceil(lit(0.3) * col("_n")).cast("long"))
+        .select("doc_id")
+      val pruned = deduped.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
+      val toks = Bpe.tokenCountsScalable(pruned, "doc_id", "text", bpe2Merges)
+      graft.operators.Splits.deterministicShuffle(
+          pruned.select("doc_id"), "doc_id", "c6", nShards = 8)
+        .join(toks, Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          sum(Integrity.md5Lower64(concat(lit("c6:"), col("doc_id").cast("string"))))
+            .cast("decimal(38,0)").cast("string").as("id_checksum"))
+        .orderBy("shard")
+    }),
+
     // D7c per-eval-doc contamination VERDICTS (vs d7's raw pair counts):
     // fraction of the eval doc's distinct shingles found anywhere in the
     // training corpus + the thresholded flag — the number a published
@@ -1490,6 +1524,15 @@ object ExtensionQueries {
     // or boundary bug hash-mismatches (BpeSpec pins the two classic traps).
     "bpe2_apply_merges" -> ((s, d) =>
       Bpe.tokenCounts(Tables.documents(s, d), "doc_id", "text", bpe2Merges)
+        .orderBy("doc_id")),
+
+    // BPE2b the applier's PRODUCTION lane (rank-priority mapPartitions —
+    // merge-table size costs a hash map, not expression depth; the replace
+    // chain above drowns analysis/codegen at real 32k-merge vocabularies).
+    // Same merges, same oracle SQL as bpe2 verbatim: a hash match here
+    // proves the two appliers identical, not merely both plausible.
+    "bpe2b_apply_merges_scalable" -> ((s, d) =>
+      Bpe.tokenCountsScalable(Tables.documents(s, d), "doc_id", "text", bpe2Merges)
         .orderBy("doc_id")),
 
     // BPE3 the full LEARNED lane: train 8 merges distributed
@@ -3205,6 +3248,16 @@ object ExtensionQueries {
          |SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // bpe2b: the production applier must return EXACTLY bpe2's rows — the
+    // oracle is bpe2's SQL verbatim (the d7b discipline).
+    "bpe2b_apply_merges_scalable" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |sym AS (SELECT doc_id, $bpeSymbolizeSql AS syms FROM tok),
+         |m AS (SELECT doc_id, ${bpe2Merges.foldLeft("syms") { case (e, (l, r)) =>
+               s"replace($e, '($l)($r)', '($l$r)')" }} AS s FROM sym)
+         |SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "bpe3_learned_merges" -> bpeLearnSql(bpe3NMerges),
 
     // c5: t2's quality formula + per-source rank/quota restated with a
@@ -3232,6 +3285,53 @@ object ExtensionQueries {
          |  FROM q)
          |SELECT source, doc_id, quality, pos FROM r
          |WHERE pos <= CAST(CEIL(0.3 * n) AS BIGINT) ORDER BY source, pos""".stripMargin,
+
+    // c6: the export composition restated — dedup keeper, t2 quality +
+    // per-source quota, bpe2's replace chain, sh1's shard key, chk1's
+    // checksum cast ladder — one SQL statement end to end.
+    "c6_tokenized_export" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |dd AS (SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
+         |tokq AS (SELECT doc_id, source, text, $toksSql AS toks FROM dd),
+         |feat AS (
+         |  SELECT doc_id, source, toks,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM tokq),
+         |q AS (
+         |  SELECT doc_id, source, toks,
+         |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
+         |  FROM feat),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS qpos,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q),
+         |pruned AS (SELECT doc_id, toks FROM r WHERE qpos <= CAST(CEIL(0.3 * n) AS BIGINT)),
+         |sym AS (SELECT doc_id, $bpeSymbolizeSql AS syms
+         |        FROM (SELECT doc_id, unnest(toks) AS word FROM pruned)),
+         |mm AS (SELECT doc_id, ${bpe2Merges.foldLeft("syms") { case (e, (l, r)) =>
+               s"replace($e, '($l)($r)', '($l$r)')" }} AS s FROM sym),
+         |cnt AS (
+         |  SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |  FROM mm GROUP BY doc_id),
+         |k AS (
+         |  SELECT p.doc_id, COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |    CAST(CAST(md5_number_lower('c6:' || CAST(p.doc_id AS VARCHAR)) AS HUGEINT)
+         |      - 9223372036854775808 AS BIGINT) AS key
+         |  FROM pruned p LEFT JOIN cnt c ON c.doc_id = p.doc_id)
+         |SELECT CAST(((key % 8) + 8) % 8 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(SUM(CAST(md5_number_lower('c6:' || CAST(doc_id AS VARCHAR)) AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS id_checksum
+         |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // d7c: the semi-join overlap fraction — eval inverted index, EXISTS
     // against the training shingle stream, per-doc totals, IEEE division

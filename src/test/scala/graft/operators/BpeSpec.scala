@@ -137,6 +137,28 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, dir) == loaded)
   }
 
+  test("tokenCountsScalable (rank-priority applier) == tokenCounts (replace chain) on learned merges") {
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 12)
+    val chain = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val fast = Bpe.tokenCountsScalable(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == chain)
+    // adversarial shapes: repeated runs (greedy grouping), merged-symbol
+    // reuse, null and token-free docs (both absent from both forms). The
+    // list is WELL-ORDERED (every merged symbol is built by an earlier
+    // rank) — the precondition both appliers share; an ill-ordered list
+    // ((ab,c) before (a,b)) is not a BPE merge table.
+    val tricky = Seq((1L, "aaaaa aaaa aaa"), (2L, "the then there that"),
+      (3L, null.asInstanceOf[String]), (4L, "!!! ..."), (5L, "banana bandana"))
+      .toDF("doc_id", "text")
+    val m2 = Seq("a" -> "a", "t" -> "h", "th" -> "e", "aa" -> "aa", "a" -> "n", "an" -> "an")
+    val c2 = Bpe.tokenCounts(tricky, "doc_id", "text", m2).as[(Long, Long)].collect().toMap
+    val f2 = Bpe.tokenCountsScalable(tricky, "doc_id", "text", m2).as[(Long, Long)].collect().toMap
+    assert(f2 == c2)
+    assert(!c2.contains(3L) && !c2.contains(4L))
+  }
+
   test("zero merges tokenize to per-doc character counts of the token stream") {
     val got = Bpe.tokenCounts(docs, "doc_id", "text", Nil).as[(Long, Long)].collect().toMap
     val want = docs.collect().map { r =>
