@@ -221,6 +221,11 @@ object Bpe {
                           merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // integral ids only (the long encoder below) — fail loudly, not with a
+    // null-encoder crash mid-job; the chain form has no such precondition
+    val idType = docs.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"tokenCountsScalable needs an integral id column, got $idCol: $idType")
     val rankArr = merges.toArray
     val out = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
@@ -229,7 +234,10 @@ object Bpe {
         it.flatMap { case (id, text) =>
           val words =
             if (text == null) Array.empty[String]
-            else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+            // Locale.ROOT: default-locale toLowerCase diverges from SQL
+            // lower() under e.g. tr_TR ('I' -> dotless 'ı', which then
+            // fails [a-z0-9]) — the Bench.scala locale discipline
+            else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
           var total = 0L
           words.foreach { w =>
             val syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)

@@ -962,8 +962,11 @@ object Dedup {
   def contaminationFractions(train: DataFrame, evalDocs: DataFrame,
                              idCol: String, textCol: String,
                              threshold: Double = 0.5): DataFrame = {
-    val evalInv = shingleArrays(evalDocs, idCol, textCol)
-      .select(col(idCol).as("eval_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    // materialize: evalInv feeds both the totals and the semi join, and
+    // Spark has no cross-branch CSE — without this the eval corpus
+    // tokenizes and shingles twice (the contaminationPairsBloom discipline)
+    val evalInv = materialize(shingleArrays(evalDocs, idCol, textCol)
+      .select(col(idCol).as("eval_id"), explode(array_distinct(col("sh"))).as("shingle")))
     val trainSh = shingleArrays(train, idCol, textCol)
       .select(explode(col("sh")).as("shingle"))
     val totals = evalInv.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))

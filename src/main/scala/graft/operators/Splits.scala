@@ -89,17 +89,34 @@ object Splits {
     */
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String,
                            nShards: Int): DataFrame = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val internal = Seq("__ds_key", "shard", "pos")
+    // "_n" is reserved too: the ranker's group-size column would collide
+    // with (and the final drop would destroy) a caller column of that name
+    val internal = Seq("__ds_key", "shard", "pos", "_n")
     require(!df.columns.exists(internal.contains),
       s"input must not contain reserved columns ${internal.mkString(", ")}")
-    val key = (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
-      - lit(BigDecimal("9223372036854775808"))).cast("long")
-    val keyed = df.withColumn("__ds_key", key)
-      .withColumn("shard", pmod(col("__ds_key"), lit(nShards.toLong)).cast("int"))
+    val keyed = deterministicShard(df, idCol, salt, nShards)
+      .withColumn("__ds_key", shuffleKey(idCol, salt))
     ScalableWindow.rowNumber(keyed, "shard", "__ds_key", idCol, as = "pos")
       .drop("__ds_key", "_n")
   }
+
+  /** Just the shard assignment of [[deterministicShuffle]] — for consumers
+    * that never read positions (c6's per-shard manifest), sparing them the
+    * ranker's sort entirely: shard is pure row-local arithmetic.
+    */
+  def deterministicShard(df: DataFrame, idCol: String, salt: String,
+                         nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!df.columns.contains("shard"),
+      "input must not contain reserved column shard")
+    df.withColumn("shard",
+      pmod(shuffleKey(idCol, salt), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** The signed-shifted md5Lower64 sort/shard key shared by both forms. */
+  private def shuffleKey(idCol: String, salt: String): Column =
+    (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      - lit(BigDecimal("9223372036854775808"))).cast("long")
 
   /** Deterministic fractional upsampling (dataset mixture weighting): each
     * row is emitted `floor(factor)` times, plus one more iff the row's

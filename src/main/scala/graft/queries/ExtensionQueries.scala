@@ -19,7 +19,7 @@ object ExtensionQueries {
   private val stopList = Text.enStopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** bpe2's FIXED merge table (applier-only lane — bpe3 learns its own):
-    * plausible English digram merges, including two second-order ones
+    * plausible English digram merges, including three second-order ones
     * (th+e, an+d, in+g) so the chain exercises merged-symbol reuse. Shared
     * with the oracle generator so both sides apply literally the same
     * merges in the same order.
@@ -1089,7 +1089,9 @@ object ExtensionQueries {
         .select("doc_id")
       val pruned = deduped.join(kept, Seq("doc_id"), "left_semi").localCheckpoint()
       val toks = Bpe.tokenCountsScalable(pruned, "doc_id", "text", bpe2Merges)
-      graft.operators.Splits.deterministicShuffle(
+      // shard-only form: the manifest never reads positions, so skip the
+      // ranker's sort — shard is row-local arithmetic (review finding)
+      graft.operators.Splits.deterministicShard(
           pruned.select("doc_id"), "doc_id", "c6", nShards = 8)
         .join(toks, Seq("doc_id"), "left")
         .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
@@ -3398,10 +3400,14 @@ object ExtensionQueries {
     val sel = (1 to nMerges)
       .map(i => s"SELECT $i AS merge_rank, (SELECT l FROM b$i) AS lsym, (SELECT r FROM b$i) AS rsym")
       .mkString("\nUNION ALL\n")
+    // the NULL filter mirrors the trainer's early stop: on a vocabulary
+    // that exhausts in k < nMerges iterations, b_{k+1}.. are empty, their
+    // scalar subqueries read NULL, and the Spark lane returns only k rows
     s"""WITH $bpeWcSql,
        |v0 AS MATERIALIZED (SELECT $bpeSymbolizeSql AS syms, cnt FROM wc),
        |${stages.mkString(",\n")}
-       |$sel
+       |SELECT merge_rank, lsym, rsym FROM ($sel)
+       |WHERE lsym IS NOT NULL
        |ORDER BY merge_rank""".stripMargin
   }
 }

@@ -189,6 +189,15 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShard agrees with deterministicShuffle's shard column") {
+    val df = (1L to 200L).toDF("id")
+    val full = Splits.deterministicShuffle(df, "id", "s9", 4)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    val only = Splits.deterministicShard(df, "id", "s9", 4)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(only == full)
+  }
+
   test("deterministicShuffle: reserved column names refuse loudly") {
     val df = (1L to 10L).toDF("id").withColumn("shard", lit(0))
     val e = intercept[IllegalArgumentException] {
