@@ -118,6 +118,58 @@ object Splits {
     (Integrity.md5Lower64(concat(lit(s"$salt:"), col(idCol).cast("string")))
       - lit(BigDecimal("9223372036854775808"))).cast("long")
 
+  /** WHOLE-DOCUMENT greedy sequence packing — the no-split twin of
+    * [[packSequences]]: a document never straddles a context boundary;
+    * when it would overflow the current sequence's remaining budget, a new
+    * sequence starts (an oversized single document occupies a sequence
+    * alone). This is the packing mode used when documents must stay intact
+    * (instruction tuning, contrastive pairs), and it is the one that
+    * WASTES tokens — the pk2 lane reports the padding bill that concat-
+    * and-cut (pk1) avoids.
+    *
+    * Scale shape: docs shard by `idCol div shardSize` exactly like
+    * [[packSequences]]; each shard's assignment is a sequential fold over
+    * its ≤ shardSize docs run as ONE bounded array fold inside an
+    * aggregate (the ScalableWindow prefix-offset idiom — state is
+    * (fill, seq) + the emitted list, bounded by shardSize, never a
+    * window over unbounded rows). Shards pack independently and in
+    * parallel; cross-shard coupling is deliberately absent, same contract
+    * as pk1.
+    *
+    * Recurrence per shard, docs in `idCol` order: a doc with t tokens
+    * OVERFLOWS iff fill + t > ctxLen AND fill > 0; then seq+1, fill := t;
+    * else seq, fill += t. Zero-token docs stay in the current sequence.
+    * The same recurrence restates as a recursive CTE (the pk2 oracle).
+    */
+  def packSequencesWhole(df: DataFrame, idCol: String, tokensCol: Column,
+                         ctxLen: Int, shardSize: Long = 1024): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val folded = df
+      .withColumn("_tokens", tokensCol.cast("long"))
+      .withColumn("_shard", expr(s"$idCol div $shardSize"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("_tokens").as("t")))).as("_ds"))
+      .withColumn("_asg", aggregate(col("_ds"),
+        struct(lit(0L).as("fill"), lit(0L).as("seq"),
+          expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, seq: BIGINT, t: BIGINT>>)").as("out")),
+        (a, x) => {
+          val over = (a.getField("fill") + x.getField("t") > ctxLen) &&
+            (a.getField("fill") > 0)
+          val seq = when(over, a.getField("seq") + 1).otherwise(a.getField("seq"))
+          val fill = when(over, x.getField("t"))
+            .otherwise(a.getField("fill") + x.getField("t"))
+          struct(fill.as("fill"), seq.as("seq"),
+            concat(a.getField("out"),
+              array(struct(x.getField("id").as("id"), seq.as("seq"),
+                x.getField("t").as("t")))).as("out"))
+        },
+        a => a.getField("out")))
+    folded.select(col("_shard").as("shard"), explode(col("_asg")).as("a"))
+      .select(col("shard"), col("a.id").as(idCol), col("a.seq").as("seq_id"),
+        col("a.t").as("n_tokens"))
+  }
+
   /** Deterministic fractional upsampling (dataset mixture weighting): each
     * row is emitted `floor(factor)` times, plus one more iff the row's
     * md5-hex draw falls under the fractional remainder — so multiplicity is

@@ -1103,6 +1103,30 @@ object ExtensionQueries {
         .orderBy("shard")
     }),
 
+    // C7 the corpus DATACARD: the per-source summary a dataset release
+    // ships (Gebru et al.'s datasheets, every frontier data card) — doc
+    // and token volume, exact-dup excess, language share, and the quality
+    // distribution's (min, avg, max). One pass, one map-side-combined
+    // aggregate; avg_quality sums the 4-decimal quality in EXACT DECIMAL
+    // first (a double sum is partition-order-dependent — the rounding
+    // trap the t2 lane documents), casting to double only for the final
+    // single division.
+    "c7_corpus_datacard" -> ((s, d) =>
+      qualityFrame(Tables.documents(s, d))
+        .withColumn("fp", Text.fingerprint(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("pct_en"),
+          round(sum(col("quality").cast("decimal(20,4)")).cast("double")
+            / count(lit(1)).cast("double"), 4).as("avg_quality"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy("source")),
+
     // D7c per-eval-doc contamination VERDICTS (vs d7's raw pair counts):
     // fraction of the eval doc's distinct shingles found anywhere in the
     // training corpus + the thresholded flag — the number a published
@@ -1332,6 +1356,23 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("_tokens")).as("seq_tokens"))
         .withColumnRenamed("_shard", "shard")
         .orderBy("lang", "shard", "seq_id")),
+
+    // PK2 WHOLE-DOC greedy packing + the padding bill: docs never straddle
+    // context boundaries ([[Splits.packSequencesWhole]] — per-shard bounded
+    // array fold, no unbounded window); per packed sequence the doc count,
+    // token fill, and the padding concat-and-cut (pk1) would have saved.
+    // The oracle replays the identical overflow recurrence as a recursive
+    // CTE stepping doc-position levels across all shards at once.
+    "pk2_whole_doc_packing" -> ((s, d) =>
+      graft.operators.Splits.packSequencesWhole(
+          Tables.documents(s, d).select("doc_id", "text"),
+          idCol = "doc_id",
+          tokensCol = size(Text.tokens(col("text"))), ctxLen = 512)
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+        .withColumn("padding",
+          greatest(lit(512L) - col("seq_tokens"), lit(0L)))
+        .orderBy("shard", "seq_id")),
 
     // UP1 mixture weighting + deterministic upsample: per-source repeat
     // factor equalizing token share (factor = total / (K * src_tokens)),
@@ -3131,6 +3172,34 @@ object ExtensionQueries {
          |FROM c GROUP BY lang, shard, seq_id
          |ORDER BY lang, shard, seq_id""".stripMargin,
 
+    // pk2: the whole-doc overflow recurrence as a recursive CTE — one row
+    // per shard per level, stepping doc positions; a doc overflows iff
+    // fill + t > 512 AND fill > 0 (an oversized doc holds a sequence
+    // alone; zero-token docs stay put), exactly packSequencesWhole's fold.
+    "pk2_whole_doc_packing" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, doc_id // 1024 AS shard,
+         |    CAST(len($toksSql) AS BIGINT) AS t
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, shard, t,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+         |  FROM tok),
+         |r AS (
+         |  SELECT shard, pos, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS seq
+         |  FROM d WHERE pos = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.pos, d.doc_id, d.t,
+         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 THEN d.t
+         |         ELSE r.fill + d.t END AS fill,
+         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 THEN r.seq + 1
+         |         ELSE r.seq END AS seq
+         |  FROM r JOIN d ON d.shard = r.shard AND d.pos = r.pos + 1)
+         |SELECT shard, seq AS seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(t) AS BIGINT) AS seq_tokens,
+         |  greatest(512 - CAST(SUM(t) AS BIGINT), 0) AS padding
+         |FROM r GROUP BY shard, seq ORDER BY shard, seq_id""".stripMargin,
+
     "t10_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bg AS (
@@ -3334,6 +3403,36 @@ object ExtensionQueries {
          |  CAST(CAST(SUM(CAST(md5_number_lower('c6:' || CAST(doc_id AS VARCHAR)) AS DECIMAL(38,0)))
          |    AS DECIMAL(38,0)) AS VARCHAR) AS id_checksum
          |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // c7: t2's quality formula + the fingerprint + per-source aggregates;
+    // avg_quality via exact DECIMAL sum, double only at the last division.
+    "c7_corpus_datacard" ->
+      s"""WITH tok AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+         |feat AS (
+         |  SELECT doc_id, source, lang,
+         |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM tok),
+         |q AS (
+         |  SELECT doc_id, source, lang, fp, n_tokens,
+         |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
+         |  FROM feat)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 4) AS pct_en,
+         |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(20,4))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 4) AS avg_quality,
+         |  MIN(quality) AS min_quality,
+         |  MAX(quality) AS max_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     // d7c: the semi-join overlap fraction — eval inverted index, EXISTS
     // against the training shingle stream, per-doc totals, IEEE division

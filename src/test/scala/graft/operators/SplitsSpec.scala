@@ -189,6 +189,33 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesWhole: hand-computed greedy no-split packing") {
+    // ctx 512: docs 300,300 -> overflow at second (600>512) -> seqs 0,1;
+    // then 200 fits seq 1 (300+200=500); 900 oversized -> seq 2 alone;
+    // 10 -> seq 3 (900+10 overflows); 0-token doc stays in seq 3
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 200L), (4L, 900L), (5L, 10L), (6L, 0L))
+      .toDF("id", "n")
+    val got = Splits.packSequencesWhole(docs, "id", col("n"), ctxLen = 512)
+      .select("id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("packSequencesWhole: no doc straddles a boundary; shards pack independently") {
+    val docs = (1L to 50L).map(id => (id, 100L + (id % 7) * 50)).toDF("id", "n")
+    val out = Splits.packSequencesWhole(docs, "id", col("n"), ctxLen = 512, shardSize = 16)
+      .as[(Long, Long, Long, Long)].collect() // shard, id, seq_id, n_tokens
+    // every (shard, seq) sums <= ctx unless it is a single oversized doc
+    out.groupBy(r => (r._1, r._3)).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sum <= 512 || rs.length == 1)
+    }
+    // shard boundary: id 16 starts shard 1 with a fresh seq 0
+    assert(out.find(_._2 == 16L).get._3 == 0L)
+    // deterministic under repartition
+    val out2 = Splits.packSequencesWhole(docs.repartition(7), "id", col("n"),
+      ctxLen = 512, shardSize = 16).as[(Long, Long, Long, Long)].collect()
+    assert(out.toSet == out2.toSet)
+  }
+
   test("deterministicShard agrees with deterministicShuffle's shard column") {
     val df = (1L to 200L).toDF("id")
     val full = Splits.deterministicShuffle(df, "id", "s9", 4)
