@@ -136,9 +136,16 @@ object Bpe {
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += ((l, r))
-        vocab = vocab
+        // eager checkpoint truncates lineage off the OLD blocks, so the
+        // previous snapshot can be dropped immediately — without this a
+        // production 32k-merge train retains 32k vocab copies in the
+        // block manager (the CC loop tolerates the same retention only
+        // because its round count is log n)
+        val next = vocab
           .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
           .localCheckpoint()
+        vocab.unpersist()
+        vocab = next
       }
       i += 1
     }
