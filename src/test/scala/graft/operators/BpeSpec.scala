@@ -115,6 +115,36 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: trainer matches the naive reference on random corpora (fixed seeds)") {
+    // ScalaCheck generators sampled with fixed seeds (the InvariantsSpec
+    // pattern — the scalatest bridge isn't in the offline cache). Words
+    // skew toward shared prefixes/repeated runs so merges collide and
+    // tie-breaks actually fire.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf("aa", "aaa", "aaaa", "ab", "abab", "ba"),
+      3 -> Gen.oneOf("the", "then", "them", "than", "that"),
+      2 -> (for {
+        n <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString),
+      1 -> Gen.oneOf("x", "zq9", "900"))
+    val corpusGen: Gen[List[String]] = Gen.listOfN(60, wordGen)
+    for (seed <- 1 to 5) {
+      val words = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(df, "text")
+      val got = Bpe.trainMerges(wc, 10)
+      val want = refTrain(words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }, 10)
+      assert(got == want, s"seed=$seed: $got != $want")
+      // and the two appliers agree under the learned merges
+      val chain = Bpe.tokenCounts(df, "doc_id", "text", got).as[(Long, Long)].collect().toMap
+      val fast = Bpe.tokenCountsScalable(df, "doc_id", "text", got).as[(Long, Long)].collect().toMap
+      assert(fast == chain, s"seed=$seed applier divergence")
+    }
+  }
+
   test("trainer stops early on a fully merged vocabulary") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     val wc = Bpe.wordCounts(tiny, "text")
