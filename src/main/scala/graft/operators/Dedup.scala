@@ -456,6 +456,63 @@ object Dedup {
         col("n_dup").cast("double") / col("n_windows").cast("double"), 4))
   }
 
+  /** [[dupSpanStats]]'s CLEANING step (Lee et al. 2021, arXiv:2107.06499 —
+    * d11 detects, this REMOVES): every `window`-token span occurring ≥ 2
+    * times anywhere in the corpus keeps its FIRST occurrence (minimum
+    * (doc, position) in corpus order) and is cut from every other; the
+    * output is each document's cleaned token stream plus the before/after
+    * accounting. Removal happens in TOKEN space (the cleaned text is the
+    * lowercased token stream rejoined with single spaces, not the original
+    * bytes) — the representation every downstream token-level stage reads
+    * anyway, and the one both engines can rebuild bit-identically.
+    *
+    * Shape: window hashes explode linearly in corpus tokens (the d11
+    * explode), the canonical pick is MIN(struct(doc, pos)) inside the
+    * per-hash aggregate — an aggregate, not a per-hash window — removal
+    * intervals explode to (doc, position) rows bounded by
+    * window x duplicated-occurrences, the cut is one anti-join on
+    * (doc, position), and the per-doc rebuild is a bounded
+    * sort_array/collect_list fold (state = doc length, the sentenceDedup
+    * discipline). No all-pairs anywhere; overlapping spans union through
+    * the distinct position set.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 10): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = materialize(spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks")))
+    val tokPos = toks
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val wins = toks.filter(size(col("toks")) >= window)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - window + 1),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("toks"), i, lit(window)))).as("wh")))).as("w"))
+      .select(col(idCol), col("w.p").as("p"), col("w.wh").as("wh"))
+    val dups = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
+      .filter(col("c") >= 2)
+      .select("wh", "canon")
+    val removed = wins.join(dups, "wh")
+      .filter(!(col(idCol) === col("canon.id") && col("p") === col("canon.p")))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (window - 1))).as("p"))
+      .distinct()
+    val rebuilt = tokPos.join(removed, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned"))
+    toks.select(col(idCol), size(col("toks")).cast("long").as("n_before"))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("n_removed", col("n_before") - col("n_after"))
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+      .select(idCol, "n_before", "n_after", "n_removed", "cleaned")
+  }
+
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +
     * one groupBy. Bits come from xxhash64(token), so 64-bit signatures cost

@@ -1067,6 +1067,16 @@ object ExtensionQueries {
         .orderBy("source", "pos")
     }),
 
+    // D12 duplicated-span REMOVAL (d11 detects; this cleans — Lee et al.
+    // 2021): every 10-token span occurring >= 2 times in the corpus keeps
+    // its first (doc, pos) occurrence and is cut everywhere else; output
+    // is the cleaned token stream + before/after accounting. Canonical
+    // pick is an aggregate MIN(struct), never a per-hash window; the cut
+    // is one anti-join on (doc, position).
+    "d12_dup_span_removal" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", window = 10)
+        .orderBy("doc_id")),
+
     // C6 the tokenized-export composition: the full modern assembly line a
     // training export runs — exact dedup → per-source quality quota (c5's
     // sliced ranker) → BPE token accounting under the fixed tokenizer
@@ -3356,6 +3366,41 @@ object ExtensionQueries {
          |  FROM q)
          |SELECT source, doc_id, quality, pos FROM r
          |WHERE pos <= CAST(CEIL(0.3 * n) AS BIGINT) ORDER BY source, pos""".stripMargin,
+
+    // d12: the span-removal chain restated — 1-based window hashes, the
+    // canonical-first rule via row_number over (doc, pos), interval
+    // explode + NOT EXISTS cut, string_agg rebuild in position order.
+    "d12_dup_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tokpos AS (
+         |  SELECT doc_id, p, toks[p] AS tok
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM tok)),
+         |winh AS (
+         |  SELECT doc_id, p, md5(array_to_string(toks[p : p + 9], ' ')) AS wh
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS p, toks
+         |        FROM tok WHERE len(toks) >= 10)),
+         |marked AS (
+         |  SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
+         |    COUNT(*) OVER (PARTITION BY wh) AS c
+         |  FROM winh),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(p, p + 9)) AS p
+         |    FROM marked WHERE c >= 2 AND rn > 1)),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.p = t.p)),
+         |reb AS (
+         |  SELECT doc_id, COUNT(*) AS n_after,
+         |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT k.doc_id,
+         |  CAST(len(k.toks) AS BIGINT) AS n_before,
+         |  CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(len(k.toks) - COALESCE(r.n_after, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(r.cleaned, '') AS cleaned
+         |FROM tok k LEFT JOIN reb r USING (doc_id) ORDER BY k.doc_id""".stripMargin,
 
     // c6: the export composition restated — dedup keeper, t2 quality +
     // per-source quota, bpe2's replace chain, sh1's shard key, chk1's

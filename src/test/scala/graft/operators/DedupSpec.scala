@@ -559,6 +559,25 @@ class DedupSpec extends SparkSpec {
         minShared = 2, fpp = fpp)) == exact, s"fpp=$fpp diverged")
   }
 
+  test("removeDupSpans: first occurrence kept, others cut; overlapping spans union; short docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // canonical holder of span (a b c)
+      (2L, "x a b c y z"),          // non-canonical (a b c) at pos 2 -> cut 2-4
+      (3L, "a b c a b c a b c"),    // every window duplicated -> fully erased
+      (4L, "p q r"),                // unique window -> untouched
+      (5L, "hi")                    // shorter than window -> no windows, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 6L, 0L, "a b c d e f"),
+      (2L, 6L, 3L, 3L, "x y z"),
+      (3L, 9L, 0L, 9L, ""),
+      (4L, 3L, 3L, 0L, "p q r"),
+      (5L, 1L, 1L, 0L, "hi")))
+  }
+
   test("contaminationFractions: hand-computed overlap, no double count from repeated train shingles, shingle-less eval absent") {
     val train = Seq(
       (1L, "a b c d e f"),          // shingles: "a b c","b c d","c d e","d e f"
