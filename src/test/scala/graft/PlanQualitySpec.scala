@@ -189,4 +189,34 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"global windows over raw input:\n${offenders.mkString("\n")}")
   }
+
+  /** Shuffle-count pins for the round-15 training-assembly lanes: each
+    * lane's scale story is "N shuffles and no more", so the plan must not
+    * silently grow one (a stray repartition, a lost map-side combine, a
+    * join that stopped broadcasting). Counted as Exchange nodes in the
+    * FINAL adaptive plan (AQE may remove but never add exchanges vs the
+    * cap). bpe2's whole merge chain must also stay one codegen span wide.
+    */
+  test("training-assembly lanes: shuffle counts stay at their designed caps") {
+    val caps = Map(
+      // ONE per-doc aggregate + the presentation orderBy's range exchange
+      "bpe2_apply_merges" -> 2,
+      // same budget through the mapPartitions applier
+      "bpe2b_apply_merges_scalable" -> 2,
+      // word count + vocab pair agg + top-k ordering
+      "bpe1_pair_counts" -> 3,
+      // the datacard aggregate (countDistinct's exact two-phase form costs
+      // a second exchange — the price of an EXACT dup count) + the orderBy
+      "c7_corpus_datacard" -> 3,
+      // ONE groupBy(_shard) fold + the per-(shard,seq) readout aggregate
+      "pk2_whole_doc_packing" -> 2)
+    val offenders = caps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      qe.toRdd.count() // finalize the adaptive plan
+      val plan = unwrap(qe.executedPlan).toString
+      val n = "Exchange".r.findAllMatchIn(plan).size
+      if (n > cap) Some(s"$name: $n exchanges, designed cap $cap") else None
+    }
+    assert(offenders.isEmpty, s"shuffle growth:\n${offenders.mkString("\n")}")
+  }
 }
