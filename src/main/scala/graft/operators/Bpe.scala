@@ -144,7 +144,7 @@ object Bpe {
         val next = vocab
           .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
           .localCheckpoint()
-        vocab.unpersist()
+        dropCheckpoint(vocab)
         vocab = next
       }
       i += 1
@@ -184,6 +184,22 @@ object Bpe {
   /** Train on a corpus and persist in one call. */
   def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int, dir: String): Unit =
     saveMerges(docs.sparkSession, trainMerges(wordCounts(docs, textCol), nMerges), dir)
+
+  /** Free a localCheckpointed frame's blocks. `Dataset.unpersist` is a
+    * NO-OP here — it only routes through the CacheManager, and
+    * localCheckpoint persists its RDD directly in the block manager
+    * without registering there (a round-15 review finding: the trainer's
+    * first drop attempt used it and freed nothing). The persisted RDD
+    * lives inside the checkpointed Dataset's `LogicalRDD`, so unpersist
+    * THAT. Only safe once nothing can recompute through it — the caller
+    * must have eagerly materialized the successor first (a locally
+    * checkpointed RDD has no lineage to rebuild from).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
 
   /** Per-document BPE token count under a given merge table: symbolize
     * every token occurrence, fold the merge chain (codegen'd replaces),

@@ -484,12 +484,15 @@ object Dedup {
     val tokPos = toks
       .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
-    val wins = toks.filter(size(col("toks")) >= window)
+    // materialize: wins feeds both the canonical-pick aggregate and the
+    // removal join, and Spark has no cross-branch CSE — without this the
+    // corpus-sized window-hash explode runs twice (review finding)
+    val wins = materialize(toks.filter(size(col("toks")) >= window)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("toks")) - window + 1),
         i => struct(i.as("p"),
           md5(concat_ws(" ", slice(col("toks"), i, lit(window)))).as("wh")))).as("w"))
-      .select(col(idCol), col("w.p").as("p"), col("w.wh").as("wh"))
+      .select(col(idCol), col("w.p").as("p"), col("w.wh").as("wh")))
     val dups = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("c"),
         min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))

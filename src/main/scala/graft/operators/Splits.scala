@@ -137,16 +137,23 @@ object Splits {
     * as pk1.
     *
     * Recurrence per shard, docs in `idCol` order: a doc with t tokens
-    * OVERFLOWS iff fill + t > ctxLen AND fill > 0; then seq+1, fill := t;
-    * else seq, fill += t. Zero-token docs stay in the current sequence.
-    * The same recurrence restates as a recursive CTE (the pk2 oracle).
+    * OVERFLOWS iff fill + t > ctxLen AND fill > 0 AND t > 0; then seq+1,
+    * fill := t; else seq, fill += t. Zero-token docs (null token counts
+    * coalesce to 0) therefore NEVER overflow and always stay in the
+    * current sequence — the `t > 0` conjunct matters: without it a
+    * zero-token doc following an oversized one would be evicted into an
+    * all-padding sequence of its own (round-15 review finding). The
+    * precise invariant is thus: a sequence's token sum exceeds ctxLen
+    * only when it contains exactly ONE positive-token document (possibly
+    * plus zero-token ones). The same recurrence restates as a recursive
+    * CTE (the pk2 oracle).
     */
   def packSequencesWhole(df: DataFrame, idCol: String, tokensCol: Column,
                          ctxLen: Int, shardSize: Long = 1024): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val folded = df
-      .withColumn("_tokens", tokensCol.cast("long"))
+      .withColumn("_tokens", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("_shard", expr(s"$idCol div $shardSize"))
       .groupBy(col("_shard"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("_tokens").as("t")))).as("_ds"))
@@ -155,7 +162,7 @@ object Splits {
           expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, seq: BIGINT, t: BIGINT>>)").as("out")),
         (a, x) => {
           val over = (a.getField("fill") + x.getField("t") > ctxLen) &&
-            (a.getField("fill") > 0)
+            (a.getField("fill") > 0) && (x.getField("t") > 0)
           val seq = when(over, a.getField("seq") + 1).otherwise(a.getField("seq"))
           val fill = when(over, x.getField("t"))
             .otherwise(a.getField("fill") + x.getField("t"))

@@ -3200,9 +3200,9 @@ object ExtensionQueries {
          |  FROM d WHERE pos = 1
          |  UNION ALL
          |  SELECT d.shard, d.pos, d.doc_id, d.t,
-         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 THEN d.t
+         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 AND d.t > 0 THEN d.t
          |         ELSE r.fill + d.t END AS fill,
-         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 THEN r.seq + 1
+         |    CASE WHEN r.fill + d.t > 512 AND r.fill > 0 AND d.t > 0 THEN r.seq + 1
          |         ELSE r.seq END AS seq
          |  FROM r JOIN d ON d.shard = r.shard AND d.pos = r.pos + 1)
          |SELECT shard, seq AS seq_id, COUNT(*) AS n_docs,

@@ -195,7 +195,9 @@ class PlanQualitySpec extends SparkSpec {
     * silently grow one (a stray repartition, a lost map-side combine, a
     * join that stopped broadcasting). Counted as Exchange nodes in the
     * FINAL adaptive plan (AQE may remove but never add exchanges vs the
-    * cap). bpe2's whole merge chain must also stay one codegen span wide.
+    * cap). bpe2's replace chain must additionally stay inside whole-stage
+    * codegen (asserted below — a non-codegen expression in the 8-replace
+    * chain would cost a virtual call per merge per token).
     */
   test("training-assembly lanes: shuffle counts stay at their designed caps") {
     val caps = Map(
@@ -218,5 +220,10 @@ class PlanQualitySpec extends SparkSpec {
       if (n > cap) Some(s"$name: $n exchanges, designed cap $cap") else None
     }
     assert(offenders.isEmpty, s"shuffle growth:\n${offenders.mkString("\n")}")
+    // the replace-chain applier must run inside whole-stage codegen
+    val bpe2qe = SparkEntry.queries("bpe2_apply_merges")(spark, sfDir).queryExecution
+    bpe2qe.toRdd.count()
+    assert(bpe2qe.executedPlan.toString.contains("*("),
+      "bpe2's merge chain fell out of whole-stage codegen")
   }
 }

@@ -145,6 +145,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainer releases previous vocab snapshots (persistent-RDD count stays bounded)") {
+    // Dataset.unpersist is a NO-OP for localCheckpointed frames (it only
+    // routes through the CacheManager) — the fix unpersists the
+    // checkpointed RDD inside the LogicalRDD. Without it each of the 12
+    // iterations leaves one vocab snapshot behind.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 12)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final vocab snapshot (and nothing per-iteration) may remain
+    assert(after - before <= 1, s"leaked ${after - before} vocab snapshots")
+  }
+
   test("trainer stops early on a fully merged vocabulary") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     val wc = Bpe.wordCounts(tiny, "text")

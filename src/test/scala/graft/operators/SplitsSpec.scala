@@ -200,13 +200,27 @@ class SplitsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("packSequencesWhole: zero-token docs never evict and never admit sharing (review finding)") {
+    // (0-token, oversized): the oversized doc still effectively holds the
+    // sequence alone (the empty doc adds nothing); (oversized, 0-token):
+    // the empty doc must STAY with it, not be evicted to an all-padding
+    // sequence; null token counts coalesce to 0
+    val docs = Seq((1L, Some(0L)), (2L, Some(900L)), (3L, None), (4L, Some(100L)))
+      .toDF("id", "n")
+    val got = Splits.packSequencesWhole(docs, "id", col("n"), ctxLen = 512)
+      .select("id", "seq_id").as[(Long, Long)].collect().toMap
+    // 1: fill 0 seq 0; 2: no eviction (fill=0) -> seq 0, fill 900;
+    // 3 (null->0): stays seq 0; 4: overflows (900+100>512) -> seq 1
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("packSequencesWhole: no doc straddles a boundary; shards pack independently") {
     val docs = (1L to 50L).map(id => (id, 100L + (id % 7) * 50)).toDF("id", "n")
     val out = Splits.packSequencesWhole(docs, "id", col("n"), ctxLen = 512, shardSize = 16)
       .as[(Long, Long, Long, Long)].collect() // shard, id, seq_id, n_tokens
-    // every (shard, seq) sums <= ctx unless it is a single oversized doc
+    // a sequence's sum exceeds ctx only with exactly ONE positive-token doc
     out.groupBy(r => (r._1, r._3)).foreach { case (_, rs) =>
-      assert(rs.map(_._4).sum <= 512 || rs.length == 1)
+      assert(rs.map(_._4).sum <= 512 || rs.count(_._4 > 0) == 1)
     }
     // shard boundary: id 16 starts shard 1 with a fresh seq 0
     assert(out.find(_._2 == 16L).get._3 == 0L)
