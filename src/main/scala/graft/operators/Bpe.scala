@@ -185,6 +185,27 @@ object Bpe {
   def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int, dir: String): Unit =
     saveMerges(docs.sparkSession, trainMerges(wordCounts(docs, textCol), nMerges), dir)
 
+  /** The tokenizer VOCABULARY artifact — the vocab.json twin of the merge
+    * table's merges.txt: base symbols (the corpus's character inventory,
+    * ids 1..k in lexicographic order) followed by each merge's fused
+    * symbol at k+rank. The character inventory is bounded by the token
+    * alphabet ([a-z0-9] ⇒ ≤ 36 rows), so the driver-side collect is a
+    * constant, not corpus-sized.
+    */
+  def vocab(wc: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val chars = wc
+      .select(explode(filter(split(col("word"), ""), s => length(s) > 0)).as("c"))
+      .distinct().as[String].collect().sorted
+    val rows =
+      chars.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c, "char") } ++
+        merges.zipWithIndex.map { case ((l, r), i) =>
+          ((chars.length + i + 1).toLong, l + r, "merge")
+        }
+    rows.toSeq.toDF("token_id", "symbol", "kind")
+  }
+
   /** Free a localCheckpointed frame's blocks. `Dataset.unpersist` is a
     * NO-OP here — it only routes through the CacheManager, and
     * localCheckpoint persists its RDD directly in the block manager

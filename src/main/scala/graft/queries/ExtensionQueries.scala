@@ -1600,6 +1600,15 @@ object ExtensionQueries {
       val merges = Bpe.trainMerges(wc, bpe3NMerges)
       val rows = merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
       s.createDataFrame(rows).toDF("merge_rank", "lsym", "rsym")
+    }),
+
+    // BPE4 the vocabulary artifact: character inventory + learned fused
+    // symbols with ids — what a tokenizer release ships beside bpe3's
+    // merge table. The char inventory is alphabet-bounded (≤36), so the
+    // only corpus-sized work is the shared word count + training.
+    "bpe4_vocab" -> ((s, d) => {
+      val wc = Bpe.wordCounts(Tables.documents(s, d), "text").localCheckpoint()
+      Bpe.vocab(wc, Bpe.trainMerges(wc, bpe3NMerges)).orderBy("token_id")
     }))
 
   // ---- oracles --------------------------------------------------------------
@@ -3340,6 +3349,7 @@ object ExtensionQueries {
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bpe3_learned_merges" -> bpeLearnSql(bpe3NMerges),
+    "bpe4_vocab" -> bpeVocabSql(bpe3NMerges),
 
     // c5: t2's quality formula + per-source rank/quota restated with a
     // plain window (the oracle runs at benchmark scale; the Spark side's
@@ -3528,7 +3538,14 @@ object ExtensionQueries {
     * into its two consumers (the reference chain would otherwise re-derive
     * `v0` 2^n times).
     */
-  private def bpeLearnSql(nMerges: Int): String = {
+  /** The learned-merge CTE block shared by the bpe3 and bpe4 oracles:
+    * `(ctes, mergesSelect)` where mergesSelect yields the non-NULL
+    * (merge_rank, lsym, rsym) rows. The NULL filter mirrors the trainer's
+    * early stop: on a vocabulary that exhausts in k < nMerges iterations,
+    * b_{k+1}.. are empty, their scalar subqueries read NULL, and the
+    * Spark lane returns only k rows.
+    */
+  private def bpeLearnCtes(nMerges: Int): (String, String) = {
     val stages = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS w
@@ -3544,14 +3561,40 @@ object ExtensionQueries {
     val sel = (1 to nMerges)
       .map(i => s"SELECT $i AS merge_rank, (SELECT l FROM b$i) AS lsym, (SELECT r FROM b$i) AS rsym")
       .mkString("\nUNION ALL\n")
-    // the NULL filter mirrors the trainer's early stop: on a vocabulary
-    // that exhausts in k < nMerges iterations, b_{k+1}.. are empty, their
-    // scalar subqueries read NULL, and the Spark lane returns only k rows
-    s"""WITH $bpeWcSql,
-       |v0 AS MATERIALIZED (SELECT $bpeSymbolizeSql AS syms, cnt FROM wc),
-       |${stages.mkString(",\n")}
-       |SELECT merge_rank, lsym, rsym FROM ($sel)
-       |WHERE lsym IS NOT NULL
+    val ctes =
+      s"""$bpeWcSql,
+         |v0 AS MATERIALIZED (SELECT $bpeSymbolizeSql AS syms, cnt FROM wc),
+         |${stages.mkString(",\n")}""".stripMargin
+    val mergesSel =
+      s"SELECT merge_rank, lsym, rsym FROM ($sel)\nWHERE lsym IS NOT NULL"
+    (ctes, mergesSel)
+  }
+
+  private def bpeLearnSql(nMerges: Int): String = {
+    val (ctes, mergesSel) = bpeLearnCtes(nMerges)
+    s"""WITH $ctes
+       |$mergesSel
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** bpe4's oracle: the character inventory of the corpus vocabulary gets
+    * ids 1..k in lexicographic order, then the learned merges (re-derived
+    * by the same unrolled CTEs as bpe3) get k+rank — the vocab.json twin
+    * of bpe3's merges.txt.
+    */
+  private def bpeVocabSql(nMerges: Int): String = {
+    val (ctes, mergesSel) = bpeLearnCtes(nMerges)
+    s"""WITH $ctes,
+       |chars AS (
+       |  SELECT DISTINCT c AS symbol
+       |  FROM (SELECT unnest(string_split(word, '')) AS c FROM wc)),
+       |nch AS (SELECT COUNT(*) AS k FROM chars),
+       |mg AS ($mergesSel)
+       |SELECT CAST(row_number() OVER (ORDER BY symbol) AS BIGINT) AS token_id,
+       |  symbol, 'char' AS kind FROM chars
+       |UNION ALL
+       |SELECT CAST(nch.k + merge_rank AS BIGINT) AS token_id,
+       |  lsym || rsym AS symbol, 'merge' AS kind FROM mg CROSS JOIN nch
+       |ORDER BY token_id""".stripMargin
   }
 }
