@@ -157,6 +157,18 @@ class BpeSpec extends SparkSpec {
     assert(after - before <= 1, s"leaked ${after - before} vocab snapshots")
   }
 
+  test("vocab: char inventory ids 1..k lexicographic, merges fused at k+rank") {
+    val tiny = Seq((1L, "ab ba ab")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(tiny, "text")
+    val merges = Bpe.trainMerges(wc, 2) // (a,b) first (weight 2), then (b,a)
+    assert(merges == Seq(("a", "b"), ("b", "a")))
+    val got = Bpe.vocab(wc, merges).orderBy("token_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "char"), (2L, "b", "char"),
+      (3L, "ab", "merge"), (4L, "ba", "merge")))
+  }
+
   test("trainer stops early on a fully merged vocabulary") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     val wc = Bpe.wordCounts(tiny, "text")
