@@ -467,11 +467,13 @@ object StreamingPipeline {
     * dropped — the ingest-side token accounting/length gate a training
     * pipeline runs as documents arrive, priced under the SAME tokenizer the
     * final export bills with. The merge table loads ONCE at stream
-    * construction (it is tokenizer-sized and becomes literal arguments of
-    * the codegen'd replace chain — per-batch reload would re-collect it on
-    * every trigger for no freshness gain: the artifact is immutable by
-    * contract, like the NB model). Read-only model ⇒ pure per-batch body ⇒
-    * replay needs only the batch-scoped overwrite, no marker protocol.
+    * construction (it is tokenizer-sized and becomes the rank map of the
+    * production applier — per-batch reload would re-collect it on every
+    * trigger for no freshness gain: the artifact is immutable by contract,
+    * like the NB model). Read-only model ⇒ pure per-batch body ⇒ replay
+    * needs only the batch-scoped overwrite, no marker protocol. The
+    * applier is [[graft.operators.Bpe.tokenCountsScalable]], so `idCol`
+    * must be integral (documents' long ids; it fails loudly otherwise).
     */
   def tokenGateStream(docs: DataFrame, mergesDir: String, outDir: String,
                       checkpointDir: String, maxTokens: Long = Long.MaxValue,
@@ -485,8 +487,11 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the rank-priority applier, not the replace chain: a persisted
+        // PRODUCTION merge table (32k merges) would otherwise compile to a
+        // 32k-deep expression per batch (BpeSpec pins the two identical)
         batch.join(
-            Bpe.tokenCounts(batch, idCol, textCol, merges), Seq(idCol), "left")
+            Bpe.tokenCountsScalable(batch, idCol, textCol, merges), Seq(idCol), "left")
           .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
           .filter(col("n_bpe_tokens") <= maxTokens)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
