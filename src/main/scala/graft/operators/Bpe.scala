@@ -174,12 +174,25 @@ object Bpe {
     * codegen'd replace chain — the same bounded-collect class as the
     * per-file ledgers.
     */
-  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
-    spark.read.parquet(dir)
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] = {
+    val merges = spark.read.parquet(dir)
       .orderBy("merge_rank")
       .collect()
       .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym")))
       .toSeq
+    // fail loudly on a corrupted/reordered artifact: both appliers assume
+    // a WELL-ORDERED table (every multi-char operand fused by an earlier
+    // rank); an ill-ordered one silently tokenizes non-BPE
+    val fused = scala.collection.mutable.Set[String]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      Seq(l, r).foreach { s =>
+        require(s.length == 1 || fused.contains(s),
+          s"merge table ill-ordered at rank ${i + 1}: operand '$s' not fused by any earlier rank")
+      }
+      fused += (l + r)
+    }
+    merges
+  }
 
   /** Train on a corpus and persist in one call. */
   def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int, dir: String): Unit =

@@ -191,6 +191,17 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, dir) == loaded)
   }
 
+  test("loadMerges rejects an ill-ordered merge artifact loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bad").toString
+    // (th,e) before (t,h): 'th' is not fused by any earlier rank
+    Bpe.saveMerges(spark, Seq(("th", "e"), ("t", "h")), dir)
+    val e = intercept[IllegalArgumentException] { Bpe.loadMerges(spark, dir) }
+    assert(e.getMessage.contains("ill-ordered"))
+    // a well-ordered table with the same pairs loads fine
+    Bpe.saveMerges(spark, Seq(("t", "h"), ("th", "e")), dir)
+    assert(Bpe.loadMerges(spark, dir) == Seq(("t", "h"), ("th", "e")))
+  }
+
   test("tokenCountsScalable (rank-priority applier) == tokenCounts (replace chain) on learned merges") {
     val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 12)
     val chain = Bpe.tokenCounts(docs, "doc_id", "text", merges)
