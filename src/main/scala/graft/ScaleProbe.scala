@@ -101,7 +101,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -324,6 +324,29 @@ object ScaleProbe {
       println(f"PROBE-R15C sf0.1/$frac%-4s n=$n%6d bpe_vocab=$vocabRows%7d " +
         f"t=$tWc%5.1fs bpe_pairs=$pairRows%6d train4=$tTrain%5.1fs | " +
         f"sh1=$shRows%6d t=$tSh%5.1fs | d7c=$d7cRows%5d t=$tFr%5.1fs")
+    }
+
+    // Round-16 hybrid-trainer probe: the distributed trainer pays one Spark
+    // job + localCheckpoint PER MERGE (flat in corpus, linear in merge
+    // count — ~2.2 h of pure scheduling at a production 32k vocabulary);
+    // the hybrid form pays the word-count shuffle once and runs the merge
+    // loop driver-side over the vocabulary-bounded table. Measured at 256
+    // merges: the wall ratio IS the per-merge scheduling overhead the
+    // hybrid removes. Parity is separately asserted here (not just in
+    // BpeSpec) so the probe can never report a speedup for wrong output.
+    if (want("r16a")) {
+      val nMerges = 256
+      val wc = graft.operators.Bpe.wordCounts(all, "text").localCheckpoint()
+      val vocabRows = wc.count()
+      val t0 = System.nanoTime()
+      val local = graft.operators.Bpe.trainMergesLocal(wc, nMerges)
+      val tLocal = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val dist = graft.operators.Bpe.trainMerges(wc, nMerges)
+      val tDist = (System.nanoTime() - t1) / 1e9
+      require(local == dist, s"hybrid/distributed trainer divergence at $nMerges merges")
+      println(f"PROBE-R16A sf0.1 vocab=$vocabRows%7d merges=$nMerges%5d " +
+        f"local=$tLocal%6.1fs distributed=$tDist%6.1fs ratio=${tDist / tLocal}%6.1fx parity=ok")
     }
     spark.stop()
   }

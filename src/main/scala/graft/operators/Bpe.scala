@@ -149,6 +149,106 @@ object Bpe {
       }
       i += 1
     }
+    // free the FINAL snapshot too — merges.result() is driver state, so
+    // nothing reads the frame again; without this every train call leaves
+    // one vocab-sized RDD in the block manager until the ContextCleaner
+    // happens to GC it (round-15 review finding)
+    dropCheckpoint(vocab)
+    merges.result()
+  }
+
+  /** [[trainMerges]]'s hybrid production form: ONE distributed pass (the
+    * corpus-sized [[wordCounts]] shuffle, collected — the word table is
+    * corpus-VOCABULARY-sized, Heaps-law sub-linear in corpus bytes, the
+    * same bounded-driver-state class as the merge table and PQ codebooks
+    * this module already collects), then the merge loop runs driver-side
+    * with incremental pair-count maintenance (Sennrich's learn_bpe index
+    * trick: only words CONTAINING the merged pair are rescanned).
+    *
+    * Why it exists: the distributed loop pays one Spark job + checkpoint
+    * per merge — correct, and flat in corpus size, but at a production
+    * 32k-merge vocabulary that is 32k sequential jobs of ~0.25 s fixed
+    * scheduling overhead (~2.2 h of pure scheduling, BASELINE.md's bpe3
+    * reading). Here merges cost driver arithmetic only: the whole 32k-merge
+    * train is one shuffle plus seconds of loop. Output is EXACTLY
+    * [[trainMerges]]'s (same integer weights, same (weight DESC, l ASC,
+    * r ASC) total-order tie-break, same greedy resume-after-merge replace,
+    * same early exhaustion) — BpeSpec pins the two equal on learned and
+    * adversarial corpora, and the naive reference implementation agrees
+    * with both.
+    */
+  def trainMergesLocal(wc: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val rows = wc.select(col("word"), col("cnt").cast("long")).collect()
+    val syms = rows.map(r =>
+      scala.collection.mutable.ArrayBuffer[String](r.getString(0).map(_.toString): _*))
+    val cnts = rows.map(_.getLong(1))
+    // exact pair weights + inverted index pair -> candidate word ids (the
+    // index may go stale as words mutate; membership is re-verified by the
+    // rescan, weights never are — they're maintained exactly)
+    val stats = scala.collection.mutable.HashMap[(String, String), Long]()
+    val index = scala.collection.mutable.HashMap[(String, String), scala.collection.mutable.HashSet[Int]]()
+    def tally(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val w = stats.getOrElse(p, 0L) + sign * cnts(i)
+        if (w == 0L) stats.remove(p) else stats.update(p, w)
+        if (sign > 0)
+          index.getOrElseUpdate(p, scala.collection.mutable.HashSet[Int]()) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(tally(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      // argmax under the same total order as the distributed orderBy
+      var bestL: String = null; var bestR: String = null; var bestW = 0L
+      stats.foreach { case ((l, r), w) =>
+        if (w > 0 && (bestL == null || w > bestW || (w == bestW &&
+          (l < bestL || (l == bestL && r < bestR))))) {
+          bestL = l; bestR = r; bestW = w
+        }
+      }
+      if (bestL == null) exhausted = true
+      else {
+        merges += ((bestL, bestR))
+        val touched = index.remove((bestL, bestR))
+          .getOrElse(scala.collection.mutable.HashSet.empty[Int])
+        touched.foreach { i =>
+          val s = syms(i)
+          // stale-entry check: does the pair still occur in this word?
+          var hit = false
+          var j = 0
+          while (!hit && j < s.length - 1) {
+            hit = s(j) == bestL && s(j + 1) == bestR; j += 1
+          }
+          if (hit) {
+            tally(i, -1L)
+            // greedy left-to-right, resume AFTER each merged pair — the
+            // same scan tokenCountsScalable runs, which is exactly the
+            // parenthesized-replace semantics of the distributed trainer
+            j = 0
+            while (j < s.length - 1) {
+              if (s(j) == bestL && s(j + 1) == bestR) {
+                s(j) = bestL + bestR
+                s.remove(j + 1)
+              }
+              j += 1
+            }
+            tally(i, 1L)
+          }
+        }
+        // greedy resume-after replace can never leave an adjacent
+        // (bestL, bestR) standing, so the tally(+1) above re-added zero
+        // occurrences of it; drop any residual entry defensively
+        stats.remove((bestL, bestR))
+      }
+      it += 1
+    }
     merges.result()
   }
 
@@ -184,19 +284,29 @@ object Bpe {
     // a WELL-ORDERED table (every multi-char operand fused by an earlier
     // rank); an ill-ordered one silently tokenizes non-BPE
     val fused = scala.collection.mutable.Set[String]()
+    val seen = scala.collection.mutable.Set[(String, String)]()
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       Seq(l, r).foreach { s =>
         require(s.length == 1 || fused.contains(s),
           s"merge table ill-ordered at rank ${i + 1}: operand '$s' not fused by any earlier rank")
       }
+      // a repeated pair is never trainer output (its first merge consumes
+      // every occurrence), and the two appliers legitimately differ on it
+      // (the chain honors the FIRST rank, a last-wins rank map the last) —
+      // reject rather than let a corrupted artifact tokenize inconsistently
+      require(seen.add((l, r)),
+        s"merge table corrupt at rank ${i + 1}: pair ($l, $r) already merged at an earlier rank")
       fused += (l + r)
     }
     merges
   }
 
-  /** Train on a corpus and persist in one call. */
+  /** Train on a corpus and persist in one call — the hybrid trainer (one
+    * corpus pass, driver-side merge loop), since the artifact producer is
+    * exactly where the 32k-merge production vocabulary shows up.
+    */
   def trainAndSave(docs: DataFrame, textCol: String, nMerges: Int, dir: String): Unit =
-    saveMerges(docs.sparkSession, trainMerges(wordCounts(docs, textCol), nMerges), dir)
+    saveMerges(docs.sparkSession, trainMergesLocal(wordCounts(docs, textCol), nMerges), dir)
 
   /** The tokenizer VOCABULARY artifact — the vocab.json twin of the merge
     * table's merges.txt: base symbols (the corpus's character inventory,
@@ -287,7 +397,12 @@ object Bpe {
     val out = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val rank = rankArr.zipWithIndex.toMap
+        // keep the FIRST rank for a duplicated pair: the replace chain
+        // honors the first occurrence (later duplicate replaces are
+        // no-ops), so a last-wins map would make the two appliers diverge
+        // on e.g. merges [(a,b),(b,c),(a,b)] (round-15 review finding;
+        // loadMerges also rejects duplicates outright)
+        val rank = rankArr.zipWithIndex.reverse.toMap
         it.flatMap { case (id, text) =>
           val words =
             if (text == null) Array.empty[String]

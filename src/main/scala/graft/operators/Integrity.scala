@@ -50,9 +50,18 @@ object Integrity {
     */
   def checksumAgg(cols: Seq[String]): Column = {
     require(cols.nonEmpty, "cols must be non-empty")
-    sum(md5Lower64(canonicalRow(cols))).cast("decimal(38,0)")
-      .cast("string").as("checksum")
+    checksumAggOf(canonicalRow(cols)).as("checksum")
   }
+
+  /** [[checksumAgg]] over an ARBITRARY row image (already canonicalized by
+    * the caller — e.g. c6's `'c6:' || doc_id` shard-manifest image), so
+    * consumers that hash something other than a plain column list still
+    * share the one sum/decimal(38,0)/string ladder instead of restating
+    * it (a second copy would silently desynchronize manifests from shard
+    * checksums if either side changed). Unaliased: callers name it.
+    */
+  def checksumAggOf(image: Column): Column =
+    sum(md5Lower64(image)).cast("decimal(38,0)").cast("string")
 
   /** (n_rows, checksum): row count plus the sum of per-row hashes. Equal
     * checksums and counts mean equal multisets of canonical rows (up to

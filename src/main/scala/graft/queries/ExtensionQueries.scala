@@ -1058,9 +1058,14 @@ object ExtensionQueries {
     // `ceil(0.3 * n_source)` uses the group size the ranker already
     // computed — no second count pass.
     "c5_source_quota_pruning" -> ((s, d) => {
+      // NULL quality (null text) is coalesced to a -1e9 sentinel on BOTH
+      // sides, pinning null docs to rank last: Spark's ascending-negq rank
+      // sorts NULLS FIRST while DuckDB's quality DESC puts them last, so
+      // engine defaults would diverge the quota the day a null-text doc
+      // enters the corpus (round-15 review finding; c6 same)
       val scored = qualityFrame(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), col("quality"))
-        .withColumn("negq", -col("quality"))
+        .withColumn("negq", -coalesce(col("quality"), lit(-1.0e9)))
       graft.operators.ScalableWindow.rowNumber(scored, "source", "negq", "doc_id", as = "pos")
         .filter(col("pos") <= ceil(lit(0.3) * col("_n")).cast("long"))
         .select("source", "doc_id", "quality", "pos")
@@ -1092,7 +1097,7 @@ object ExtensionQueries {
       val deduped = docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
       val scored = qualityFrame(deduped)
         .select(col("doc_id"), col("source"), col("quality"))
-        .withColumn("negq", -col("quality"))
+        .withColumn("negq", -coalesce(col("quality"), lit(-1.0e9)))
       val kept = graft.operators.ScalableWindow
         .rowNumber(scored, "source", "negq", "doc_id", as = "qpos")
         .filter(col("qpos") <= ceil(lit(0.3) * col("_n")).cast("long"))
@@ -1108,8 +1113,8 @@ object ExtensionQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bpe_tokens")).as("n_tokens"),
-          sum(Integrity.md5Lower64(concat(lit("c6:"), col("doc_id").cast("string"))))
-            .cast("decimal(38,0)").cast("string").as("id_checksum"))
+          Integrity.checksumAggOf(concat(lit("c6:"), col("doc_id").cast("string")))
+            .as("id_checksum"))
         .orderBy("shard")
     }),
 
@@ -1588,16 +1593,18 @@ object ExtensionQueries {
       Bpe.tokenCountsScalable(Tables.documents(s, d), "doc_id", "text", bpe2Merges)
         .orderBy("doc_id")),
 
-    // BPE3 the full LEARNED lane: train 8 merges distributed
-    // ([[Bpe.trainMerges]] — corpus touched once, each iteration one
-    // vocab-sized agg + a 1-row argmax collect) and return the merge table
-    // in learned order. The oracle UNROLLS the same 8 iterations as chained
-    // materialized CTEs (pair-count -> argmax -> replace), so the entire
-    // learning trajectory — counts, tie-breaks, greedy application — is
-    // hash-checked end to end, not just the final vocabulary.
+    // BPE3 the full LEARNED lane, on the HYBRID production trainer
+    // ([[Bpe.trainMergesLocal]] — ONE corpus-sized word count, then the
+    // merge loop driver-side over the vocabulary-bounded word table; the
+    // per-merge-Spark-job form [[Bpe.trainMerges]] remains the distributed
+    // witness, pinned equal in BpeSpec). The oracle UNROLLS the same 8
+    // iterations as chained materialized CTEs (pair-count -> argmax ->
+    // replace), so the entire learning trajectory — counts, tie-breaks,
+    // greedy application — is hash-checked end to end, not just the final
+    // vocabulary.
     "bpe3_learned_merges" -> ((s, d) => {
       val wc = Bpe.wordCounts(Tables.documents(s, d), "text")
-      val merges = Bpe.trainMerges(wc, bpe3NMerges)
+      val merges = Bpe.trainMergesLocal(wc, bpe3NMerges)
       val rows = merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
       s.createDataFrame(rows).toDF("merge_rank", "lsym", "rsym")
     }),
@@ -1608,7 +1615,7 @@ object ExtensionQueries {
     // only corpus-sized work is the shared word count + training.
     "bpe4_vocab" -> ((s, d) => {
       val wc = Bpe.wordCounts(Tables.documents(s, d), "text").localCheckpoint()
-      Bpe.vocab(wc, Bpe.trainMerges(wc, bpe3NMerges)).orderBy("token_id")
+      Bpe.vocab(wc, Bpe.trainMergesLocal(wc, bpe3NMerges)).orderBy("token_id")
     }))
 
   // ---- oracles --------------------------------------------------------------
@@ -3371,7 +3378,7 @@ object ExtensionQueries {
          |  FROM feat),
          |r AS (
          |  SELECT source, doc_id, quality,
-         |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS pos,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY COALESCE(quality, -1000000000) DESC, doc_id) AS BIGINT) AS pos,
          |    COUNT(*) OVER (PARTITION BY source) AS n
          |  FROM q)
          |SELECT source, doc_id, quality, pos FROM r
@@ -3436,7 +3443,7 @@ object ExtensionQueries {
          |  FROM feat),
          |r AS (
          |  SELECT doc_id, toks,
-         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS qpos,
+         |    row_number() OVER (PARTITION BY source ORDER BY COALESCE(quality, -1000000000) DESC, doc_id) AS qpos,
          |    COUNT(*) OVER (PARTITION BY source) AS n
          |  FROM q),
          |pruned AS (SELECT doc_id, toks FROM r WHERE qpos <= CAST(CEIL(0.3 * n) AS BIGINT)),

@@ -153,8 +153,50 @@ class BpeSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 12)
     val after = spark.sparkContext.getPersistentRDDs.size
-    // only the final vocab snapshot (and nothing per-iteration) may remain
-    assert(after - before <= 1, s"leaked ${after - before} vocab snapshots")
+    // nothing may remain: the final snapshot is dropped on return too
+    // (round-15 review finding — one vocab-sized RDD per call otherwise)
+    assert(after - before == 0, s"leaked ${after - before} vocab snapshots")
+  }
+
+  test("hybrid trainer == distributed trainer on the learned corpus") {
+    val wc = Bpe.wordCounts(docs, "text")
+    assert(Bpe.trainMergesLocal(wc, 12) == Bpe.trainMerges(wc, 12))
+  }
+
+  test("hybrid trainer matches on random corpora incl. repeated-run traps (fixed seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen: Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf("aa", "aaa", "aaaa", "ab", "abab", "ba"),
+      3 -> Gen.oneOf("the", "then", "them", "than", "that"),
+      2 -> (for {
+        n <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString),
+      1 -> Gen.oneOf("x", "zq9", "900"))
+    val corpusGen: Gen[List[String]] = Gen.listOfN(60, wordGen)
+    for (seed <- 1 to 5) {
+      val words = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val wc = Bpe.wordCounts(df, "text")
+      val got = Bpe.trainMergesLocal(wc, 10)
+      val want = refTrain(words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }, 10)
+      assert(got == want, s"seed=$seed: $got != $want")
+    }
+  }
+
+  test("hybrid trainer stops early on a fully merged vocabulary") {
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(Bpe.wordCounts(tiny, "text"), 10) == Seq(("a", "b")))
+  }
+
+  test("hybrid trainer handles repeated-symbol runs (greedy resume-after grouping)") {
+    // 'aaaaa' must contribute [aa][aa][a] after merge (a,a) — the
+    // incremental rescan must subtract/re-add the overlapping run exactly
+    val tiny = Seq((1L, "aaaaa aaa baaab")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(tiny, "text")
+    for (n <- 1 to 6)
+      assert(Bpe.trainMergesLocal(wc, n) == Bpe.trainMerges(wc, n), s"diverged at nMerges=$n")
   }
 
   test("vocab: char inventory ids 1..k lexicographic, merges fused at k+rank") {
@@ -200,6 +242,11 @@ class BpeSpec extends SparkSpec {
     // a well-ordered table with the same pairs loads fine
     Bpe.saveMerges(spark, Seq(("t", "h"), ("th", "e")), dir)
     assert(Bpe.loadMerges(spark, dir) == Seq(("t", "h"), ("th", "e")))
+    // a duplicated pair is rejected too: trainer output never repeats a
+    // pair, and the replace chain vs a rank map would diverge on one
+    Bpe.saveMerges(spark, Seq(("a", "b"), ("b", "c"), ("a", "b")), dir)
+    val e2 = intercept[IllegalArgumentException] { Bpe.loadMerges(spark, dir) }
+    assert(e2.getMessage.contains("already merged"))
   }
 
   test("tokenCountsScalable (rank-priority applier) == tokenCounts (replace chain) on learned merges") {
