@@ -40,7 +40,20 @@ class PlanQualitySpec extends SparkSpec {
   private val boundedBroadcastBnl: Map[String, Int] = Map(
     "t6_tfidf" -> 1,
     "e2_cosine_topk" -> 1,
-    "e2d_ann_ivf" -> 2,
+    // e2d (round-16 gate shape): the brute-force recall ground truth
+    // (1 scalar BNL, e2's shape) + FOUR one-row gate-aggregate crossJoins
+    // (n_queries x k x scores x rank x recall). The IVF centroid crosses
+    // that used to be the lane's 2 BNLs now run at construction behind the
+    // approx localCheckpoint.
+    "e2d_ann_ivf" -> 5,
+    // d2/d3b/e2c (round-16 gate shapes): one-row gate-aggregate
+    // crossJoins only — the truth/emitted frames are localCheckpointed, so
+    // their own join machinery (banded equi-joins; e2c's all-pairs
+    // broadcast cross) runs bounded at construction and never appears in
+    // the returned plan.
+    "d2_minhash_lsh" -> 2,
+    "d3b_simhash_neardup" -> 1,
+    "e2c_embedding_neardup" -> 1,
     "e2e_ann_recall" -> 1,
     "e2f_ivf_recall" -> 3,
     // e2h composes brute-force (1 scalar BNL, e2's shape) with the sampled
