@@ -1265,6 +1265,76 @@ object ExtensionQueries {
     // first (a double sum is partition-order-dependent — the rounding
     // trap the t2 lane documents), casting to double only for the final
     // single division.
+    // C8 the composed RETRIEVAL pipeline (round 16 — closes the one
+    // composition gap the r15 verdict ranked #2): chunk → embed → IVF-PQ
+    // probe → exact re-rank, pinned end to end the way c6 pins the export
+    // line. Chunks are t11's 200/150 char windows (the oracle restates the
+    // same integer window math); each chunk's "embedding model" is a
+    // deterministic assignment into the embeddings table
+    // (vec = (cid*31+7) mod |embeddings| — a stand-in for the real
+    // encoder, chosen for cross-engine restatability); the chunk-level
+    // corpus (NOT the raw vector table — the composition point) is then
+    // searched with the e2l IVF-PQ stack (sampled k-means cells, ADC
+    // shortlist at k·8, exact-cosine re-rank). Gate row (the e2d round-16
+    // pattern): n_queries and n_corpus are oracle-exact — they pin the
+    // CHUNK hand-off arithmetic end to end; k_ok/rank_ok pin the output
+    // contract; scores_ok re-derives every returned cosine from the RAW
+    // embeddings through an INDEPENDENT re-computation of the cid→vec
+    // assignment (the exact id-plumbing seam where composition bugs
+    // live); recall_ok gates against brute force over the same chunk
+    // corpus. Inline IVF-PQ form — PqSpec pins indexed == inline, so the
+    // persisted-index path is covered transitively.
+    "c8_retrieval_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      // bounded construction-time scalar (vector-table size), the
+      // cosineNearDupPairs count() class
+      val nVec = emb.count()
+      val chunkIds = docs
+        .withColumn("n_chunks",
+          when(length(col("text")) <= 200, lit(1L))
+            .otherwise(expr("(length(text) - 51) div 150 + 1")))
+        .select(col("doc_id"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"))
+      val chunkEmb = chunkIds
+        .withColumn("_evec", pmod(col("vec_id") * 31 + 7, lit(nVec)))
+        .join(emb.select(col("vec_id").as("_evec"), col("embedding")), "_evec")
+        .select("vec_id", "embedding").localCheckpoint()
+      val q = chunkEmb.filter(col("vec_id") < 8000) // chunks of doc_id < 8
+      val approx = Pq.ivfPqTopKWithCentroids(q, chunkEmb,
+        Similarity.kmeansCentroids(chunkEmb, 16),
+        Pq.train(chunkEmb, m = 16, ksub = 256),
+        5, nProbe = 8, rerankFactor = 8).localCheckpoint()
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      val nC = chunkEmb.agg(count(lit(1)).as("n_corpus"))
+      val kStats = approx.groupBy(col("a_id")).agg(count(lit(1)).as("_k"))
+        .agg(coalesce(expr("bool_and(_k = 5)"), lit(false)).as("_all_k5"),
+          count(lit(1)).as("_nq_seen"))
+      val rechecked = approx
+        .withColumn("_ea_vec", pmod(col("a_id") * 31 + 7, lit(nVec)))
+        .withColumn("_eb_vec", pmod(col("b_id") * 31 + 7, lit(nVec)))
+        .join(emb.select(col("vec_id").as("_ea_vec"), col("embedding").as("_ea")), "_ea_vec")
+        .join(emb.select(col("vec_id").as("_eb_vec"), col("embedding").as("_eb")), "_eb_vec")
+        .withColumn("_rc", round(Vectors.cosine(col("_ea"), col("_eb")), 4))
+      val scoresOk = rechecked
+        .agg(coalesce(expr("bool_and(_rc = cosine)"), lit(false)).as("scores_ok"))
+      val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
+      val rankOk = approx.withColumn("_rn2", row_number().over(w))
+        .agg(coalesce(expr("bool_and(_rn2 = rn)"), lit(false)).as("rank_ok"))
+      val exact = Similarity.bruteForceTopK(q, chunkEmb, 5).select("a_id", "b_id")
+      val recall = exact
+        .join(approx.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
+          Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("_n_true"), sum(coalesce(col("hit"), lit(0L))).as("_n_hit"))
+      nQ.crossJoin(nC).crossJoin(kStats).crossJoin(scoresOk).crossJoin(rankOk)
+        .crossJoin(recall)
+        .select(col("n_queries"), col("n_corpus"),
+          (col("_all_k5") && col("_nq_seen") === col("n_queries")).as("k_ok"),
+          col("scores_ok"), col("rank_ok"),
+          (col("_n_hit").cast("double")
+            >= lit(0.8) * col("_n_true").cast("double")).as("recall_ok"))
+    }),
+
     "c7_corpus_datacard" -> ((s, d) =>
       qualityFrame(Tables.documents(s, d))
         .withColumn("fp", Text.fingerprint(col("text")))
@@ -2547,6 +2617,26 @@ object ExtensionQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
         |  TRUE AS precision_ok, TRUE AS recall_ok
         |FROM cos WHERE cosine >= 0.4""".stripMargin,
+
+    // c8 (round 16): the retrieval composition's oracle restates the CHUNK
+    // derivation (t11's integer window math) and the query cut exactly —
+    // n_queries/n_corpus pin the chunk hand-off; the k/score-plumbing/
+    // rank/recall booleans are pinned TRUE (measured recall 1.0 at both
+    // scales vs the 0.8 floor: duplicate chunk vectors land in the same
+    // cell by construction, so the probe finds them; a probe/shortlist/
+    // re-rank regression still collapses it).
+    "c8_retrieval_pipeline" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE (length(text) - 51) // 150 + 1 END AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, nc)) AS i FROM n),
+        |ids AS (SELECT doc_id * 1000 + i AS cid FROM c)
+        |SELECT CAST(COUNT(*) FILTER (WHERE cid < 8000) AS BIGINT) AS n_queries,
+        |  CAST(COUNT(*) AS BIGINT) AS n_corpus,
+        |  TRUE AS k_ok, TRUE AS scores_ok, TRUE AS rank_ok, TRUE AS recall_ok
+        |FROM ids""".stripMargin,
 
     // e2d (round 16 gate): n_queries is oracle-exact; the k/score-plumbing/
     // rank/recall booleans are pinned TRUE (the e2h pattern — the sampled

@@ -54,6 +54,12 @@ class PlanQualitySpec extends SparkSpec {
     "d2_minhash_lsh" -> 2,
     "d3b_simhash_neardup" -> 1,
     "e2c_embedding_neardup" -> 1,
+    // c8 (round-16 retrieval composition): brute-force recall ground truth
+    // (1 scalar BNL, e2's shape) + FIVE one-row gate-aggregate crossJoins
+    // (n_queries x n_corpus x k x scores x rank x recall); the chunk
+    // corpus and the IVF-PQ result are localCheckpointed, so their join
+    // machinery runs bounded at construction.
+    "c8_retrieval_pipeline" -> 6,
     "e2e_ann_recall" -> 1,
     "e2f_ivf_recall" -> 3,
     // e2h composes brute-force (1 scalar BNL, e2's shape) with the sampled
