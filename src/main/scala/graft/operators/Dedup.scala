@@ -479,27 +479,56 @@ object Dedup {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 10): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val toks = materialize(spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), Text.tokens(col(textCol)).as("toks")))
-    val tokPos = toks
-      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
-    // materialize: wins feeds both the canonical-pick aggregate and the
-    // removal join, and Spark has no cross-branch CSE — without this the
-    // corpus-sized window-hash explode runs twice (review finding)
-    val wins = materialize(toks.filter(size(col("toks")) >= window)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("toks")) - window + 1),
-        i => struct(i.as("p"),
-          md5(concat_ws(" ", slice(col("toks"), i, lit(window)))).as("wh")))).as("w"))
-      .select(col(idCol), col("w.p").as("p"), col("w.wh").as("wh")))
+    val toks = spanToks(df, idCol, textCol)
+    val wins = spanWins(toks, idCol, window)
     val dups = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("c"),
         min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
       .filter(col("c") >= 2)
       .select("wh", "canon")
-    val removed = wins.join(dups, "wh")
+    val cutStarts = wins.join(dups, "wh")
       .filter(!(col(idCol) === col("canon.id") && col("p") === col("canon.p")))
+      .select(col(idCol), col("p"))
+    cutSpansAndRebuild(toks, idCol, cutStarts, window)
+  }
+
+  /** Tokenized frame `(id, toks)` shared by the whole-corpus and
+    * incremental span-removal forms. Materialized: it feeds the window
+    // explode AND the rebuild/accounting branches, and Spark has no
+    // cross-branch CSE.
+    */
+  private def spanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    materialize(spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), Text.tokens(col(textCol)).as("toks")))
+
+  /** The d11/d12 window-hash explode over a [[spanToks]] frame:
+    * `(id, p, wh)`, one row per `window`-token span, 1-based positions.
+    * Materialized — the canonical-pick aggregate and the removal join both
+    * consume it (without the barrier the corpus-sized explode runs twice,
+    * a round-15 review finding).
+    */
+  private def spanWins(toks: DataFrame, idCol: String, window: Int): DataFrame =
+    materialize(toks.filter(size(col("toks")) >= window)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - window + 1),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("toks"), i, lit(window)))).as("wh")))).as("w"))
+      .select(col(idCol), col("w.p").as("p"), col("w.wh").as("wh")))
+
+  /** The shared span-removal tail: explode each cut start into its
+    * `window` positions, anti-join them out of the token stream, rebuild
+    * each doc's cleaned text in position order, and emit the d12
+    * accounting shape `(id, n_before, n_after, n_removed, cleaned)`.
+    * Overlapping spans union through the distinct position set; the
+    * rebuild is a bounded sort_array/collect_list fold (state = doc
+    * length, the sentenceDedup discipline).
+    */
+  private def cutSpansAndRebuild(toks: DataFrame, idCol: String,
+                                 cutStarts: DataFrame, window: Int): DataFrame = {
+    val tokPos = toks
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val removed = cutStarts
       .select(col(idCol), explode(sequence(col("p"), col("p") + (window - 1))).as("p"))
       .distinct()
     val rebuilt = tokPos.join(removed, Seq(idCol, "p"), "left_anti")
@@ -515,6 +544,91 @@ object Dedup {
       .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
       .select(idCol, "n_before", "n_after", "n_removed", "cleaned")
   }
+
+  /** The span-hash INDEX of a corpus: one row per distinct window hash,
+    * carrying its canonical (first) occurrence `(wh, id, p)` — what
+    * [[removeDupSpansIncremental]] probes and [[appendToSpanIndex]] grows.
+    * Linear in corpus tokens; the per-hash aggregate is the same
+    * MIN(struct) canonical pick as the whole-corpus form.
+    */
+  def spanIndexFrame(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 10): DataFrame =
+    spanWins(spanToks(df, idCol, textCol), idCol, window)
+      .groupBy(col("wh"))
+      .agg(min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
+      .select(col("wh"), col("canon.id").as(idCol), col("canon.p").as("p"))
+
+  /** [[removeDupSpans]]'s DAILY-INGEST form (the d8/d6b/d9b discipline —
+    * closes the r15 verdict's missing item 3): clean a DELTA against a
+    * span-hash index instead of re-scanning the corpus. A delta span whose
+    * hash exists in the index is cut (its canonical lives in an earlier
+    * batch); spans NEW to the index keep their first-in-delta occurrence
+    * and cut the rest. Cost per batch: the delta's window explode + one
+    * hash-equi-join against the index — |delta| + |index| work, never
+    * corpus re-tokenization.
+    *
+    * EQUIVALENCE contract (DedupSpec pins it, and the d12b lane
+    * hash-checks it against the whole-corpus oracle): when batches arrive
+    * in (id) order, chaining removeDupSpansIncremental + appendToSpanIndex
+    * over the batches produces EXACTLY [[removeDupSpans]]'s whole-corpus
+    * output — the global canonical MIN(id, p) of any hash lies in the
+    * earliest batch containing it. Out-of-order ingest degrades gracefully
+    * to FIRST-ARRIVAL canonicality (the streaming semantics Lee et al.'s
+    * suffix-array batch form cannot offer at all).
+    *
+    * `excludeIds`: remove those ids from the index side before probing —
+    * the streaming replay contract (round-8 advice, d8's parameter): a
+    * replayed at-least-once batch whose spans a crashed attempt already
+    * appended must not be cut by its own index entries.
+    */
+  def removeDupSpansIncremental(index: DataFrame, delta: DataFrame, idCol: String,
+                                textCol: String, window: Int = 10,
+                                excludeIds: Option[DataFrame] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = spanToks(delta, idCol, textCol)
+    val wins = spanWins(toks, idCol, window)
+    val idxHashes = excludeIds.fold(index)(ids => index.join(ids, Seq(idCol), "left_anti"))
+      .select(col("wh")).distinct()
+    val cutOld = wins.join(idxHashes, Seq("wh"), "left_semi")
+      .select(col(idCol), col("p"))
+    val newWins = wins.join(idxHashes, Seq("wh"), "left_anti")
+    val dupsNew = newWins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
+      .filter(col("c") >= 2)
+      .select("wh", "canon")
+    val cutNew = newWins.join(dupsNew, "wh")
+      .filter(!(col(idCol) === col("canon.id") && col("p") === col("canon.p")))
+      .select(col(idCol), col("p"))
+    cutSpansAndRebuild(toks, idCol, cutOld.union(cutNew), window)
+  }
+
+  /** Build (overwrite) the persisted span-hash index for a corpus. */
+  def buildSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     dir: String, window: Int = 10): Unit =
+    spanIndexFrame(corpus, idCol, textCol, window)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Append a processed delta's span hashes to the persisted index (the
+    * appendToDedupIndex discipline: unconditional append of the DELTA's
+    * per-hash canonical rows — no read-modify-write of the index files, so
+    * a crash mid-append leaves duplicate-hash rows at worst, which the
+    * probe's hash-existence semantics ignore; first-arrival rows stay
+    * canonical because [[removeDupSpansIncremental]] only reads hash
+    * EXISTENCE across batches).
+    */
+  def appendToSpanIndex(delta: DataFrame, idCol: String, textCol: String,
+                        dir: String, window: Int = 10): Unit =
+    spanIndexFrame(delta, idCol, textCol, window)
+      .write.mode("append").parquet(dir)
+
+  /** [[removeDupSpansIncremental]] over a persisted index directory. */
+  def removeDupSpansIncrementalIndexed(indexDir: String, delta: DataFrame,
+                                       idCol: String, textCol: String,
+                                       window: Int = 10,
+                                       excludeIds: Option[DataFrame] = None): DataFrame =
+    removeDupSpansIncremental(delta.sparkSession.read.parquet(indexDir),
+      delta, idCol, textCol, window, excludeIds)
 
   /** SimHash signature of `bits` width (≤ 64): per token-hash bit, sum +1/-1
     * votes; bit set when the vote is positive. Computed with one explode +

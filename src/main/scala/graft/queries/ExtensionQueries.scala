@@ -1221,6 +1221,28 @@ object ExtensionQueries {
       Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", window = 10)
         .orderBy("doc_id")),
 
+    // D12b span removal's DAILY-INGEST twin (round 16 — every other
+    // corpus-wide cleaner already had its d8-style delta form): the corpus
+    // split into two id-ordered batches; batch 1 is cleaned whole-corpus
+    // and becomes the span-hash index, batch 2 is cleaned INCREMENTALLY
+    // against that index (hash-existence probe + within-delta canonical
+    // pick — |delta|+|index| work, no corpus re-scan). The oracle is d12's
+    // whole-corpus SQL VERBATIM (the d7b discipline): chained batches must
+    // reproduce the global result exactly, because the global canonical
+    // MIN(id, p) of any hash lies in the earliest batch containing it.
+    "d12b_incremental_span_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // bounded construction-time scalar (the c8/cosineNearDupPairs class):
+      // the id-ordered batch boundary
+      val half = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      val b1 = docs.filter(col("doc_id") <= half)
+      val b2 = docs.filter(col("doc_id") > half)
+      val idx = Dedup.spanIndexFrame(b1, "doc_id", "text", window = 10).localCheckpoint()
+      Dedup.removeDupSpans(b1, "doc_id", "text", window = 10)
+        .unionAll(Dedup.removeDupSpansIncremental(idx, b2, "doc_id", "text", window = 10))
+        .orderBy("doc_id")
+    }),
+
     // C6 the tokenized-export composition: the full modern assembly line a
     // training export runs — exact dedup → per-source quality quota (c5's
     // sliced ranker) → BPE token accounting under the fixed tokenizer
@@ -2150,6 +2172,42 @@ object ExtensionQueries {
        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** d12's whole-corpus span-removal oracle — shared VERBATIM by the
+    * incremental lane d12b (the d7b discipline: the batched form must
+    * reproduce the whole-corpus result exactly, proven by hash).
+    */
+  private def d12Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tokpos AS (
+         |  SELECT doc_id, p, toks[p] AS tok
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM tok)),
+         |winh AS (
+         |  SELECT doc_id, p, md5(array_to_string(toks[p : p + 9], ' ')) AS wh
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS p, toks
+         |        FROM tok WHERE len(toks) >= 10)),
+         |marked AS (
+         |  SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
+         |    COUNT(*) OVER (PARTITION BY wh) AS c
+         |  FROM winh),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT doc_id, unnest(generate_series(p, p + 9)) AS p
+         |    FROM marked WHERE c >= 2 AND rn > 1)),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.p = t.p)),
+         |reb AS (
+         |  SELECT doc_id, COUNT(*) AS n_after,
+         |    string_agg(tok, ' ' ORDER BY p) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT k.doc_id,
+         |  CAST(len(k.toks) AS BIGINT) AS n_before,
+         |  CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(len(k.toks) - COALESCE(r.n_after, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(r.cleaned, '') AS cleaned
+         |FROM tok k LEFT JOIN reb r USING (doc_id) ORDER BY k.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Registry.uniqueMap[String]("ExtensionQueries.oracleSql")(
     "e1_dedup_exact" ->
@@ -3689,37 +3747,9 @@ object ExtensionQueries {
     // d12: the span-removal chain restated — 1-based window hashes, the
     // canonical-first rule via row_number over (doc, pos), interval
     // explode + NOT EXISTS cut, string_agg rebuild in position order.
-    "d12_dup_span_removal" ->
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tokpos AS (
-         |  SELECT doc_id, p, toks[p] AS tok
-         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM tok)),
-         |winh AS (
-         |  SELECT doc_id, p, md5(array_to_string(toks[p : p + 9], ' ')) AS wh
-         |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS p, toks
-         |        FROM tok WHERE len(toks) >= 10)),
-         |marked AS (
-         |  SELECT doc_id, p,
-         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
-         |    COUNT(*) OVER (PARTITION BY wh) AS c
-         |  FROM winh),
-         |rem AS (
-         |  SELECT DISTINCT doc_id, p FROM (
-         |    SELECT doc_id, unnest(generate_series(p, p + 9)) AS p
-         |    FROM marked WHERE c >= 2 AND rn > 1)),
-         |kept AS (
-         |  SELECT t.doc_id, t.p, t.tok FROM tokpos t
-         |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.p = t.p)),
-         |reb AS (
-         |  SELECT doc_id, COUNT(*) AS n_after,
-         |    string_agg(tok, ' ' ORDER BY p) AS cleaned
-         |  FROM kept GROUP BY doc_id)
-         |SELECT k.doc_id,
-         |  CAST(len(k.toks) AS BIGINT) AS n_before,
-         |  CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_after,
-         |  CAST(len(k.toks) - COALESCE(r.n_after, 0) AS BIGINT) AS n_removed,
-         |  COALESCE(r.cleaned, '') AS cleaned
-         |FROM tok k LEFT JOIN reb r USING (doc_id) ORDER BY k.doc_id""".stripMargin,
+    "d12_dup_span_removal" -> d12Sql,
+
+    "d12b_incremental_span_removal" -> d12Sql,
 
     // c6: the export composition restated — dedup keeper, t2 quality +
     // per-source quota, bpe2's replace chain, sh1's shard key, chk1's

@@ -578,6 +578,56 @@ class DedupSpec extends SparkSpec {
       (5L, 1L, 1L, 0L, "hi")))
   }
 
+  test("incremental span removal: chained batches == whole-corpus on cross-batch dups") {
+    // batch boundaries split duplicate-span families every way that
+    // matters: canonical in batch 1 with copies in batches 2 and 3
+    // ("a b c"), a span duplicated WITHIN a later batch only ("u v w"),
+    // and a batch-3 copy of a batch-2-introduced span ("m n o")
+    val b1 = Seq((1L, "a b c d e f"), (2L, "p q r")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "x a b c y z"), (4L, "m n o k l j")).toDF("doc_id", "text")
+    val b3 = Seq((5L, "u v w h u v w g u v w"), (6L, "t m n o s")).toDF("doc_id", "text")
+    val whole = Dedup.removeDupSpans(b1.unionAll(b2).unionAll(b3), "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    val idx1 = Dedup.spanIndexFrame(b1, "doc_id", "text", window = 3)
+    val out2 = Dedup.removeDupSpansIncremental(idx1, b2, "doc_id", "text", window = 3)
+    val idx2 = idx1.unionAll(Dedup.spanIndexFrame(b2, "doc_id", "text", window = 3))
+    val out3 = Dedup.removeDupSpansIncremental(idx2, b3, "doc_id", "text", window = 3)
+    val chained = Dedup.removeDupSpans(b1, "doc_id", "text", window = 3)
+      .unionAll(out2).unionAll(out3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(chained == whole)
+    // sanity on the fixture's intent: doc 3 lost its copy of (a b c),
+    // doc 6 lost its copy of (m n o), doc 5 kept only the first (u v w)
+    assert(whole.find(_._1 == 3L).get._5 == "x y z")
+    assert(whole.find(_._1 == 6L).get._5 == "t s")
+    assert(whole.find(_._1 == 5L).get._5 == "u v w h g")
+  }
+
+  test("incremental span removal: persisted index round-trip + replay idempotency via excludeIds") {
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toString
+    val b1 = Seq((1L, "a b c d e f"), (2L, "p q r")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "x a b c y z"), (4L, "m n o k l j m n o")).toDF("doc_id", "text")
+    Dedup.buildSpanIndex(b1, "doc_id", "text", dir, window = 3)
+    val fromDisk = Dedup.removeDupSpansIncrementalIndexed(dir, b2, "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    val inline = Dedup.removeDupSpansIncremental(
+        Dedup.spanIndexFrame(b1, "doc_id", "text", window = 3), b2, "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(fromDisk == inline)
+    // crash-replay: b2's spans were already appended by a failed attempt;
+    // excluding the delta's own ids must reproduce the identical output
+    Dedup.appendToSpanIndex(b2, "doc_id", "text", dir, window = 3)
+    val replay = Dedup.removeDupSpansIncrementalIndexed(dir, b2, "doc_id", "text", window = 3,
+        excludeIds = Some(b2.select("doc_id")))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(replay == inline)
+    // and WITHOUT exclusion the delta is cut by its own index entries —
+    // the failure mode the parameter exists to prevent
+    val unexcluded = Dedup.removeDupSpansIncrementalIndexed(dir, b2, "doc_id", "text", window = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(unexcluded.find(_._1 == 3L).get._5 == "") // every span self-matched → erased
+  }
+
   test("contaminationFractions: hand-computed overlap, no double count from repeated train shingles, shingle-less eval absent") {
     val train = Seq(
       (1L, "a b c d e f"),          // shingles: "a b c","b c d","c d e","d e f"
