@@ -25,6 +25,26 @@ object Bench {
     SparkEntry.queries.filter(_._1.matches("m\\d+_.*")).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // Host-drift SENTINEL battery (round 16 — mechanizes BASELINE.md's
+    // manual adjudication protocol, which three rounds of m2/c1/d11/t9
+    // re-chasing followed by hand): three warm queries spanning the
+    // noise-sensitive plan classes — t2 (codegen-lambda-dense scan), t9
+    // (lambda + shuffle aggregate), j2 (shuffle-bound relational) — are
+    // timed min-of-3 BEFORE the epochs; their aggregate ratio against
+    // their own pins is the run's host-drift factor. A per-query ratio
+    // elevation that tracks the sentinels is host band, not regression —
+    // the emitted `drift` and drift-normalized vs_baseline make that a
+    // one-number read instead of a same-session control re-timing.
+    val sentinelNames = Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join")
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelTimes: Map[String, Double] =
+      sentinelNames.filter(SparkEntry.queries.contains).map { name =>
+        name -> (1 to 3).map(_ => timeOnce(SparkEntry.queries(name))).min
+      }.toMap
     // Timed epochs in name order (Map hash order varies with the query set,
     // which would shuffle noise across rounds). Three timed epochs, min per
     // query: this host shows transient multi-second scheduler stalls that
@@ -77,6 +97,13 @@ object Bench {
     val vsBaseline =
       if (common.isEmpty) -1.0
       else common.map(results).sum / common.map(baseline).sum
+    // drift = Σ sentinel wall / Σ sentinel pin (sentinels with no pin are
+    // skipped; -1 when none are pinned, e.g. a fresh checkout). The
+    // normalized vs_baseline divides the drift factor out.
+    val sentCommon = sentinelTimes.keys.toSeq.filter(baseline.contains).sorted
+    val drift =
+      if (sentCommon.isEmpty) -1.0
+      else sentCommon.map(sentinelTimes).sum / sentCommon.map(baseline).sum
     // Output contract: the driver's tail capture truncates long stdout (82
     // queries overflowed a single line in round 3 -> BENCH parsed:null), so
     // the per-query detail lines go FIRST and the short machine-readable
@@ -86,11 +113,20 @@ object Bench {
     if (common.nonEmpty) {
       val worst = common.sortBy(k => -ratios(k)).take(10)
         .map(k => "\"" + k + "\":" + fmt(ratios(k))).mkString("{", ",", "}")
-      println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","queries":$worst,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
+      // worst ratios with the drift factor divided out: a query whose
+      // normalized ratio sits near 1.0 while its raw ratio is elevated is
+      // riding the host band the sentinels measured, not regressing
+      val worstNorm =
+        if (drift <= 0) "{}"
+        else common.sortBy(k => -ratios(k)).take(10)
+          .map(k => "\"" + k + "\":" + fmt(ratios(k) / drift)).mkString("{", ",", "}")
+      val sentJson = sentCommon
+        .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k) / baseline(k))).mkString("{", ",", "}")
+      println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","drift":${fmt(drift)},"vs_baseline_drift_norm":${fmt(if (drift > 0) vsBaseline / drift else -1.0)},"sentinels":$sentJson,"queries":$worst,"queries_drift_norm":$worstNorm,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
     }
     val slowest = keys.sortBy(k => -results(k)).take(10)
       .map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vs_baseline":${fmt(vsBaseline)},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vs_baseline":${fmt(vsBaseline)},"drift":${fmt(drift)},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
