@@ -64,6 +64,79 @@ object LanguageModel {
       .agg(count(col("lp")).as("n_bigrams"), round(avg(col("lp")), 4).as("lm_score"))
   }
 
+  /** CCNet-style perplexity gate (Wenzek et al., arXiv:1911.00359): train
+    * the bigram LM on a REFERENCE corpus (CCNet uses Wikipedia; callers pass
+    * any high-quality slice), score every candidate document by bigram
+    * perplexity exp(−mean ln p), and bucket each language's documents into
+    * head / middle / tail perplexity TERTILES — the published protocol keeps
+    * head+middle and drops tail. Unlike [[bigramLmScores]] (corpus-as-model
+    * typicality), the model and the scored set are DIFFERENT corpora, so
+    * n-grams unseen in training take the smoothed floor via left joins
+    * (cb→0, cu→0 ⇒ lp = −ln V at worst).
+    *
+    * Bucketing is RANK-based, not cutoff-based: per language, documents are
+    * ranked by (rounded ppl, id) with [[ScalableWindow.rowNumber]] — the
+    * sliced form, never one task per language — and bucket membership is
+    * integer arithmetic on (rank, group size), so the tertile split is
+    * deterministic and engine-portable where interpolated percentile
+    * CUTOFFS are not. Documents with fewer than two tokens are dropped (no
+    * evidence → no verdict), matching [[naiveBayesClassify]].
+    *
+    * Distributed shape (100 TB framing): two map-side-combined count
+    * aggregations over the reference corpus, equi-joins of candidate
+    * bigrams against them on the n-gram key (the model stays distributed —
+    * only the 1-row vocab frame broadcasts), one sliced rank. Perplexity is
+    * rounded to 4 decimals BEFORE ranking so the rank order is insensitive
+    * to summation-order ulps.
+    *
+    * @return (id, lang, n_bigrams, ppl, bucket) — bucket ∈ head|middle|tail
+    */
+  def perplexityBuckets(trainDocs: DataFrame, scoreDocs: DataFrame,
+                        idCol: String, textCol: String, langCol: String,
+                        k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val tr = spread(trainDocs.select(col(textCol)))
+      .select(Text.tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // feeds bigram counts, unigram counts AND vocab
+    val trBg = tr.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bgram"))
+    val bcnt = trBg.groupBy("bgram").agg(count(lit(1)).as("cb"))
+    val trUni = tr.select(explode(col("toks")).as("w"))
+    val ucnt = trUni.groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = trUni.agg(count_distinct(col("w")).as("v"))
+    val sc = spread(scoreDocs.select(col(idCol), col(langCol), col(textCol)))
+      .select(col(idCol), col(langCol), Text.tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // feeds scoring AND the lang join-back
+    val sbg = sc.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(
+          concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)).as("bgram"),
+          element_at(col("toks"), i).as("w1")))).as("b"))
+      .select(col(idCol), col("b.bgram").as("bgram"), col("b.w1").as("w1"))
+    val scored = sbg
+      .join(bcnt, Seq("bgram"), "left")
+      .join(ucnt, col("w1") === col("w"), "left")
+      .crossJoin(broadcast(vocab)) // one row
+      .select(col(idCol),
+        log((coalesce(col("cb"), lit(0L)) + lit(k)) /
+          (coalesce(col("cu"), lit(0L)) + lit(k) * col("v"))).as("lp"))
+    val ppl = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(exp(-avg(col("lp"))), 4).as("ppl"))
+    val base = sc.select(col(idCol), col(langCol)).join(ppl, Seq(idCol))
+    val ranked = ScalableWindow.rowNumber(base, langCol, "ppl", idCol, as = "_rnk")
+    val nLang = base.groupBy(col(langCol)).agg(count(lit(1)).as("_n_lang"))
+    ranked.join(nLang, Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
+        when(col("_rnk") * 3 <= col("_n_lang"), lit("head"))
+          .when(col("_rnk") * 3 <= col("_n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Multinomial Naive Bayes document classification — the classifier-based
     * curation gate (CCNet / fastText-style language-or-quality labeling):
     * train per-class unigram models on a labeled corpus, score every test

@@ -381,6 +381,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // T17 CCNet perplexity gate (arXiv:1911.00359): bigram LM trained on
+    // the doc_id%5==0 reference slice, the rest scored by perplexity and
+    // bucketed into per-language head/middle/tail tertiles by RANK
+    // (integer arithmetic — portable where interpolated cutoffs are not).
+    "t17_perplexity_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      LanguageModel.perplexityBuckets(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // WS2 DSIR importance resampling (arXiv:2302.03169): weight every doc
     // by exp(mean unigram log-ratio) of target (lang='en') vs raw corpus
     // models, then draw a deterministic weighted sample of 50 via the ws1
@@ -2315,6 +2328,46 @@ object ExtensionQueries {
          |SELECT b.doc_id, d.lang, b.pred_lang, b.score
          |FROM best b JOIN documents d USING (doc_id)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // t17: the full CCNet protocol restated — reference-slice LM counts,
+    // smoothed-floor left joins, perplexity, per-lang rank tertiles.
+    "t17_perplexity_buckets" ->
+      s"""WITH tr AS (SELECT $toksSql AS toks FROM documents WHERE doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents WHERE doc_id % 5 <> 0),
+         |trbg AS (
+         |  SELECT unnest(list_transform(range(1, CAST(len(toks) AS INTEGER)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bgram
+         |  FROM tr),
+         |bcnt AS (SELECT bgram, COUNT(*) AS cb FROM trbg GROUP BY bgram),
+         |truni AS (SELECT unnest(toks) AS w FROM tr),
+         |ucnt AS (SELECT w, COUNT(*) AS cu FROM truni GROUP BY w),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM truni),
+         |sbg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, CAST(len(toks) AS INTEGER)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bgram
+         |  FROM sc),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ln((COALESCE(cb, 0) + 0.5) / (COALESCE(cu, 0) + 0.5 * v)) AS lp
+         |  FROM sbg
+         |  LEFT JOIN bcnt USING (bgram)
+         |  LEFT JOIN ucnt ON ucnt.w = split_part(sbg.bgram, ' ', 1)
+         |  CROSS JOIN vocab),
+         |ppl AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(EXP(-AVG(lp)), 4) AS ppl
+         |  FROM scored GROUP BY doc_id),
+         |rk AS (
+         |  SELECT s.doc_id, s.lang, p.n_bigrams, p.ppl,
+         |    ROW_NUMBER() OVER (PARTITION BY s.lang ORDER BY p.ppl, s.doc_id) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY s.lang) AS n_lang
+         |  FROM sc s JOIN ppl p USING (doc_id))
+         |SELECT doc_id, lang, n_bigrams, ppl,
+         |  CASE WHEN rnk * 3 <= n_lang THEN 'head'
+         |       WHEN rnk * 3 <= n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     // c4: the composed stack restated — e1b's keeper, t16's train/score
     // (test = every survivor), the argmax filtered to 'en', ws2's weight

@@ -129,4 +129,46 @@ class LanguageModelSpec extends SparkSpec {
     // weights are exp(mean log ratio): strictly positive
     assert(out.values.forall(_ > 0.0))
   }
+
+  test("perplexity buckets match hand math: smoothed floors, tertile ranks, short-doc drop") {
+    // train "a b a b": bigrams {a b:2, b a:1}, uni {a:2, b:2}, V=2
+    val train = Seq((0L, "a b a b", "en")).toDF("doc_id", "text", "lang")
+    val score = Seq(
+      (1L, "a b", "en"),  // seen bigram: ppl = 3/2.5 = 1.2
+      (2L, "b a", "en"),  // ppl = 3/1.5 = 2.0
+      (3L, "z z", "en"),  // unseen bigram AND unseen w1: (0+.5)/(0+1) -> ppl 2.0
+      (5L, "a z", "en"),  // unseen bigram, SEEN w1: (0+.5)/(2+1) -> ppl 6.0
+      (4L, "c", "en")     // < 2 tokens: no evidence, dropped
+    ).toDF("doc_id", "text", "lang")
+    val out = LanguageModel.perplexityBuckets(train, score, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    // n=4 per-lang tertiles: head rnk*3<=4 -> rnk 1; middle rnk*3<=8 -> rnk 2; tail 3,4
+    assert(out(1L) == ((1L, 1.2, "head")))
+    assert(out(2L) == ((1L, 2.0, "middle"))) // tie on ppl with doc 3 breaks by id
+    assert(out(3L) == ((1L, 2.0, "tail")))
+    assert(out(5L) == ((1L, 6.0, "tail")))
+  }
+
+  test("perplexity tertiles are per-language and partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) = LanguageModel.perplexityBuckets(
+      d.filter($"doc_id" % 5 === 0), d.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", "lang").orderBy("doc_id").collect().toSeq
+    val base = run(docs)
+    assert(base == run(docs.repartition(7, $"lang").localCheckpoint()))
+    // within every language the three buckets partition the docs with
+    // |head| <= |middle| <= |tail| <= |head|+1 (rank-tertile guarantee)
+    val sizes = base.groupBy(r => (r.getString(1), r.getString(4)))
+      .view.mapValues(_.size).toMap
+    val langs = base.map(_.getString(1)).distinct
+    for (l <- langs) {
+      val h = sizes.getOrElse((l, "head"), 0)
+      val m = sizes.getOrElse((l, "middle"), 0)
+      val t = sizes.getOrElse((l, "tail"), 0)
+      assert(h <= m && m <= t && t <= h + 1, s"lang $l: $h/$m/$t")
+    }
+  }
 }
