@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Bpe, Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Prepare, Similarity}
+import graft.operators.{Bpe, Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Prepare, Retrieval, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -1319,6 +1319,15 @@ object ExtensionQueries {
     // live); recall_ok gates against brute force over the same chunk
     // corpus. Inline IVF-PQ form — PqSpec pins indexed == inline, so the
     // persisted-index path is covered transitively.
+    // RRF1 hybrid retrieval (Cormack et al. 2009): BM25 top-20 + exact
+    // cosine top-20 per query, reciprocal-rank-fused, top-10 kept. Both
+    // scorers round before ranking and all ranks are integers, so the
+    // whole hybrid stack hash-matches the oracle exactly — no recall gate.
+    "rrf1_hybrid_retrieval" -> ((s, d) =>
+      Retrieval.rrfFuse(Tables.documents(s, d), Tables.embeddings(s, d),
+          col("doc_id") < 8)
+        .orderBy("q_id", "rn")),
+
     "c8_retrieval_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
@@ -2736,6 +2745,76 @@ object ExtensionQueries {
     // scales vs the 0.8 floor: duplicate chunk vectors land in the same
     // cell by construction, so the probe finds them; a probe/shortlist/
     // re-rank regression still collapses it).
+    // rrf1: the full hybrid stack restated — BM25 posting-list probe,
+    // flattened-array cosine, both rank cuts, and the RRF arithmetic.
+    "rrf1_hybrid_retrieval" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (
+         |  SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS word
+         |  FROM tok WHERE doc_id < 8),
+         |tfx AS (
+         |  SELECT doc_id, word, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS word FROM tok) x
+         |  GROUP BY doc_id, word),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tfx GROUP BY word),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+         |bm AS (
+         |  SELECT q_id, tfx.doc_id AS doc_id, ROUND(SUM(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  FROM q JOIN tfx USING (word)
+         |  JOIN dl ON dl.doc_id = tfx.doc_id
+         |  JOIN dfreq USING (word)
+         |  CROSS JOIN nd CROSS JOIN ad
+         |  WHERE tfx.doc_id <> q_id
+         |  GROUP BY q_id, tfx.doc_id),
+         |lex AS (
+         |  SELECT q_id, doc_id, r_lex FROM (
+         |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER
+         |        (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+         |    FROM bm) t WHERE r_lex <= 20),
+         |nv AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+         |asg AS (
+         |  SELECT d.doc_id, e.embedding
+         |  FROM documents d CROSS JOIN nv
+         |  JOIN embeddings e ON e.vec_id = (d.doc_id * 31 + 7) % n_vec),
+         |flat AS (
+         |  SELECT doc_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM asg),
+         |norms AS (SELECT doc_id, SUM(x*x) AS nrm FROM flat GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS q_id, b.doc_id AS doc_id, SUM(a.x * b.x) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < 8
+         |  GROUP BY a.doc_id, b.doc_id),
+         |cosv AS (
+         |  SELECT q_id, dots.doc_id AS doc_id,
+         |         ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.doc_id = q_id
+         |  JOIN norms nb ON nb.doc_id = dots.doc_id),
+         |den AS (
+         |  SELECT q_id, doc_id, r_dense FROM (
+         |    SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER
+         |        (PARTITION BY q_id ORDER BY cosine DESC, doc_id) AS INTEGER) AS r_dense
+         |    FROM cosv) t WHERE r_dense <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, dn.q_id) AS q_id,
+         |         COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+         |         l.r_lex, dn.r_dense,
+         |         ROUND(COALESCE(1.0 / (60 + l.r_lex), 0)
+         |             + COALESCE(1.0 / (60 + dn.r_dense), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN den dn
+         |    ON l.q_id = dn.q_id AND l.doc_id = dn.doc_id)
+         |SELECT q_id, rn, doc_id, rrf, r_lex, r_dense FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER
+         |      (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+         |  FROM fused) t
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
     "c8_retrieval_pipeline" ->
       """WITH n AS (
         |  SELECT doc_id,
