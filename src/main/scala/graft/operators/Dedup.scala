@@ -1153,6 +1153,94 @@ object Dedup {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  // ---------- incremental decontamination (the daily-ingest form) ----------
+  //
+  // contaminationFractions re-streams the WHOLE training corpus per call —
+  // right for a one-shot audit, wasteful when the corpus grows daily while
+  // the eval suite is fixed. The incremental form inverts the state: the
+  // eval inverted index is built once (benchmark-sized), each training
+  // delta probes it, and the only mutable state is the set of ALREADY-
+  // MATCHED (eval_id, shingle) pairs — a monotone subset of the eval index,
+  // so state is bounded by the EVAL SUITE size no matter how large the
+  // corpus grows. Per-batch cost is one pass over the delta's shingles;
+  // verdicts recompute from the bounded state in eval-suite time.
+
+  /** The eval-suite inverted index: (eval_id, shingle), distinct — build
+    * once per suite ([[materialize]]d: every probe and the verdict pass
+    * reuse it). Persist with plain parquet write for the durable form.
+    */
+  def contaminationIndexFrame(evalDocs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    materialize(shingleArrays(evalDocs, idCol, textCol)
+      .select(col(idCol).as("eval_id"), explode(array_distinct(col("sh"))).as("shingle")))
+
+  /** Probe ONE training delta against the eval index: the (eval_id,
+    * shingle) pairs this delta matches — the rows to union into the matched
+    * state. Semi-join shape ([[contaminationFractions]]'s discipline):
+    * duplicate shingle occurrences inside the delta cannot double-count,
+    * and cost is one linear pass over delta shingles hashed on the key. At
+    * 100 TB compose with the [[contaminationPairsBloom]] Bloom prefilter on
+    * the delta side — false positives die in this exact semi join.
+    */
+  def contaminationProbe(evalInv: DataFrame, trainDelta: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    evalInv.join(
+      shingleArrays(trainDelta, idCol, textCol).select(explode(col("sh")).as("shingle")),
+      Seq("shingle"), "left_semi")
+
+  /** Verdicts from accumulated matched state — output-identical to
+    * [[contaminationFractions]] over the union of all probed deltas.
+    * `matched` may carry duplicate pairs (overlapping batches, at-least-
+    * once replays): the distinct count makes duplicate appends harmless,
+    * which is what lets the persisted form append blindly and stay
+    * replay-idempotent with no marker protocol.
+    */
+  def contaminationVerdictsFromState(evalInv: DataFrame, matched: DataFrame,
+                                     threshold: Double = 0.5): DataFrame =
+    evalInv.groupBy("eval_id").agg(count(lit(1)).as("n_shingles"))
+      .join(matched.groupBy("eval_id").agg(count_distinct(col("shingle")).as("n_matched")),
+        Seq("eval_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("overlap_frac",
+        round(col("n_matched").cast("double") / col("n_shingles").cast("double"), 4))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+
+  /** Build (overwrite) the persisted contamination index for an eval suite:
+    * `dir/eval_inv` is the inverted index, `dir/matched` starts empty.
+    */
+  def buildContaminationIndex(evalDocs: DataFrame, idCol: String,
+                              textCol: String, dir: String): Unit = {
+    val inv = contaminationIndexFrame(evalDocs, idCol, textCol)
+    inv.write.mode("overwrite").parquet(s"$dir/eval_inv")
+    inv.filter(lit(false)).write.mode("overwrite").parquet(s"$dir/matched")
+  }
+
+  /** Probe a training delta against the persisted index and append the
+    * newly matched pairs. Append-only and duplicate-tolerant (the verdict
+    * pass counts distinct), so a crashed/replayed batch needs no marker:
+    * re-probing appends the same pairs again and verdicts are unchanged.
+    * Single-writer, like every sink in this engine. Returns the number of
+    * matched pairs this delta contributed (pre-dedup).
+    */
+  def contaminationGateBatch(indexDir: String, trainDelta: DataFrame,
+                             idCol: String, textCol: String): Long = {
+    val spark = trainDelta.sparkSession
+    val hits = materialize(contaminationProbe(
+      spark.read.parquet(s"$indexDir/eval_inv"), trainDelta, idCol, textCol))
+    hits.write.mode("append").parquet(s"$indexDir/matched")
+    hits.count()
+  }
+
+  /** Verdicts from the persisted index ([[contaminationVerdictsFromState]]
+    * over `dir/eval_inv` + `dir/matched`).
+    */
+  def contaminationVerdictsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String,
+                                   threshold: Double = 0.5): DataFrame =
+    contaminationVerdictsFromState(
+      spark.read.parquet(s"$indexDir/eval_inv"),
+      spark.read.parquet(s"$indexDir/matched"), threshold)
+
   /** [[contaminationPairs]]'s 100 TB lane: a Bloom filter over the eval
     * suite's shingle hashes prunes the training-side inverted index BEFORE
     * any join. Identical output (hash-checked by the d7b oracle): Bloom

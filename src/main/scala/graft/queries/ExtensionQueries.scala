@@ -1409,6 +1409,24 @@ object ExtensionQueries {
         .orderBy("eval_id")
     }),
 
+    // D7d incremental decontamination — d7c's daily-ingest form: the eval
+    // inverted index is built ONCE, each training batch probes it, and the
+    // only mutable state is the matched (eval_id, shingle) subset — bounded
+    // by the EVAL SUITE no matter how large the corpus grows. Two id-split
+    // batches here; oracle is d7c's whole-corpus audit verbatim.
+    "d7d_incremental_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val evalInv = Dedup.contaminationIndexFrame(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      val m1 = Dedup.contaminationProbe(evalInv,
+        train.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val m2 = Dedup.contaminationProbe(evalInv,
+        train.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      Dedup.contaminationVerdictsFromState(evalInv, m1.unionAll(m2), threshold = 0.5)
+        .orderBy("eval_id")
+    }),
+
     // M1 multimodal plumbing: binary payload + metadata + decoded features.
     // byte_mean is left UNROUNDED: exact integer byte-sum / n_bytes is one
     // IEEE division, bit-identical across engines; rounding a double is not.
@@ -3963,7 +3981,17 @@ object ExtensionQueries {
     // d7c: the semi-join overlap fraction — eval inverted index, EXISTS
     // against the training shingle stream, per-doc totals, IEEE division
     // rounded 4, threshold flag.
-    "d7c_contamination_fraction" ->
+    "d7c_contamination_fraction" -> d7cSql,
+
+    // d7d: the INCREMENTAL gate must equal the whole-corpus audit — d7c's
+    // SQL verbatim (the d6b/d7b discipline: the oracle computes the
+    // one-shot form the incremental chain must reproduce).
+    "d7d_incremental_contamination" -> d7cSql)
+
+  /** d7c's whole-corpus contamination audit; shared verbatim with d7d's
+    * two-batch incremental chain.
+    */
+  private def d7cSql: String =
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
          |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
@@ -3979,7 +4007,7 @@ object ExtensionQueries {
          |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) AS overlap_frac,
          |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) >= 0.5 AS contaminated
          |FROM tot t LEFT JOIN mat m ON m.eval_id = t.eval_id
-         |ORDER BY t.eval_id""".stripMargin)
+         |ORDER BY t.eval_id""".stripMargin
 
   /** Corpus word-frequency CTE matching [[Bpe.wordCounts]]. */
   private def bpeWcSql =

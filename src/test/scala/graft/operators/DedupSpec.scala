@@ -646,4 +646,38 @@ class DedupSpec extends SparkSpec {
       (10L, 4L, 2L, 0.5, true),
       (12L, 4L, 0L, 0.0, false)))
   }
+
+  test("incremental contamination: chained batches == one-shot audit; replay appends are harmless; empty state reads clean") {
+    val train = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i j k l"),
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (10L, "a b c d q r"),         // matches batch {1}
+      (12L, "g h i m n o"),         // matches batch {2}
+      (13L, "m n o p q r")          // matches nothing
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cont_idx").toString
+    Dedup.buildContaminationIndex(evalDocs, "doc_id", "text", dir)
+    def verdicts() = Dedup.contaminationVerdictsIndexed(spark, dir, threshold = 0.25)
+      .orderBy("eval_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // before any batch: totals present, zero matched, nothing contaminated
+    assert(verdicts() == Seq(
+      (10L, 4L, 0L, 0.0, false), (12L, 4L, 0L, 0.0, false), (13L, 4L, 0L, 0.0, false)))
+    // probe batch 1 then batch 2: final verdicts == the one-shot audit
+    Dedup.contaminationGateBatch(dir, train.filter($"doc_id" <= 1), "doc_id", "text")
+    Dedup.contaminationGateBatch(dir, train.filter($"doc_id" > 1), "doc_id", "text")
+    val oneShot = Dedup.contaminationFractions(train, evalDocs, "doc_id", "text",
+      threshold = 0.25).orderBy("eval_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(verdicts() == oneShot)
+    // an at-least-once REPLAY of batch 2 appends duplicate pairs; the
+    // distinct-count verdict pass must be unchanged — no marker protocol
+    Dedup.contaminationGateBatch(dir, train.filter($"doc_id" > 1), "doc_id", "text")
+    assert(verdicts() == oneShot)
+    // rebuild clears accumulated matched state
+    Dedup.buildContaminationIndex(evalDocs, "doc_id", "text", dir)
+    assert(verdicts().forall(_._3 == 0L))
+  }
 }
