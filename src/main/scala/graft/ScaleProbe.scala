@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LanguageModel, Multimodal}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval}
 import graft.functions.Text
 
 /** One-off scale audit for the dedup family (SURVEY §6): measures CANDIDATE
@@ -101,14 +101,14 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
     val all = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     // setup is gated too: a single-family run must not pay the other
     // families' scans/collects
-    val needDocLadder = Seq("base", "r15", "r15b", "r15c").exists(want)
+    val needDocLadder = Seq("base", "r15", "r15b", "r15c", "r16b").exists(want)
     val full = if (needDocLadder) all.count() else 0L
 
     def probe(tag: String, docs: DataFrame, n: Long, skipD5: Boolean = false): Unit = {
@@ -347,6 +347,56 @@ object ScaleProbe {
       require(local == dist, s"hybrid/distributed trainer divergence at $nMerges merges")
       println(f"PROBE-R16A sf0.1 vocab=$vocabRows%7d merges=$nMerges%5d " +
         f"local=$tLocal%6.1fs distributed=$tDist%6.1fs ratio=${tDist / tLocal}%6.1fx parity=ok")
+    }
+
+    // Round-16 lanes on the nested ladder. Claims under test: t17's LM
+    // model is vocabulary-bounded (distinct reference-slice bigrams —
+    // Heaps-law sub-linear in corpus) while scoring is one linear pass;
+    // rrf1's lexical work is the posting-list volume its query terms touch
+    // (tracks corpus term frequency, not queries × corpus) with a CONSTANT
+    // fused output; d7d's matched state is bounded by the EVAL SUITE — the
+    // state rows must stay ~flat as the corpus doubles (the whole point of
+    // inverting the incremental direction).
+    for (frac <- Seq(4, 2, 1) if want("r16b") && ids.nonEmpty) {
+      val n = math.max(1, (full / frac).toInt)
+      val sub = all.filter(col("doc_id") <= ids(n - 1)).localCheckpoint()
+      val t0 = System.nanoTime()
+      val t17out = LanguageModel.perplexityBuckets(
+        sub.filter(col("doc_id") % 5 === 0), sub.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "lang").count()
+      val tT17 = (System.nanoTime() - t0) / 1e9
+      val trToks = sub.filter(col("doc_id") % 5 === 0)
+        .select(Text.tokens(col("text")).as("toks"))
+      val modelRows = trToks.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+        .distinct().count()
+      val emb = Tables.embeddings(spark, sfDir)
+      val t1 = System.nanoTime()
+      val rrfRows = Retrieval.rrfFuse(sub, emb, col("doc_id") < 8).count()
+      val tRrf = (System.nanoTime() - t1) / 1e9
+      val dw = sub.select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .distinct().localCheckpoint()
+      val postRows = dw.join(
+        dw.filter(col("doc_id") < 8).select(col("word")).distinct(), "word").count()
+      val t2 = System.nanoTime()
+      val evalInv = Dedup.contaminationIndexFrame(
+        sub.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+      val train = sub.filter(col("doc_id") % 97 =!= 0)
+      val state = Dedup.contaminationProbe(evalInv,
+          train.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .unionAll(Dedup.contaminationProbe(evalInv,
+          train.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+        .distinct().localCheckpoint()
+      val stateRows = state.count()
+      val d7dRows = Dedup.contaminationVerdictsFromState(evalInv, state).count()
+      val tD7d = (System.nanoTime() - t2) / 1e9
+      val evalRows = evalInv.count()
+      println(f"PROBE-R16B sf0.1/$frac%-4s n=$n%6d t17_model=$modelRows%7d " +
+        f"out=$t17out%6d t=$tT17%5.1fs | rrf_post=$postRows%7d out=$rrfRows%4d " +
+        f"t=$tRrf%5.1fs | d7d_eval=$evalRows%6d state=$stateRows%6d " +
+        f"out=$d7dRows%4d t=$tD7d%5.1fs")
     }
     spark.stop()
   }
