@@ -430,6 +430,32 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming DECONTAMINATION monitor — the eval-suite-overlap member of
+    * the gate family: each micro-batch of TRAINING documents probes the
+    * persisted contamination index
+    * ([[graft.operators.Dedup.buildContaminationIndex]]) and appends the
+    * newly matched (eval_id, shingle) pairs. Unlike the dedup gates nothing
+    * is filtered — the stream maintains the eval-suite-bounded matched
+    * STATE from which [[graft.operators.Dedup.contaminationVerdictsIndexed]]
+    * reads per-eval-doc overlap verdicts at any time (the "is our benchmark
+    * leaking into the crawl" live monitor). Because verdicts count DISTINCT
+    * matched shingles, duplicate appends are harmless: a replayed
+    * at-least-once batch re-appends the same pairs and every verdict is
+    * unchanged — exactly-once BY ALGEBRA, so this gate needs neither the
+    * exclusion step nor the committed-batch marker the dedup gates carry.
+    */
+  def contaminationGateStream(docs: DataFrame, indexDir: String,
+                              checkpointDir: String, idCol: String = "doc_id",
+                              textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.contaminationGateBatch(indexDir, batch, idCol, textCol)
+        ()
+      }
+      .start()
+
   /** Streaming quality/language CLASSIFIER gate — the third member of the
     * gate family (exact-dedup, semantic, classifier): each micro-batch of
     * documents is scored against a PERSISTED Naive Bayes model

@@ -798,4 +798,42 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
       .as[(String, Long)].head()
     assert(got._2 >= 6L && got._2 <= 8L, got)
   }
+
+  test("streaming contamination monitor: verdicts converge to the one-shot audit; replay is marker-free idempotent") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq(
+      (10L, "a b c d q r"),          // overlaps batch-1 doc 1
+      (12L, "g h i m n o"),          // overlaps batch-2 doc 2
+      (13L, "m n o p q r")           // never matched
+    ).toDF("doc_id", "text")
+    val iDir = Files.createTempDirectory("cont_gate_idx").toString
+    val ckDir = Files.createTempDirectory("cont_gate_ck").toString
+    Dedup.buildContaminationIndex(evalDocs, "doc_id", "text", iDir)
+    def verdicts() = Dedup.contaminationVerdictsIndexed(spark, iDir, threshold = 0.25)
+      .orderBy("eval_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    stream.addData((1L, "a b c d e f"))
+    val q1 = StreamingPipeline.contaminationGateStream(docs, iDir, ckDir)
+    q1.awaitTermination(120000)
+    assert(verdicts() == Seq(
+      (10L, 4L, 2L, 0.5, true), (12L, 4L, 0L, 0.0, false), (13L, 4L, 0L, 0.0, false)))
+    // second drain accumulates on top of the first batch's state
+    stream.addData((2L, "g h i j k l"))
+    val q2 = StreamingPipeline.contaminationGateStream(docs, iDir, ckDir)
+    q2.awaitTermination(120000)
+    val after2 = verdicts()
+    assert(after2 == Dedup.contaminationFractions(
+      Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text"),
+      evalDocs, "doc_id", "text", threshold = 0.25)
+      .orderBy("eval_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq)
+    // a replayed batch re-appends the same pairs: verdicts unchanged with
+    // NO marker protocol (distinct-count algebra, not bookkeeping)
+    Dedup.contaminationGateBatch(iDir, Seq((1L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(verdicts() == after2)
+  }
 }
