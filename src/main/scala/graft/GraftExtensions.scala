@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{BloomMightContain, DotF32, LevBounded, MisraGries, PqEncode, PqTables, TopKStruct, VectorizeDotProduct}
+import graft.functions.{BloomMightContain, DotF32, LevBounded, MisraGries, PqAdcScore, PqEncode, PqTables, TopKStruct, VectorizeDotProduct}
 
 /** Session extensions: registers the engine's native expressions and
   * optimizer rules (SparkSessionExtensions is the supported injection
@@ -85,6 +85,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"pq_tables requires 4 arguments (emb, books, m, ksub), got ${children.size}")
         PqTables(children.head, children(1),
           intLit(children(2), "pq_tables m"), intLit(children(3), "pq_tables ksub"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc_score"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "pq_adc_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"pq_adc_score requires 2 arguments (codes, tables), got ${children.size}")
+        PqAdcScore(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),

@@ -199,6 +199,81 @@ case class PqEncode(emb: Expression, books: Expression, m: Int, ksub: Int)
     copy(emb = newLeft, books = newRight)
 }
 
+/** Candidate-side ADC score: Σ_s tables(s)(codes(s)) — `m` array lookups,
+  * left-to-right double accumulation from 0.0 (bit-identical to the
+  * composed `aggregate(zip_with(codes, tables, (cd, tb) ->
+  * element_at(tb, cd + 1)), 0.0, +)` it replaces).
+  *
+  * Why native: higher-order functions are CodegenFallback, so the composed
+  * form dropped the ONE projection on the candidate stream — the IVF-PQ
+  * hot path — out of whole-stage codegen, and the interpreted stage then
+  * materializes every joined candidate row INCLUDING the query's m·ksub
+  * ADC table (~33 KB at 16×256) instead of streaming it virtually: on c8's
+  * 10.9k-code corpus that row-copy traffic was 3.2 s of the probe's 7.4 s
+  * wall. This expression keeps the stage in codegen; the table array is
+  * read in place, never copied.
+  *
+  * Null contract (mirrors the composed form): null codes/tables array, a
+  * null element in either, or mismatched lengths → NULL.
+  */
+case class PqAdcScore(codes: Expression, tables: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = tables
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, tables.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<double>>), got " +
+          s"${c.simpleString} and ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cd = a.asInstanceOf[ArrayData]
+    val tb = b.asInstanceOf[ArrayData]
+    val n = cd.numElements()
+    if (tb.numElements() != n) return null
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      if (cd.isNullAt(s) || tb.isNullAt(s)) return null
+      acc += tb.getArray(s).getDouble(cd.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cd, tb) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $cd.numElements();
+         |if ($tb.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $s = 0; $s < $n; $s++) {
+         |    if ($cd.isNullAt($s) || $tb.isNullAt($s)) { ${ev.isNull} = true; break; }
+         |    $acc += $tb.getArray($s).getDouble($cd.getInt($s));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(codes = newLeft, tables = newRight)
+}
+
 /** Query-side ADC tables: array<array<double>> with tables(s)(c) =
   * dot(q_s, book[s][c])/‖q‖. Runs once per QUERY row (the broadcast-bounded
   * side) — candidates score with `m` table lookups. See [[PqCodecBase]].

@@ -169,12 +169,16 @@ object Pq {
 
   /** ADC score: Σ_s tables[s][codes[s]] ≈ cosine(q, x). m table lookups per
     * candidate — the whole point: candidate scoring never touches floats
-    * wider than the tables already broadcast with the query.
+    * wider than the tables already broadcast with the query. Native
+    * [[graft.functions.PqAdcScore]] (round 16): the composed
+    * `aggregate(zip_with(...))` form was a CodegenFallback that dropped the
+    * candidate stream's ONE projection out of whole-stage codegen and
+    * memcpy'd each joined row's m·ksub table — 3.2 s of c8's 7.4 s probe
+    * wall. Value-identical (same left-to-right double accumulation;
+    * PqSpec pins native == composed on random inputs).
     */
   def adcScoreCol(codes: Column, tables: Column): Column =
-    aggregate(
-      zip_with(codes, tables, (cd, tb) => element_at(tb, cd + 1)),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("pq_adc_score", codes, tables)
 
   /** Add the PQ extent to an EXISTING semantic index
     * ([[Similarity.buildSemanticIndex]]'s layout): persists the codebooks
@@ -237,9 +241,19 @@ object Pq {
   def ivfPqTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
                              centroids: DataFrame, model: PqModel, k: Int,
                              nProbe: Int, rerankFactor: Int = 4): DataFrame = {
+    // Repartition BEFORE the checkpoint: assignCells ends in an exchange
+    // that AQE coalesces to ONE partition at these byte sizes (10k rows of
+    // embeddings ≈ 3 MB « the 64 MB advisory target), and localCheckpoint
+    // FREEZES that layout — every downstream consumer then runs
+    // single-task, including the pq_encode scan (m·ksub·subDim ≈ 16k
+    // multiply-adds per row: compute-dense far beyond its byte size, the
+    // one case where AQE's byte-based coalescing is exactly wrong).
+    // Measured on c8's probe: 4.8 s single-task stage → 0.6 s at 32 tasks.
+    val spark = corpus.sparkSession
     val assigned = Similarity
       .assignCells(corpus.select(col("vec_id"), col("embedding")), centroids)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint() // feeds the codes extent AND the re-rank raw side
     val codes = assigned
       .withColumn("codes", encodeCol(col("embedding"), model))

@@ -18,6 +18,16 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  // NOTE on checkpoint parallelism: localCheckpoint freezes the producing
+  // plan's partition layout, and AQE's byte-based coalescing collapses
+  // small embedding frames to ONE partition. That is the RIGHT layout for
+  // the checkpoints here — their consumers are shuffle-bound (cell
+  // self-joins, Lloyd micro-aggregates), and re-spreading them measured
+  // 1.5-1.7x SLOWER (task overhead, extra shuffle). It is exactly wrong
+  // when the consumer is compute-dense per row — see
+  // Pq.ivfPqTopKWithCentroids, whose pq_encode scan measured 4.8 s -> 0.6 s
+  // after re-spreading. Choose per consumer, not by rule.
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries (id, embedding) — must be small enough to broadcast.
     * @param corpus  (id, embedding)

@@ -1343,7 +1343,13 @@ object ExtensionQueries {
       val chunkEmb = chunkIds
         .withColumn("_evec", pmod(col("vec_id") * 31 + 7, lit(nVec)))
         .join(emb.select(col("vec_id").as("_evec"), col("embedding")), "_evec")
-        .select("vec_id", "embedding").localCheckpoint()
+        .select("vec_id", "embedding")
+        // repartition before the checkpoint: AQE coalesces the tiny join
+        // exchange to ONE partition and localCheckpoint freezes it — the
+        // brute-force recall scan and both index trainers would then run
+        // single-task (the Pq.ivfPqTopKWithCentroids lesson)
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
       val q = chunkEmb.filter(col("vec_id") < 8000) // chunks of doc_id < 8
       val approx = Pq.ivfPqTopKWithCentroids(q, chunkEmb,
         Similarity.kmeansCentroids(chunkEmb, 16),

@@ -92,6 +92,14 @@ class PlanQualitySpec extends SparkSpec {
     "d9b_semantic_dedup_incremental" -> 1,
     "t9_bigram_lm" -> 1,
     "t12_bm25" -> 2,
+    // t17: the 1-row train-vocab broadcast crossed into the scoring join
+    // (t9's shape) + ScalableWindow.rowNumber's bounded internals on the
+    // per-lang rank (|lang|-row boundary/offset broadcasts).
+    "t17_perplexity_buckets" -> 5,
+    // rrf1: two one-row corpus scalars (n_docs, avgdl — t12's BM25 shape)
+    // + the dense ranker's bounded query-vector broadcast with the
+    // non-equi self-exclusion residual (e2's brute-force shape).
+    "rrf1_hybrid_retrieval" -> 3,
     // mix2: one-row n_max aggregate crossed into the |sources|-row rate
     // table — t6_tfidf's corpus-scalar shape.
     "mix2_temperature_mixing" -> 1,

@@ -100,6 +100,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("native ADC score == composed aggregate(zip_with) bit-for-bit, incl. null contract") {
+    import org.apache.spark.sql.functions._
+    // random (codes, tables) rows at the production 16x256 shape, plus the
+    // null/mismatch edge cases the composed HOF form defined the contract for
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val codes = Array.fill(16)(rnd.nextInt(256))
+      val tables = Array.fill(16)(Array.fill(256)(rnd.nextDouble() * 2 - 1))
+      (i.toLong, codes, tables)
+    }
+    val df = rows.toDF("id", "codes", "tables").localCheckpoint()
+    val composed = aggregate(
+      zip_with(col("codes"), col("tables"), (cd, tb) => element_at(tb, cd + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val got = df
+      .select(col("id"), Pq.adcScoreCol(col("codes"), col("tables")).as("native"),
+        composed.as("hof"))
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 200)
+    // bit-identical, not approximately equal: same operands, same order
+    got.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n)
+        == java.lang.Double.doubleToRawLongBits(h), s"id=$id native=$n hof=$h")
+    }
+    // null arrays -> null result (both forms)
+    val nulls = Seq((1L, null: Array[Int], Array(Array(0.5)))).toDF("id", "codes", "tables")
+    assert(nulls.select(Pq.adcScoreCol(col("codes"), col("tables"))).head().isNullAt(0))
+    // mismatched lengths -> null (the zip_with-pads-then-element_at(null) path)
+    val mism = Seq((1L, Array(0, 1), Array(Array(0.5)))).toDF("id", "codes", "tables")
+    assert(mism.select(Pq.adcScoreCol(col("codes"), col("tables"))).head().isNullAt(0))
+  }
+
+  test("ADC candidate scoring stays inside whole-stage codegen (the reason PqAdcScore exists)") {
+    import org.apache.spark.sql.functions._
+    val corpus = clusteredCorpus(83, n = 256, dims = 64)
+    val model = Pq.train(corpus, m = 16, ksub = 256, sampleSize = 256, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pqadc").toString
+    corpus.withColumn("codes", Pq.encodeCol(col("embedding"), model))
+      .select("vec_id", "codes").write.parquet(s"$dir/codes")
+    val q = corpus.filter($"vec_id" === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val df = spark.read.parquet(s"$dir/codes")
+      .withColumn("tables", Pq.adcTablesCol(typedLit(q), model))
+      .select(col("vec_id"), Pq.adcScoreCol(col("codes"), col("tables")).as("approx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen stage in:\n$plan")
+    assert(df.count() == 256)
+  }
+
   test("IVF-PQ recall gate: recall@5 >= 0.8 on the clustered seeded corpus") {
     // the e2h discipline for the compressed lane: ADC shortlist + exact
     // re-rank must hold the same floor the raw IVF lane holds
