@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT / instruction-tuning data prep: render grouped event streams into
+  * chat-template training strings with LOSS-MASK spans — the step between a
+  * curated corpus and a fine-tuning dataloader. Each conversation's turns
+  * are rendered `<|role|>text<|end|>` in time order; the loss mask covers
+  * exactly the assistant-turn TEXT (not its delimiters), expressed as
+  * [start, end) character offsets into the rendered string so the tokenizer
+  * downstream can map spans to token masks.
+  *
+  * Distributed shape (100 TB framing): ONE shuffle keyed by conversation;
+  * offsets are per-conversation integer PREFIX SUMS over piece lengths (a
+  * running-total window, w2's shape — exact integer arithmetic, so the
+  * whole render is engine-portable and hash-checkable); the conversation
+  * fingerprint folds the time-sorted pieces per group (state bounded by
+  * conversation length, never corpus size). No global sort, no driver-side
+  * assembly, no conversation ever materialized outside its group.
+  */
+object Sft {
+
+  /** Per-turn render frame: (conv, turn_idx, role, loss_start, loss_end,
+    * render_fp, n_turns, n_chars). loss_* are null on non-assistant turns;
+    * render_fp/n_* repeat per conversation (md5 + length of the full
+    * rendered string — the conversation-level artifact without shipping a
+    * megabyte string per row).
+    *
+    * @param events    input frame
+    * @param convCol   conversation key column name
+    * @param tsCol     turn order column (ties broken by `idCol`)
+    * @param idCol     unique turn id (deterministic tie-break)
+    * @param roleCol   turn role ("assistant" turns carry loss)
+    * @param textCol   turn text (null-tolerant: rendered as empty)
+    */
+  def renderChat(events: DataFrame, convCol: String, tsCol: String,
+                 idCol: String, roleCol: String, textCol: String): DataFrame = {
+    val turns = events.select(
+        col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("piece",
+        concat(lit("<|"), col("role"), lit("|>"), col("text"), lit("<|end|>")))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
+    val withOffsets = turns
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("_start", coalesce(
+        sum(length(col("piece")).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("loss_start",
+        when(col("role") === "assistant",
+          col("_start") + length(col("role")).cast("long") + lit(4L)))
+      .withColumn("loss_end",
+        when(col("role") === "assistant",
+          col("_start") + length(col("piece")).cast("long") - lit(7L)))
+    val conv = turns.groupBy(col(convCol)).agg(
+      count(lit(1)).as("n_turns"),
+      sum(length(col("piece")).cast("long")).as("n_chars"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol), col("piece")))),
+        t => t("piece")), "")).as("render_fp"))
+    withOffsets
+      .select(col(convCol), col("turn_idx"), col("role"),
+        col("loss_start"), col("loss_end"))
+      .join(conv, Seq(convCol))
+  }
+}

@@ -1319,6 +1319,21 @@ object ExtensionQueries {
     // live); recall_ok gates against brute force over the same chunk
     // corpus. Inline IVF-PQ form — PqSpec pins indexed == inline, so the
     // persisted-index path is covered transitively.
+    // SFT1 chat-template render (instruction-tuning data prep): events
+    // grouped into conversations, rendered <|role|>text<|end|> in time
+    // order, with loss-mask [start, end) char spans over exactly the
+    // assistant-turn text — integer prefix-sum offsets (w2's running-total
+    // shape), so the whole render hash-matches the oracle.
+    "sft1_chat_render" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("role",
+          when(col("event_type").isin("view", "click"), "user").otherwise("assistant"))
+        .withColumn("text",
+          concat(col("event_type"), lit(" "), coalesce(col("props"), lit(""))))
+      graft.operators.Sft.renderChat(ev, "user_id", "ts", "event_id", "role", "text")
+        .orderBy("user_id", "turn_idx")
+    }),
+
     // RRF1 hybrid retrieval (Cormack et al. 2009): BM25 top-20 + exact
     // cosine top-20 per query, reciprocal-rank-fused, top-10 kept. Both
     // scorers round before ranking and all ranks are integers, so the
@@ -2769,6 +2784,37 @@ object ExtensionQueries {
     // scales vs the 0.8 floor: duplicate chunk vectors land in the same
     // cell by construction, so the probe finds them; a probe/shortlist/
     // re-rank regression still collapses it).
+    // sft1: render, prefix-sum offsets, loss spans, conversation
+    // fingerprint — all restated (md5 + string_agg ORDER BY = the sorted
+    // piece fold).
+    "sft1_chat_render" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type || ' ' || COALESCE(props, '') AS text
+        |  FROM events),
+        |p AS (SELECT *, '<|' || role || '|>' || text || '<|end|>' AS piece FROM t),
+        |o AS (
+        |  SELECT user_id, role, piece,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS turn_idx,
+        |    COALESCE(SUM(CAST(length(piece) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |    CAST(SUM(length(piece)) AS BIGINT) AS n_chars,
+        |    md5(string_agg(piece, '' ORDER BY ts, event_id)) AS render_fp
+        |  FROM p GROUP BY user_id)
+        |SELECT o.user_id, o.turn_idx, o.role,
+        |  CASE WHEN role = 'assistant' THEN s + length(role) + 4 END AS loss_start,
+        |  CASE WHEN role = 'assistant'
+        |       THEN s + CAST(length(piece) AS BIGINT) - 7 END AS loss_end,
+        |  c.render_fp, c.n_turns, c.n_chars
+        |FROM o JOIN c USING (user_id)
+        |ORDER BY user_id, turn_idx""".stripMargin,
+
     // rrf1: the full hybrid stack restated — BM25 posting-list probe,
     // flattened-array cosine, both rank cuts, and the RRF arithmetic.
     "rrf1_hybrid_retrieval" ->
