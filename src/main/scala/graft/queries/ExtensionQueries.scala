@@ -1319,6 +1319,23 @@ object ExtensionQueries {
     // live); recall_ok gates against brute force over the same chunk
     // corpus. Inline IVF-PQ form — PqSpec pins indexed == inline, so the
     // persisted-index path is covered transitively.
+    // PG1 crawl-authority PageRank (fixed-point): 4 damped power
+    // iterations over a synthetic 3-out link graph in integer micro-units
+    // (1e9 = rank 1.0) — exact `div` arithmetic, so the ITERATION is
+    // engine-portable and the oracle unrolls it as chained CTEs (the bpe3
+    // discipline). Top-20 authorities via TakeOrderedAndProject.
+    "pg1_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
+      // bounded construction-time scalar (the c8 class): the edge modulus
+      val n = docs.count()
+      val edges = docs.select(col("id").as("src"),
+        explode(array((1 to 3).map(j =>
+          pmod(col("id") * (2 * j + 1) + j, lit(n))): _*)).as("dst"))
+      graft.operators.Centrality.pageRankFixedPoint(edges, docs, iterations = 4)
+        .withColumnRenamed("rank", "authority")
+        .orderBy(desc("authority"), col("id")).limit(20)
+    }),
+
     // SFT1 chat-template render (instruction-tuning data prep): events
     // grouped into conversations, rendered <|role|>text<|end|> in time
     // order, with loss-mask [start, end) char spans over exactly the
@@ -2784,6 +2801,10 @@ object ExtensionQueries {
     // scales vs the 0.8 floor: duplicate chunk vectors land in the same
     // cell by construction, so the probe finds them; a probe/shortlist/
     // re-rank regression still collapses it).
+    // pg1: the 4-iteration fixed-point power loop unrolled as chained
+    // CTEs from the same constants the Spark lane uses.
+    "pg1_pagerank" -> pg1Sql,
+
     // sft1: render, prefix-sum offsets, loss spans, conversation
     // fingerprint — all restated (md5 + string_agg ORDER BY = the sorted
     // piece fold).
@@ -4060,6 +4081,37 @@ object ExtensionQueries {
          |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) >= 0.5 AS contaminated
          |FROM tot t LEFT JOIN mat m ON m.eval_id = t.eval_id
          |ORDER BY t.eval_id""".stripMargin
+
+  /** pg1's 4-iteration fixed-point PageRank unrolled (the bpe3 chained-CTE
+    * discipline): edges, degrees, r0, then r1..r4 each one contribution
+    * aggregate + damping in exact integer `//` arithmetic.
+    */
+  private def pg1Sql: String = {
+    val iters = 4
+    val base =
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 3 + 1) % n AS dst FROM documents CROSS JOIN nn
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 5 + 2) % n FROM documents CROSS JOIN nn
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % n FROM documents CROSS JOIN nn) t
+        |  WHERE src <> dst),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS authority FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.id,
+         |    CAST(150000000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS authority
+         |  FROM nodes LEFT JOIN (
+         |    SELECT dst AS id, SUM(authority // outdeg) AS s
+         |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src
+         |    GROUP BY dst) c ON c.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\nSELECT id, authority FROM r$iters ORDER BY authority DESC, id LIMIT 20"
+  }
 
   /** Corpus word-frequency CTE matching [[Bpe.wordCounts]]. */
   private def bpeWcSql =
