@@ -101,7 +101,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -347,6 +347,49 @@ object ScaleProbe {
       require(local == dist, s"hybrid/distributed trainer divergence at $nMerges merges")
       println(f"PROBE-R16A sf0.1 vocab=$vocabRows%7d merges=$nMerges%5d " +
         f"local=$tLocal%6.1fs distributed=$tDist%6.1fs ratio=${tDist / tLocal}%6.1fx parity=ok")
+    }
+
+    // Late-round-16 lanes. sft1's claim: one conversation-keyed shuffle,
+    // linear in events, per-group state bounded by conversation length —
+    // observables are events in vs rows out (equal) and wall. pg1's claim:
+    // per-iteration cost linear in EDGES with a |nodes|-row rank frame —
+    // the ladder scales the node set (edges = 3·nodes by construction) and
+    // doubles the iteration count once to show wall tracks iterations
+    // linearly, not super-linearly (flat checkpointed lineage).
+    if (want("r16c")) {
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("role",
+          when(col("event_type").isin("view", "click"), "user").otherwise("assistant"))
+        .withColumn("text", concat(col("event_type"), lit(" "),
+          coalesce(col("props"), lit(""))))
+        .localCheckpoint()
+      val evFull = ev.count()
+      for (frac <- Seq(4, 2, 1)) {
+        val sub = ev.filter(col("event_id") % frac === 0).localCheckpoint()
+        val nEv = sub.count()
+        val t0 = System.nanoTime()
+        val rows = graft.operators.Sft
+          .renderChat(sub, "user_id", "ts", "event_id", "role", "text").count()
+        val tS = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE-R16C sft1 sf0.1/$frac%-4s events=$nEv%7d rows=$rows%7d t=$tS%5.1fs")
+      }
+      val docsAll = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+      val idsPg = docsAll.orderBy("id").collect().map(_.getLong(0))
+      for ((frac, iters) <- Seq((4, 4), (2, 4), (1, 4), (1, 8))) {
+        val nDocs = math.max(1, (idsPg.length / frac))
+        val sub = docsAll.filter(col("id") <= idsPg(nDocs - 1)).localCheckpoint()
+        val n = sub.count()
+        val edges = sub.select(col("id").as("src"),
+          explode(array((1 to 3).map(j =>
+            pmod(col("id") * (2 * j + 1) + j, lit(n))): _*)).as("dst"))
+        val t0 = System.nanoTime()
+        val out = graft.operators.Centrality
+          .pageRankFixedPoint(edges, sub, iters).count()
+        val tP = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE-R16C pg1 sf0.1/$frac%-4s nodes=$n%6d iters=$iters%2d " +
+          f"ranks=$out%6d t=$tP%5.1fs")
+      }
+      println(s"PROBE-R16C events_full=$evFull")
     }
 
     // Round-16 lanes on the nested ladder. Claims under test: t17's LM
