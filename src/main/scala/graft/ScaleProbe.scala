@@ -101,7 +101,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -390,6 +390,45 @@ object ScaleProbe {
           f"ranks=$out%6d t=$tP%5.1fs")
       }
       println(s"PROBE-R16C events_full=$evFull")
+    }
+
+    // dpo1/c9 growth posture. Claims under test: pair assembly is one
+    // map-side-combined aggregation whose OUTPUT is bounded by the prompt
+    // domain (64 groups at any corpus size — time must track the linear
+    // scoring scan, rows must stay flat); c9's composed line adds the
+    // dedup scan and the decon inverted-index probe, whose cost tracks
+    // candidate-shingle volume (linear), never candidates × eval.
+    if (want("r16d")) {
+      val docsAll = Tables.documents(spark, sfDir).localCheckpoint()
+      for (frac <- Seq(4, 2, 1)) {
+        val sub = docsAll.filter(col("doc_id") % frac === 0).localCheckpoint()
+        val n = sub.count()
+        val scored = graft.queries.ExtensionQueries.qualityFrame(sub)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+            round(col("quality") * 10000).cast("long").as("qfp"))
+        var t0 = System.nanoTime()
+        val nPairs = graft.operators.Preference
+          .preferencePairs(scored, "prompt_id", "doc_id", "qfp", 500L).count()
+        val tD = (System.nanoTime() - t0) / 1e9
+        // c9: the composed line over the same subset
+        val keepers = graft.operators.Dedup
+          .exactByFingerprint(sub, "text", "doc_id").select("doc_id")
+        val evalDocs = sub.filter(col("doc_id") % 97 === 0)
+        val cands = sub.join(keepers, "doc_id").filter(col("doc_id") % 97 =!= 0)
+        t0 = System.nanoTime()
+        val contaminated = graft.operators.Dedup
+          .contaminationPairs(cands, evalDocs, "doc_id", "text", minShared = 2)
+          .select(col("train_id").as("doc_id")).distinct()
+        val clean = cands.join(contaminated, Seq("doc_id"), "left_anti")
+        val cScored = graft.queries.ExtensionQueries.qualityFrame(clean)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+            round(col("quality") * 10000).cast("long").as("qfp"))
+        val nC9 = graft.operators.Preference
+          .preferencePairs(cScored, "prompt_id", "doc_id", "qfp", 500L).count()
+        val tC = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE-R16D sf0.1/$frac%-4s docs=$n%6d dpo1_pairs=$nPairs%4d " +
+          f"t_dpo1=$tD%5.1fs c9_pairs=$nC9%4d t_c9=$tC%5.1fs")
+      }
     }
 
     // Round-16 lanes on the nested ladder. Claims under test: t17's LM

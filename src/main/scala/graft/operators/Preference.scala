@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair assembly for DPO/RLHF-style fine-tuning: per prompt,
+  * pair the best-scored candidate response (chosen) against the
+  * worst-scored one (rejected), keep pairs whose score margin clears a
+  * floor — the step that turns a scored candidate pool into a preference
+  * dataset (Rafailov et al. 2023's data shape; the sibling of Sft.renderChat
+  * on the fine-tuning side of the curation fence).
+  *
+  * Scores arrive as FIXED-POINT integers (e.g. 4-decimal quality × 10⁴ —
+  * emb1/pg1's discipline): argmax/argmin selection and the margin test are
+  * then exact integer comparisons, deterministic under any partitioning and
+  * restatable verbatim in any engine. Ties break to the SMALLER candidate
+  * id on both sides via an injective ordering key `qfp·2³² ∓ id` (injective
+  * while 0 ≤ id < 2³² and |qfp| < 2³⁰ — one BIGINT comparison instead of a
+  * struct compare, so the same key works as DuckDB's `arg_max` val, whose
+  * tie behavior is otherwise unspecified).
+  *
+  * Distributed shape (100 TB framing): ONE hash aggregation keyed by
+  * prompt — max_by/min_by/count are all map-side combined, so per-group
+  * state is O(1) no matter how many candidates a prompt accumulates; no
+  * window sort over candidate extents, no per-prompt task. The margin
+  * filter runs on the aggregated row. Null-scored candidates are dropped
+  * before grouping (an unscored response can be neither chosen nor
+  * rejected, and must not inflate n_candidates).
+  */
+object Preference {
+
+  /** (prompt, n_candidates, chosen_id, rejected_id, chosen_q, rejected_q,
+    * margin) — one row per prompt with ≥2 scored candidates and
+    * chosen−rejected ≥ `minMarginFp`. chosen_q/rejected_q/margin are the
+    * fixed-point scores scaled back to 4-decimal doubles.
+    *
+    * @param scored      candidate frame: one row per (prompt, candidate)
+    * @param promptCol   prompt key column
+    * @param idCol       candidate id (unique, 0 ≤ id < 2³²; tie-break)
+    * @param qFpCol      fixed-point score column (|q| < 2³⁰), null = unscored
+    * @param minMarginFp minimum chosen−rejected gap, fixed-point units
+    */
+  def preferencePairs(scored: DataFrame, promptCol: String, idCol: String,
+                      qFpCol: String, minMarginFp: Long): DataFrame = {
+    val shift = lit(4294967296L) // 2^32
+    val up = col(qFpCol) * shift - col(idCol)
+    val dn = col(qFpCol) * shift + col(idCol)
+    scored
+      .filter(col(qFpCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max_by(col(idCol), up).as("chosen_id"),
+        min_by(col(idCol), dn).as("rejected_id"),
+        max(col(qFpCol)).as("_cq"),
+        min(col(qFpCol)).as("_rq"))
+      .filter(col("n_candidates") >= 2 &&
+        col("_cq") - col("_rq") >= minMarginFp)
+      .select(col(promptCol), col("n_candidates"),
+        col("chosen_id"), col("rejected_id"),
+        round(col("_cq").cast("double") / 10000.0, 4).as("chosen_q"),
+        round(col("_rq").cast("double") / 10000.0, 4).as("rejected_q"),
+        round((col("_cq") - col("_rq")).cast("double") / 10000.0, 4).as("margin"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
-import graft.operators.{Bpe, Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Prepare, Retrieval, Similarity}
+import graft.operators.{Bpe, Dedup, Frequency, Integrity, LanguageModel, Layout, Multimodal, Pq, Preference, Prepare, Retrieval, Similarity}
 
 /** Charter extension operators (SURVEY.md §2.9 E-series + the LLM-pipeline
   * D/T/M-series): dedup, similarity search, text analysis, multimodal
@@ -42,7 +42,7 @@ object ExtensionQueries {
     * DECIMAL(9,4), and both Spark and DuckDB round decimals half-up
     * identically.
     */
-  private def qualityFrame(docs: DataFrame): DataFrame =
+  private[graft] def qualityFrame(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
@@ -1351,6 +1351,21 @@ object ExtensionQueries {
         .orderBy("user_id", "turn_idx")
     }),
 
+    // DPO1 preference-pair assembly (Rafailov et al. 2023's data shape):
+    // per prompt group, pair the best-quality candidate against the worst,
+    // keep pairs with margin >= 0.05. Quality rides in FIXED-POINT 1e4
+    // units, so argmax/argmin and the margin test are exact integer
+    // comparisons (ties break to the smaller doc_id via the injective
+    // qfp*2^32 -/+ id key) — the whole selection hash-matches the oracle.
+    // ONE map-side-combined aggregation keyed by prompt; no window sort.
+    "dpo1_preference_pairs" -> ((s, d) => {
+      val scored = qualityFrame(Tables.documents(s, d))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+          round(col("quality") * 10000).cast("long").as("qfp"))
+      Preference.preferencePairs(scored, "prompt_id", "doc_id", "qfp", 500L)
+        .orderBy("prompt_id")
+    }),
+
     // RRF1 hybrid retrieval (Cormack et al. 2009): BM25 top-20 + exact
     // cosine top-20 per query, reciprocal-rank-fused, top-10 kept. Both
     // scorers round before ranking and all ranks are integers, so the
@@ -1415,6 +1430,35 @@ object ExtensionQueries {
           col("scores_ok"), col("rank_ok"),
           (col("_n_hit").cast("double")
             >= lit(0.8) * col("_n_true").cast("double")).as("recall_ok"))
+    }),
+
+    // C9 composed DPO assembly — the fine-tuning side's c4 twin, pinning
+    // the stage HAND-OFFS of the preference-data line in one oracle:
+    // exact-dedup keepers (md5 fingerprint, min-id) → eval-suite split →
+    // decontaminate the candidate POOL (≥2 shared 3-shingles with any
+    // eval doc drops the candidate BEFORE scoring — pool filtering, not
+    // pair patching, so contamination can never pick a chosen/rejected)
+    // → quality scoring in fixed point → preference-pair assembly.
+    // Scale: dedup + scoring are linear scans; the decon probe is the d7
+    // inverted-index join against the benchmark-sized eval side (compose
+    // with the d7b Bloom prefilter at 100 TB — false positives die in the
+    // exact join); pair assembly is one map-side-combined aggregation.
+    "c9_dpo_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exactByFingerprint(docs, "text", "doc_id")
+        .select("doc_id")
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      val cands = docs.join(keepers, "doc_id")
+        .filter(col("doc_id") % 97 =!= 0)
+      val contaminated = Dedup.contaminationPairs(
+          cands, evalDocs, "doc_id", "text", minShared = 2)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = cands.join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = qualityFrame(clean)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+          round(col("quality") * 10000).cast("long").as("qfp"))
+      Preference.preferencePairs(scored, "prompt_id", "doc_id", "qfp", 500L)
+        .orderBy("prompt_id")
     }),
 
     "c7_corpus_datacard" -> ((s, d) =>
@@ -2836,6 +2880,42 @@ object ExtensionQueries {
         |FROM o JOIN c USING (user_id)
         |ORDER BY user_id, turn_idx""".stripMargin,
 
+    // dpo1: scoring + pair selection restated end to end — the shared
+    // quality ladder in fixed point, injective arg_max/arg_min tie keys,
+    // the integer margin test.
+    "dpo1_preference_pairs" ->
+      s"""WITH ${qfpScoredSql("documents")},
+         |${dpoPairsSql("qscored", "")}
+         |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
+
+    // c9: every stage restated — fingerprint keepers, eval split, the
+    // ≥2-shared-shingle pool decon, then the shared scoring + pair CTEs
+    // over the CLEAN pool.
+    "c9_dpo_assembly" ->
+      s"""WITH fp AS (
+         |  SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f,
+         |    MIN(doc_id) AS doc_id
+         |  FROM documents GROUP BY 1),
+         |cand AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN fp USING (doc_id)
+         |  WHERE d.doc_id % 97 <> 0),
+         |evd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |cs AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks")})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM cand) t),
+         |es AS (
+         |  SELECT doc_id AS eval_id, unnest(list_distinct(${shinglesSql("toks")})) AS s
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM evd) t),
+         |ov AS (SELECT cs.doc_id, eval_id, COUNT(*) AS n
+         |       FROM cs JOIN es USING (s) GROUP BY 1, 2),
+         |cont AS (SELECT DISTINCT doc_id FROM ov WHERE n >= 2),
+         |clean AS (
+         |  SELECT doc_id, text FROM cand
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |${qfpScoredSql("clean")},
+         |${dpoPairsSql("qscored", "")}
+         |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
+
     // rrf1: the full hybrid stack restated — BM25 posting-list probe,
     // flattened-array cosine, both rank cuts, and the RRF arithmetic.
     "rrf1_hybrid_retrieval" ->
@@ -4064,6 +4144,46 @@ object ExtensionQueries {
   /** d7c's whole-corpus contamination audit; shared verbatim with d7d's
     * two-batch incremental chain.
     */
+  /** Shared scoring-stage CTE ladder for the fine-tuning lanes (dpo1/c9):
+    * t2's quality formula over `rel`, emitted as `qscored(doc_id, qfp)`
+    * with the 4-decimal quality in FIXED-POINT 1e4 units — the same
+    * constants the Spark lanes feed Preference.preferencePairs.
+    */
+  private def qfpScoredSql(rel: String): String =
+    s"""qtok AS (SELECT doc_id, text, $toksSql AS toks FROM $rel),
+       |qfeat AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INTEGER) AS n_tokens,
+       |    CAST(length(text) AS INTEGER) AS n_chars,
+       |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+       |  FROM qtok),
+       |qscored AS (
+       |  SELECT doc_id, CAST(ROUND(
+       |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+       |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+       |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) * 10000) AS BIGINT) AS qfp
+       |  FROM qfeat)""".stripMargin
+
+  /** dpo1's pair selection restated: injective arg_max/arg_min keys, the
+    * integer margin test, and the 1e-4 scale-back.
+    */
+  private def dpoPairsSql(scoredRel: String, keepersFilter: String): String =
+    s"""g AS (
+       |  SELECT doc_id % 64 AS prompt_id, COUNT(*) AS n_candidates,
+       |    arg_max(doc_id, qfp * 4294967296 - doc_id) AS chosen_id,
+       |    arg_min(doc_id, qfp * 4294967296 + doc_id) AS rejected_id,
+       |    MAX(qfp) AS cq, MIN(qfp) AS rq
+       |  FROM $scoredRel WHERE qfp IS NOT NULL$keepersFilter
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT prompt_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+       |    chosen_id, rejected_id,
+       |    ROUND(cq / 10000.0, 4) AS chosen_q,
+       |    ROUND(rq / 10000.0, 4) AS rejected_q,
+       |    ROUND((cq - rq) / 10000.0, 4) AS margin
+       |  FROM g WHERE n_candidates >= 2 AND cq - rq >= 500)""".stripMargin
+
   private def d7cSql: String =
       s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Preference-pair assembly: argmax/argmin selection with smaller-id tie
+  * breaks on BOTH sides, the integer margin floor, singleton-group and
+  * null-score hygiene, and exact partitioning invariance.
+  */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, Long, java.lang.Long)], minMargin: Long = 500L) =
+    Preference.preferencePairs(
+      rows.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp", minMargin)
+
+  test("chosen = max quality, rejected = min quality, margin exact") {
+    val out = pairs(Seq(
+      (1L, 10L, 9000L: java.lang.Long),
+      (1L, 11L, 5000L: java.lang.Long),
+      (1L, 12L, 7000L: java.lang.Long))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_candidates") == 3)
+    assert(r.getAs[Long]("chosen_id") == 10L)
+    assert(r.getAs[Long]("rejected_id") == 11L)
+    assert(r.getAs[Double]("chosen_q") == 0.9)
+    assert(r.getAs[Double]("rejected_q") == 0.5)
+    assert(r.getAs[Double]("margin") == 0.4)
+  }
+
+  test("quality ties break to the SMALLER id on both sides") {
+    // all four candidates share qualities pairwise: two at 9000, two at 1000
+    val out = pairs(Seq(
+      (1L, 42L, 9000L: java.lang.Long),
+      (1L, 7L, 9000L: java.lang.Long),
+      (1L, 99L, 1000L: java.lang.Long),
+      (1L, 13L, 1000L: java.lang.Long))).collect()
+    assert(out.head.getAs[Long]("chosen_id") == 7L)    // not 42
+    assert(out.head.getAs[Long]("rejected_id") == 13L) // not 99
+  }
+
+  test("margin floor drops narrow pairs; boundary kept") {
+    val out = pairs(Seq(
+      (1L, 1L, 5499L: java.lang.Long), (1L, 2L, 5000L: java.lang.Long), // 499 < 500
+      (2L, 3L, 5500L: java.lang.Long), (2L, 4L, 5000L: java.lang.Long)  // 500 kept
+    )).collect()
+    assert(out.map(_.getAs[Long]("prompt")).toSeq == Seq(2L))
+    assert(out.head.getAs[Double]("margin") == 0.05)
+  }
+
+  test("singleton groups and null-scored candidates are dropped") {
+    val out = pairs(Seq(
+      (1L, 1L, 9000L: java.lang.Long),                 // singleton -> no pair
+      (2L, 2L, 9000L: java.lang.Long), (2L, 3L, null), // null doesn't count
+      (3L, 4L, 9000L: java.lang.Long), (3L, 5L, 1000L: java.lang.Long),
+      (3L, 6L, null)                                   // null not in n_candidates
+    )).collect()
+    assert(out.map(_.getAs[Long]("prompt")).toSeq == Seq(3L))
+    assert(out.head.getAs[Long]("n_candidates") == 2)
+  }
+
+  test("a null-scored extremum can be neither chosen nor rejected") {
+    val out = pairs(Seq(
+      (1L, 1L, 9000L: java.lang.Long),
+      (1L, 2L, 1000L: java.lang.Long),
+      (1L, 3L, null))).collect()
+    assert(out.head.getAs[Long]("chosen_id") == 1L)
+    assert(out.head.getAs[Long]("rejected_id") == 2L)
+  }
+
+  test("partitioning invariance: 1, 3, and 16 partitions agree exactly") {
+    val rows = (0L until 200L).map(i => (i % 11, i, (i * 37 % 10000): java.lang.Long))
+    val base = pairs(rows).orderBy("prompt").collect().toSeq
+    for (n <- Seq(1, 3, 16)) {
+      val re = Preference.preferencePairs(
+        rows.toDF("prompt", "id", "qfp").repartition(n), "prompt", "id", "qfp", 500L)
+        .orderBy("prompt").collect().toSeq
+      assert(re == base, s"diverged at $n partitions")
+    }
+  }
+}
