@@ -410,6 +410,10 @@ object ScaleProbe {
         val nPairs = graft.operators.Preference
           .preferencePairs(scored, "prompt_id", "doc_id", "qfp", 500L).count()
         val tD = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nAdv = graft.operators.Preference
+          .groupAdvantage(scored, "prompt_id", "doc_id", "qfp").count()
+        val tA = (System.nanoTime() - t0) / 1e9
         // c9: the composed line over the same subset
         val keepers = graft.operators.Dedup
           .exactByFingerprint(sub, "text", "doc_id").select("doc_id")
@@ -427,7 +431,8 @@ object ScaleProbe {
           .preferencePairs(cScored, "prompt_id", "doc_id", "qfp", 500L).count()
         val tC = (System.nanoTime() - t0) / 1e9
         println(f"PROBE-R16D sf0.1/$frac%-4s docs=$n%6d dpo1_pairs=$nPairs%4d " +
-          f"t_dpo1=$tD%5.1fs c9_pairs=$nC9%4d t_c9=$tC%5.1fs")
+          f"t_dpo1=$tD%5.1fs grp1_rows=$nAdv%6d t_grp1=$tA%5.1fs " +
+          f"c9_pairs=$nC9%4d t_c9=$tC%5.1fs")
       }
     }
 

@@ -62,4 +62,43 @@ object Preference {
         round(col("_rq").cast("double") / 10000.0, 4).as("rejected_q"),
         round((col("_cq") - col("_rq")).cast("double") / 10000.0, 4).as("margin"))
   }
+
+  /** Group-relative advantage (GRPO, Shao et al. 2024): z-score each
+    * candidate's reward against its prompt group's mean/std — the signal a
+    * GRPO trainer weights its policy gradients with, and the many-candidate
+    * generalization of [[preferencePairs]]' best-vs-worst cut.
+    *
+    * The z-score is computed from INTEGER group moments:
+    * z = (n·q − S) / √(n·Σq² − S²), since (q−μ)/σ with μ = S/n and
+    * σ = √(nΣq² − S²)/n cancels the n's. Both operands are exact BIGINTs
+    * (bounded: |qfp| < 2²⁰ and group size < 2²³ keep n·Σq² < 2⁶³), so the
+    * only float operations are one correctly-rounded IEEE sqrt and one
+    * division of exactly-representable integers — bit-identical under any
+    * partitioning or engine, with none of the summation-order ulps that
+    * make naive mean/std unpinnable. Degenerate groups (n < 2, or zero
+    * variance) emit a null advantage — a GRPO batch skips them rather than
+    * divide by zero.
+    *
+    * Distributed shape: one map-side-combined moment aggregation keyed by
+    * prompt (count/sum/sum-of-squares), then the prompt-domain-bounded
+    * moment frame joins back to the candidates — broadcast-sized whenever
+    * the prompt domain is, and an equi-join either way. No window over
+    * candidate extents. Null-scored candidates are excluded from both the
+    * moments and the output.
+    */
+  def groupAdvantage(scored: DataFrame, promptCol: String, idCol: String,
+                     qFpCol: String): DataFrame = {
+    val s = scored.filter(col(qFpCol).isNotNull)
+    val moments = s.groupBy(col(promptCol)).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(col(qFpCol)).as("_s"),
+      sum(col(qFpCol) * col(qFpCol)).as("_ss"))
+    val varNum = col("n_candidates") * col("_ss") - col("_s") * col("_s")
+    s.join(moments, promptCol)
+      .select(col(promptCol), col(idCol), col("n_candidates"),
+        round(col(qFpCol).cast("double") / 10000.0, 4).as("q"),
+        when(col("n_candidates") >= 2 && varNum > 0,
+          round((col("n_candidates") * col(qFpCol) - col("_s")).cast("double") /
+            sqrt(varNum.cast("double")), 4)).as("advantage"))
+  }
 }

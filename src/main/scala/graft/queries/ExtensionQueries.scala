@@ -1366,6 +1366,21 @@ object ExtensionQueries {
         .orderBy("prompt_id")
     }),
 
+    // GRP1 group-relative advantage (GRPO, Shao et al. 2024): per prompt
+    // group, z-score each candidate's quality against the group's
+    // mean/std. z = (n·q − S)/√(n·Σq² − S²) over integer fixed-point
+    // moments — the only float ops are one IEEE sqrt and one division of
+    // exact integers, so the z-scores hash-match the oracle with no
+    // summation-order ulps. One moment aggregation + a prompt-domain-
+    // bounded join back; degenerate groups emit null advantage.
+    "grp1_group_advantage" -> ((s, d) => {
+      val scored = qualityFrame(Tables.documents(s, d))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+          round(col("quality") * 10000).cast("long").as("qfp"))
+      Preference.groupAdvantage(scored, "prompt_id", "doc_id", "qfp")
+        .orderBy("doc_id")
+    }),
+
     // RRF1 hybrid retrieval (Cormack et al. 2009): BM25 top-20 + exact
     // cosine top-20 per query, reciprocal-rank-fused, top-10 kept. Both
     // scorers round before ranking and all ranks are integers, so the
@@ -2887,6 +2902,26 @@ object ExtensionQueries {
       s"""WITH ${qfpScoredSql("documents")},
          |${dpoPairsSql("qscored", "")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
+
+    // grp1: integer group moments, the cancelled-n z formula, and the
+    // degenerate-group nulls restated. SUMs cast to BIGINT before the
+    // moment arithmetic (DuckDB SUM yields HUGEINT).
+    "grp1_group_advantage" ->
+      s"""WITH ${qfpScoredSql("documents")},
+         |m AS (
+         |  SELECT doc_id % 64 AS prompt_id, COUNT(*) AS n,
+         |    CAST(SUM(qfp) AS BIGINT) AS s,
+         |    CAST(SUM(qfp * qfp) AS BIGINT) AS ss
+         |  FROM qscored WHERE qfp IS NOT NULL GROUP BY 1)
+         |SELECT m.prompt_id, q.doc_id,
+         |  CAST(m.n AS BIGINT) AS n_candidates,
+         |  ROUND(q.qfp / 10000.0, 4) AS q,
+         |  CASE WHEN m.n >= 2 AND m.n * m.ss - m.s * m.s > 0
+         |       THEN ROUND(CAST(m.n * q.qfp - m.s AS DOUBLE) /
+         |                  sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)), 4)
+         |  END AS advantage
+         |FROM qscored q JOIN m ON q.doc_id % 64 = m.prompt_id
+         |WHERE q.qfp IS NOT NULL ORDER BY q.doc_id""".stripMargin,
 
     // c9: every stage restated — fingerprint keepers, eval split, the
     // ≥2-shared-shingle pool decon, then the shared scoring + pair CTEs

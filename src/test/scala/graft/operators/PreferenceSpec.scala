@@ -68,14 +68,56 @@ class PreferenceSpec extends SparkSpec {
     assert(out.head.getAs[Long]("rejected_id") == 2L)
   }
 
+  private def adv(rows: Seq[(Long, Long, java.lang.Long)]) =
+    Preference.groupAdvantage(
+      rows.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+
+  test("group advantage: hand-computed z-scores from integer moments") {
+    // qfp 1000/2000/3000: n=3, S=6000, SS=14e6 -> varNum = 6e6
+    // z = (3q - 6000)/sqrt(6e6): -1.2247, 0, 1.2247
+    val out = adv(Seq(
+      (1L, 1L, 1000L: java.lang.Long),
+      (1L, 2L, 2000L: java.lang.Long),
+      (1L, 3L, 3000L: java.lang.Long)))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Double]("advantage")).toSeq ==
+      Seq(-1.2247, 0.0, 1.2247))
+    assert(out.map(_.getAs[Double]("q")).toSeq == Seq(0.1, 0.2, 0.3))
+    assert(out.forall(_.getAs[Long]("n_candidates") == 3))
+  }
+
+  test("degenerate groups: zero variance and singletons emit null advantage") {
+    val out = adv(Seq(
+      (1L, 1L, 5000L: java.lang.Long), (1L, 2L, 5000L: java.lang.Long),
+      (2L, 3L, 7000L: java.lang.Long)))
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("advantage"))))
+  }
+
+  test("null-scored candidates are outside both the moments and the output") {
+    val out = adv(Seq(
+      (1L, 1L, 1000L: java.lang.Long),
+      (1L, 2L, 3000L: java.lang.Long),
+      (1L, 3L, null))).orderBy("id").collect()
+    assert(out.length == 2)                                // id 3 absent
+    assert(out.forall(_.getAs[Long]("n_candidates") == 2)) // not 3
+    // n=2, S=4000, SS=10e6 -> varNum = 4e6; z = (2q-4000)/2000 = ±1
+    assert(out.map(_.getAs[Double]("advantage")).toSeq == Seq(-1.0, 1.0))
+  }
+
   test("partitioning invariance: 1, 3, and 16 partitions agree exactly") {
     val rows = (0L until 200L).map(i => (i % 11, i, (i * 37 % 10000): java.lang.Long))
     val base = pairs(rows).orderBy("prompt").collect().toSeq
+    val baseAdv = adv(rows).orderBy("id").collect().toSeq
     for (n <- Seq(1, 3, 16)) {
-      val re = Preference.preferencePairs(
-        rows.toDF("prompt", "id", "qfp").repartition(n), "prompt", "id", "qfp", 500L)
+      val df = rows.toDF("prompt", "id", "qfp").repartition(n)
+      val re = Preference.preferencePairs(df, "prompt", "id", "qfp", 500L)
         .orderBy("prompt").collect().toSeq
-      assert(re == base, s"diverged at $n partitions")
+      assert(re == base, s"pairs diverged at $n partitions")
+      val reAdv = Preference.groupAdvantage(df, "prompt", "id", "qfp")
+        .orderBy("id").collect().toSeq
+      assert(reAdv == baseAdv, s"advantage diverged at $n partitions")
     }
   }
 }
