@@ -65,4 +65,46 @@ object Sft {
         col("loss_start"), col("loss_end"))
       .join(conv, Seq(convCol))
   }
+
+  /** TOKEN-space loss spans — the hand-off [[renderChat]]'s char spans
+    * exist to feed: the dataloader masks token positions, not characters,
+    * so the render's offsets must survive tokenization. Contract (the way
+    * production chat templates tokenize): the `<|role|>` / `<|end|>`
+    * delimiters are ATOMIC special tokens (1 token each — they never merge
+    * into neighboring text), and turn text tokenizes with the BPE
+    * pre-tokenizer (`Text.bpeTokenCount`). A turn's piece is then
+    * 1 + n_text_tokens + 1 tokens, token offsets are the same
+    * per-conversation integer prefix sums as the char form, and an
+    * assistant turn's loss mask covers [prefix+1, prefix+1+n_text_tokens).
+    *
+    * Same distributed shape as [[renderChat]]: ONE shuffle keyed by
+    * conversation, exact integer arithmetic throughout — the spans
+    * hash-match any engine that restates the token counts.
+    */
+  def tokenSpans(events: DataFrame, convCol: String, tsCol: String,
+                 idCol: String, roleCol: String, textCol: String): DataFrame = {
+    val turns = events.select(
+        col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("n_text_tokens",
+        graft.functions.Text.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("_piece_toks", col("n_text_tokens") + lit(2L))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
+    val withOffsets = turns
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("_tstart", coalesce(
+        sum(col("_piece_toks"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tok_start",
+        when(col("role") === "assistant", col("_tstart") + lit(1L)))
+      .withColumn("tok_end",
+        when(col("role") === "assistant",
+          col("_tstart") + lit(1L) + col("n_text_tokens")))
+    val conv = turns.groupBy(col(convCol))
+      .agg(sum(col("_piece_toks")).as("n_tokens"))
+    withOffsets
+      .select(col(convCol), col("turn_idx"), col("role"),
+        col("n_text_tokens"), col("tok_start"), col("tok_end"))
+      .join(conv, Seq(convCol))
+  }
 }

@@ -1366,6 +1366,20 @@ object ExtensionQueries {
         .orderBy("prompt_id")
     }),
 
+    // SFT2 token-space loss spans: the hand-off sft1's char spans feed —
+    // dataloaders mask TOKEN positions. Delimiters are atomic special
+    // tokens (1 each), text tokenizes with the BPE pre-tokenizer, spans
+    // are integer prefix sums — all exact, so the mask hash-matches.
+    "sft2_token_spans" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("role",
+          when(col("event_type").isin("view", "click"), "user").otherwise("assistant"))
+        .withColumn("text",
+          concat(col("event_type"), lit(" "), coalesce(col("props"), lit(""))))
+      graft.operators.Sft.tokenSpans(ev, "user_id", "ts", "event_id", "role", "text")
+        .orderBy("user_id", "turn_idx")
+    }),
+
     // GRP1 group-relative advantage (GRPO, Shao et al. 2024): per prompt
     // group, z-score each candidate's quality against the group's
     // mean/std. z = (n·q − S)/√(n·Σq² − S²) over integer fixed-point
@@ -2902,6 +2916,39 @@ object ExtensionQueries {
       s"""WITH ${qfpScoredSql("documents")},
          |${dpoPairsSql("qscored", "")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
+
+    // sft2: the token-span twin of sft1's oracle — BPE pre-tokenizer
+    // counts (t5's regex), +2 atomic delimiters per piece, the same
+    // prefix-sum window, assistant spans offset past the role token.
+    "sft2_token_spans" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type || ' ' || COALESCE(props, '') AS text
+        |  FROM events),
+        |p AS (
+        |  SELECT *, CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+        |    AS BIGINT) AS ntt
+        |  FROM t),
+        |o AS (
+        |  SELECT user_id, role, ntt,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS turn_idx,
+        |    CAST(COALESCE(SUM(ntt + 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, CAST(SUM(ntt + 2) AS BIGINT) AS n_tokens
+        |  FROM p GROUP BY user_id)
+        |SELECT o.user_id, o.turn_idx, o.role,
+        |  o.ntt AS n_text_tokens,
+        |  CASE WHEN role = 'assistant' THEN s + 1 END AS tok_start,
+        |  CASE WHEN role = 'assistant' THEN s + 1 + ntt END AS tok_end,
+        |  c.n_tokens
+        |FROM o JOIN c USING (user_id)
+        |ORDER BY user_id, turn_idx""".stripMargin,
 
     // grp1: integer group moments, the cancelled-n z formula, and the
     // degenerate-group nulls restated. SUMs cast to BIGINT before the

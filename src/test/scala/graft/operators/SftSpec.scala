@@ -60,4 +60,56 @@ class SftSpec extends SparkSpec {
     val firstPiece = "<|user|>first<|end|>"
     assert(out(1).getLong(3) == firstPiece.length + "<|assistant|>".length)
   }
+
+  test("token spans: hand-computed offsets with atomic delimiter tokens") {
+    // "hi there" -> BPE pieces "hi"," there" = 2; "hello!" -> "hello","!" = 2
+    val events = Seq(
+      (1L, ts(0), 10L, "user", "hi there"),
+      (1L, ts(1), 11L, "assistant", "hello!")
+    ).toDF("conv", "t", "id", "role", "text")
+    val out = Sft.tokenSpans(events, "conv", "t", "id", "role", "text")
+      .orderBy("turn_idx").collect()
+    // user piece = 1 + 2 + 1 = 4 tokens; assistant text spans [5, 7)
+    assert(out(0).getAs[Long]("n_text_tokens") == 2 &&
+      out(0).isNullAt(out(0).fieldIndex("tok_start")))
+    assert(out(1).getAs[Long]("tok_start") == 5L)
+    assert(out(1).getAs[Long]("tok_end") == 7L)
+    assert(out.forall(_.getAs[Long]("n_tokens") == 8L))
+  }
+
+  test("token spans: null text yields an EMPTY assistant span, not a null one") {
+    val events = Seq(
+      (1L, ts(0), 1L, "assistant", null: String),
+      (1L, ts(1), 2L, "user", "x")
+    ).toDF("conv", "t", "id", "role", "text")
+    val out = Sft.tokenSpans(events, "conv", "t", "id", "role", "text")
+      .orderBy("turn_idx").collect()
+    assert(out(0).getAs[Long]("tok_start") == 1L)
+    assert(out(0).getAs[Long]("tok_end") == 1L) // zero-width: nothing to mask
+    assert(out.forall(_.getAs[Long]("n_tokens") == 5L)) // 2 + (2+1)
+  }
+
+  test("token spans partition the conversation: pieces tile [0, n_tokens)") {
+    val events = Seq(
+      (1L, ts(0), 1L, "user", "a b c"),
+      (1L, ts(1), 2L, "assistant", "d e"),
+      (1L, ts(2), 3L, "user", "f"),
+      (1L, ts(3), 4L, "assistant", "g h i j")
+    ).toDF("conv", "t", "id", "role", "text")
+    val out = Sft.tokenSpans(events, "conv", "t", "id", "role", "text")
+      .orderBy("turn_idx").collect()
+    val total = out.head.getAs[Long]("n_tokens")
+    assert(total == out.map(_.getAs[Long]("n_text_tokens") + 2).sum)
+    // every assistant span sits strictly inside its piece's extent
+    var cursor = 0L
+    for (row <- out) {
+      val pieceEnd = cursor + row.getAs[Long]("n_text_tokens") + 2
+      if (row.getString(2) == "assistant") {
+        assert(row.getAs[Long]("tok_start") == cursor + 1)
+        assert(row.getAs[Long]("tok_end") == pieceEnd - 1)
+      }
+      cursor = pieceEnd
+    }
+    assert(cursor == total)
+  }
 }
