@@ -1380,6 +1380,38 @@ object ExtensionQueries {
         .orderBy("user_id", "turn_idx")
     }),
 
+    // C10 composed SFT assembly: the fine-tuning batch line end to end —
+    // token spans (sft2) → conversation token/loss accounting → context
+    // budget gate (≤600) → whole-conversation packing (pk2's fold,
+    // ctx 2048) → per-sequence manifest with SUPERVISED-token counts (the
+    // loss_tokens an SFT run reports as its real throughput; padding is
+    // what it wastes). Pins the spans→accounting→packing hand-offs the
+    // way c6 pins the export line. Scale: the span stage is sft1's one
+    // conversation-keyed shuffle; packing is pk2's shard-local fold.
+    "c10_sft_assembly" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("role",
+          when(col("event_type").isin("view", "click"), "user").otherwise("assistant"))
+        .withColumn("text",
+          concat(col("event_type"), lit(" "), coalesce(col("props"), lit(""))))
+      val spans = graft.operators.Sft
+        .tokenSpans(ev, "user_id", "ts", "event_id", "role", "text")
+      val convs = spans.groupBy(col("user_id")).agg(
+          max(col("n_tokens")).as("n_tokens"),
+          sum(when(col("role") === "assistant",
+            col("tok_end") - col("tok_start")).otherwise(0L)).as("loss_tokens"))
+        .filter(col("n_tokens") <= 600)
+      val packed = graft.operators.Splits.packSequencesWhole(
+        convs, "user_id", col("n_tokens"), ctxLen = 2048, shardSize = 64)
+      packed.join(convs.select(col("user_id"), col("loss_tokens")), "user_id")
+        .groupBy(col("shard"), col("seq_id")).agg(
+          count(lit(1)).as("n_convs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          sum(col("loss_tokens")).as("loss_tokens"))
+        .withColumn("padding", greatest(lit(2048L) - col("seq_tokens"), lit(0L)))
+        .orderBy("shard", "seq_id")
+    }),
+
     // GRP1 group-relative advantage (GRPO, Shao et al. 2024): per prompt
     // group, z-score each candidate's quality against the group's
     // mean/std. z = (n·q − S)/√(n·Σq² − S²) over integer fixed-point
@@ -2949,6 +2981,46 @@ object ExtensionQueries {
         |  c.n_tokens
         |FROM o JOIN c USING (user_id)
         |ORDER BY user_id, turn_idx""".stripMargin,
+
+    // c10: spans → accounting → budget gate → pk2's recursive packing
+    // fold → loss-token manifest, restated end to end.
+    "c10_sft_assembly" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type || ' ' || COALESCE(props, '') AS text
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, role, CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+        |    AS BIGINT) AS ntt
+        |  FROM t),
+        |c AS (
+        |  SELECT user_id, SUM(ntt + 2) AS n_tokens,
+        |    SUM(CASE WHEN role = 'assistant' THEN ntt ELSE 0 END) AS loss_tokens
+        |  FROM p GROUP BY 1),
+        |b AS (SELECT * FROM c WHERE n_tokens <= 600),
+        |d AS (
+        |  SELECT user_id, user_id // 64 AS shard, n_tokens AS tk, loss_tokens,
+        |    row_number() OVER (PARTITION BY user_id // 64 ORDER BY user_id) AS pos
+        |  FROM b),
+        |r AS (
+        |  SELECT shard, pos, user_id, tk, loss_tokens, tk AS fill,
+        |    CAST(0 AS BIGINT) AS seq
+        |  FROM d WHERE pos = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.pos, d.user_id, d.tk, d.loss_tokens,
+        |    CASE WHEN r.fill + d.tk > 2048 AND r.fill > 0 AND d.tk > 0
+        |         THEN d.tk ELSE r.fill + d.tk END,
+        |    CASE WHEN r.fill + d.tk > 2048 AND r.fill > 0 AND d.tk > 0
+        |         THEN r.seq + 1 ELSE r.seq END
+        |  FROM r JOIN d ON d.shard = r.shard AND d.pos = r.pos + 1)
+        |SELECT shard, seq AS seq_id, COUNT(*) AS n_convs,
+        |  CAST(SUM(tk) AS BIGINT) AS seq_tokens,
+        |  CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
+        |  greatest(2048 - CAST(SUM(tk) AS BIGINT), 0) AS padding
+        |FROM r GROUP BY shard, seq ORDER BY shard, seq_id""".stripMargin,
 
     // grp1: integer group moments, the cancelled-n z formula, and the
     // degenerate-group nulls restated. SUMs cast to BIGINT before the
