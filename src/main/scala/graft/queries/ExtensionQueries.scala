@@ -1412,6 +1412,17 @@ object ExtensionQueries {
         .orderBy("shard", "seq_id")
     }),
 
+    // FIM1 fill-in-the-middle transform (Bavarian et al. 2022): half the
+    // corpus rewritten <|pre|>prefix<|suf|>suffix<|mid|>middle with the
+    // loss span over exactly the moved middle; cut points are modular
+    // residues of doc_id (non-degenerate by construction), so the whole
+    // transform — render string included — hash-matches the oracle where
+    // the published samplers' RNG cuts could not. One codegen'd
+    // projection: scan-speed at 100 TB, no shuffle.
+    "fim1_psm_transform" -> ((s, d) =>
+      graft.operators.Sft.fimTransform(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // GRP1 group-relative advantage (GRPO, Shao et al. 2024): per prompt
     // group, z-score each candidate's quality against the group's
     // mean/std. z = (n·q − S)/√(n·Σq² − S²) over integer fixed-point
@@ -3021,6 +3032,37 @@ object ExtensionQueries {
         |  CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
         |  greatest(2048 - CAST(SUM(tk) AS BIGINT), 0) AS padding
         |FROM r GROUP BY shard, seq ORDER BY shard, seq_id""".stripMargin,
+
+    // fim1: cut-point residues, the PSM render, and the loss arithmetic
+    // restated; CASE keeps the modulus unevaluated on ineligible rows.
+    "fim1_psm_transform" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    (text IS NOT NULL AND length(text) >= 3 AND doc_id % 2 = 0) AS elig
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, CASE WHEN elig
+        |    THEN ((doc_id * 7919) % (n - 2)) + 1 END AS c1
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CASE WHEN elig
+        |    THEN c1 + 1 + ((doc_id * 104729) % (n - c1 - 1)) END AS c2
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id, n AS n_chars,
+        |    CASE WHEN elig THEN 'psm' ELSE 'raw' END AS mode,
+        |    CASE WHEN elig THEN
+        |      '<|pre|>' || substr(text, 1, CAST(c1 AS INTEGER)) ||
+        |      '<|suf|>' || substr(text, CAST(c2 + 1 AS INTEGER), CAST(n AS INTEGER)) ||
+        |      '<|mid|>' || substr(text, CAST(c1 + 1 AS INTEGER), CAST(c2 - c1 AS INTEGER))
+        |    ELSE text END AS rendered,
+        |    CASE WHEN elig THEN 7 + c1 + 7 + (n - c2) + 7 ELSE 0 END AS loss_start,
+        |    CASE WHEN elig THEN 7 + c1 + 7 + (n - c2) + 7 + (c2 - c1)
+        |         ELSE COALESCE(n, 0) END AS loss_end
+        |  FROM h)
+        |SELECT doc_id, n_chars, mode, rendered, loss_start, loss_end,
+        |  md5(COALESCE(rendered, '')) AS render_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // grp1: integer group moments, the cancelled-n z formula, and the
     // degenerate-group nulls restated. SUMs cast to BIGINT before the

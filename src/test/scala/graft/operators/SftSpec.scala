@@ -89,6 +89,52 @@ class SftSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_tokens") == 5L)) // 2 + (2+1)
   }
 
+  test("FIM: hand-computed cuts, render, and loss span") {
+    // id=2, n=10: c1 = (2*7919) % 8 + 1 = 7; c2 = 8 + (2*104729) % 2 = 8
+    val out = Sft.fimTransform(
+      Seq((2L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    val r = out.head
+    assert(r.getAs[String]("mode") == "psm")
+    assert(r.getAs[String]("rendered") == "<|pre|>abcdefg<|suf|>ij<|mid|>h")
+    assert(r.getAs[Long]("loss_start") == 30L && r.getAs[Long]("loss_end") == 31L)
+  }
+
+  test("FIM: the loss span addresses exactly the moved middle; pieces reconstruct") {
+    val docs = (0L until 40L).map(i =>
+      (i, ("the quick brown fox jumps over the lazy dog " * (i.toInt % 3 + 1)).trim))
+    val out = Sft.fimTransform(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = docs.toMap
+    for (r <- out) {
+      val (id, text) = (r.getAs[Long]("doc_id"), byId(r.getAs[Long]("doc_id")))
+      val rendered = r.getAs[String]("rendered")
+      val (ls, le) = (r.getAs[Long]("loss_start").toInt, r.getAs[Long]("loss_end").toInt)
+      if (r.getAs[String]("mode") == "psm") {
+        assert(id % 2 == 0)
+        // strip the three 7-char headers, reassemble prefix+middle+suffix
+        val body = rendered.drop(7)
+        val Array(prefix, rest) = body.split("<\\|suf\\|>", 2)
+        val Array(suffix, middle) = rest.split("<\\|mid\\|>", 2)
+        assert(prefix + middle + suffix == text, s"doc $id does not reconstruct")
+        assert(middle.nonEmpty && prefix.nonEmpty && suffix.nonEmpty)
+        assert(rendered.substring(ls, le) == middle)
+      } else {
+        assert(id % 2 == 1)
+        assert(rendered == text && ls == 0 && le == text.length)
+      }
+    }
+  }
+
+  test("FIM: short and null docs stay raw instead of tripping the modulus") {
+    val out = Sft.fimTransform(
+      Seq((0L, "ab"), (2L, null: String), (4L, "xyz")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("mode") == "raw") // n=2 < 3, even id
+    assert(out(1).getAs[String]("mode") == "raw" &&
+      out(1).getAs[Long]("loss_end") == 0L)       // null text
+    assert(out(2).getAs[String]("mode") == "psm") // n=3 is the boundary
+  }
+
   test("token spans partition the conversation: pieces tile [0, n_tokens)") {
     val events = Seq(
       (1L, ts(0), 1L, "user", "a b c"),
