@@ -63,6 +63,65 @@ object Preference {
         round((col("_cq") - col("_rq")).cast("double") / 10000.0, 4).as("margin"))
   }
 
+  /** Per-prompt MERGEABLE preference state — the daily-ingest form of
+    * [[preferencePairs]] (the d8/d6b/d12b discipline applied to the
+    * fine-tuning tier): every component is a monoid (count and sum add;
+    * best/worst merge by the same injective `qfp·2³² ∓ id` keys the
+    * one-shot form selects with), so folding batches through
+    * [[mergePreferenceState]] is EQUAL to one aggregation over their
+    * union — by algebra, not by protocol. State is bounded by the prompt
+    * domain regardless of how many candidates ever streamed through;
+    * batches must be disjoint (the count is a sum — replays double-count
+    * it; use the d8 marker protocol for at-least-once sources, the
+    * best/worst components themselves are replay-idempotent).
+    *
+    * Columns: (prompt, n_candidates, _cq, chosen_id, _rq, rejected_id).
+    */
+  def preferenceState(scored: DataFrame, promptCol: String, idCol: String,
+                      qFpCol: String): DataFrame = {
+    val shift = lit(4294967296L)
+    val up = col(qFpCol) * shift - col(idCol)
+    val dn = col(qFpCol) * shift + col(idCol)
+    scored
+      .filter(col(qFpCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(col(qFpCol)).as("_cq"),
+        max_by(col(idCol), up).as("chosen_id"),
+        min(col(qFpCol)).as("_rq"),
+        min_by(col(idCol), dn).as("rejected_id"))
+  }
+
+  /** Monoid merge of two state frames (missing prompts pass through). */
+  def mergePreferenceState(a: DataFrame, b: DataFrame): DataFrame = {
+    val promptCol = a.columns.head
+    val shift = lit(4294967296L)
+    val up = col("_cq") * shift - col("chosen_id")
+    val dn = col("_rq") * shift + col("rejected_id")
+    a.unionByName(b)
+      .groupBy(col(promptCol))
+      .agg(
+        sum(col("n_candidates")).as("n_candidates"),
+        max(col("_cq")).as("_cq"),
+        max_by(col("chosen_id"), up).as("chosen_id"),
+        min(col("_rq")).as("_rq"),
+        min_by(col("rejected_id"), dn).as("rejected_id"))
+  }
+
+  /** [[preferencePairs]]' output contract read from a state frame. */
+  def pairsFromState(state: DataFrame, minMarginFp: Long): DataFrame = {
+    val promptCol = state.columns.head
+    state
+      .filter(col("n_candidates") >= 2 &&
+        col("_cq") - col("_rq") >= minMarginFp)
+      .select(col(promptCol), col("n_candidates"),
+        col("chosen_id"), col("rejected_id"),
+        round(col("_cq").cast("double") / 10000.0, 4).as("chosen_q"),
+        round(col("_rq").cast("double") / 10000.0, 4).as("rejected_q"),
+        round((col("_cq") - col("_rq")).cast("double") / 10000.0, 4).as("margin"))
+  }
+
   /** Group-relative advantage (GRPO, Shao et al. 2024): z-score each
     * candidate's reward against its prompt group's mean/std — the signal a
     * GRPO trainer weights its policy gradients with, and the many-candidate

@@ -1412,6 +1412,25 @@ object ExtensionQueries {
         .orderBy("shard", "seq_id")
     }),
 
+    // DPO2 incremental preference assembly: dpo1's daily-ingest form —
+    // the corpus arrives as three disjoint batches, each folded into the
+    // per-prompt state (count + best/worst under the same injective
+    // keys), and the pairs are read from the MERGED state. Every state
+    // component is a monoid, so the chain equals one aggregation over
+    // the union BY ALGEBRA — the oracle is dpo1's SQL verbatim. State
+    // stays prompt-domain-bounded no matter how many batches stream in.
+    "dpo2_incremental_pairs" -> ((s, d) => {
+      val scored = qualityFrame(Tables.documents(s, d))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64L)).as("prompt_id"),
+          round(col("quality") * 10000).cast("long").as("qfp"))
+      val batches = (0 to 2).map(i =>
+        Preference.preferenceState(
+          scored.filter(pmod(col("doc_id"), lit(3L)) === i),
+          "prompt_id", "doc_id", "qfp"))
+      val state = batches.reduce(Preference.mergePreferenceState)
+      Preference.pairsFromState(state, 500L).orderBy("prompt_id")
+    }),
+
     // FIM1 fill-in-the-middle transform (Bavarian et al. 2022): half the
     // corpus rewritten <|pre|>prefix<|suf|>suffix<|mid|>middle with the
     // loss span over exactly the moved middle; cut points are modular
@@ -3032,6 +3051,13 @@ object ExtensionQueries {
         |  CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
         |  greatest(2048 - CAST(SUM(tk) AS BIGINT), 0) AS padding
         |FROM r GROUP BY shard, seq ORDER BY shard, seq_id""".stripMargin,
+
+    // dpo2: incremental == one-shot by monoid algebra — dpo1's oracle,
+    // verbatim (the d6b/d12b discipline).
+    "dpo2_incremental_pairs" ->
+      s"""WITH ${qfpScoredSql("documents")},
+         |${dpoPairsSql("qscored", "")}
+         |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
 
     // fim1: cut-point residues, the PSM render, and the loss arithmetic
     // restated; CASE keeps the modulus unevaluated on ineligible rows.

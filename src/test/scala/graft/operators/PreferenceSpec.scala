@@ -68,6 +68,50 @@ class PreferenceSpec extends SparkSpec {
     assert(out.head.getAs[Long]("rejected_id") == 2L)
   }
 
+  test("incremental state: chained batches equal the one-shot aggregation") {
+    val rows = (0L until 300L).map(i => (i % 13, i, (i * 97 % 10000): java.lang.Long))
+    val oneShot = pairs(rows).orderBy("prompt").collect().toSeq
+    // three disjoint batches, folded pairwise in both association orders
+    val parts = (0 until 3).map(k => rows.filter(_._2 % 3 == k))
+      .map(p => Preference.preferenceState(
+        p.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp"))
+    val leftFold = parts.reduce(Preference.mergePreferenceState)
+    val rightFold = Preference.mergePreferenceState(parts(0),
+      Preference.mergePreferenceState(parts(1), parts(2)))
+    for (state <- Seq(leftFold, rightFold)) {
+      val chained = Preference.pairsFromState(state, 500L)
+        .orderBy("prompt").collect().toSeq
+      assert(chained == oneShot)
+    }
+  }
+
+  test("incremental state: prompts seen in only one batch pass through the merge") {
+    val a = Preference.preferenceState(Seq(
+      (1L, 1L, 9000L: java.lang.Long), (1L, 2L, 1000L: java.lang.Long)
+    ).toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+    val b = Preference.preferenceState(Seq(
+      (2L, 3L, 8000L: java.lang.Long), (2L, 4L, 2000L: java.lang.Long)
+    ).toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+    val out = Preference.pairsFromState(
+      Preference.mergePreferenceState(a, b), 500L).orderBy("prompt").collect()
+    assert(out.map(_.getAs[Long]("prompt")).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("chosen_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("incremental state: a later batch can flip both chosen and rejected") {
+    val day1 = Preference.preferenceState(Seq(
+      (1L, 10L, 5000L: java.lang.Long), (1L, 11L, 4000L: java.lang.Long)
+    ).toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+    val day2 = Preference.preferenceState(Seq(
+      (1L, 12L, 9000L: java.lang.Long), (1L, 13L, 1000L: java.lang.Long)
+    ).toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+    val r = Preference.pairsFromState(
+      Preference.mergePreferenceState(day1, day2), 500L).collect().head
+    assert(r.getAs[Long]("chosen_id") == 12L)
+    assert(r.getAs[Long]("rejected_id") == 13L)
+    assert(r.getAs[Long]("n_candidates") == 4L)
+  }
+
   private def adv(rows: Seq[(Long, Long, java.lang.Long)]) =
     Preference.groupAdvantage(
       rows.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
