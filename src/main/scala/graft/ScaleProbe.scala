@@ -430,9 +430,13 @@ object ScaleProbe {
         val nC9 = graft.operators.Preference
           .preferencePairs(cScored, "prompt_id", "doc_id", "qfp", 500L).count()
         val tC = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val nFim = graft.operators.Sft
+          .fimTransform(sub, "doc_id", "text").count()
+        val tF = (System.nanoTime() - t0) / 1e9
         println(f"PROBE-R16D sf0.1/$frac%-4s docs=$n%6d dpo1_pairs=$nPairs%4d " +
           f"t_dpo1=$tD%5.1fs grp1_rows=$nAdv%6d t_grp1=$tA%5.1fs " +
-          f"c9_pairs=$nC9%4d t_c9=$tC%5.1fs")
+          f"c9_pairs=$nC9%4d t_c9=$tC%5.1fs fim1_rows=$nFim%6d t_fim1=$tF%5.1fs")
       }
     }
 
