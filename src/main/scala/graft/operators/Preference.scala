@@ -41,27 +41,11 @@ object Preference {
     * @param minMarginFp minimum chosen−rejected gap, fixed-point units
     */
   def preferencePairs(scored: DataFrame, promptCol: String, idCol: String,
-                      qFpCol: String, minMarginFp: Long): DataFrame = {
-    val shift = lit(4294967296L) // 2^32
-    val up = col(qFpCol) * shift - col(idCol)
-    val dn = col(qFpCol) * shift + col(idCol)
-    scored
-      .filter(col(qFpCol).isNotNull)
-      .groupBy(col(promptCol))
-      .agg(
-        count(lit(1)).as("n_candidates"),
-        max_by(col(idCol), up).as("chosen_id"),
-        min_by(col(idCol), dn).as("rejected_id"),
-        max(col(qFpCol)).as("_cq"),
-        min(col(qFpCol)).as("_rq"))
-      .filter(col("n_candidates") >= 2 &&
-        col("_cq") - col("_rq") >= minMarginFp)
-      .select(col(promptCol), col("n_candidates"),
-        col("chosen_id"), col("rejected_id"),
-        round(col("_cq").cast("double") / 10000.0, 4).as("chosen_q"),
-        round(col("_rq").cast("double") / 10000.0, 4).as("rejected_q"),
-        round((col("_cq") - col("_rq")).cast("double") / 10000.0, 4).as("margin"))
-  }
+                      qFpCol: String, minMarginFp: Long): DataFrame =
+    // the one-shot form IS the single-batch incremental form — defined as
+    // the composition so the equivalence dpo2's oracle depends on is
+    // structural, not maintained by hand
+    pairsFromState(preferenceState(scored, promptCol, idCol, qFpCol), minMarginFp)
 
   /** Per-prompt MERGEABLE preference state — the daily-ingest form of
     * [[preferencePairs]] (the d8/d6b/d12b discipline applied to the
@@ -130,7 +114,11 @@ object Preference {
     * The z-score is computed from INTEGER group moments:
     * z = (n·q − S) / √(n·Σq² − S²), since (q−μ)/σ with μ = S/n and
     * σ = √(nΣq² − S²)/n cancels the n's. Both operands are exact BIGINTs
-    * (bounded: |qfp| < 2²⁰ and group size < 2²³ keep n·Σq² < 2⁶³), so the
+    * while n·max|qfp| < 2³¹ (then |S| and √(n·Σq²) are both under 2³¹, so
+    * n·Σq² and S² stay under 2⁶² and their difference cannot wrap) — at
+    * the 4-decimal quality scale that is ~200k candidates per prompt, and
+    * the moment frame RAISES on violation rather than let non-ANSI Long
+    * arithmetic wrap into silently-wrong z-scores. Within the bound the
     * only float operations are one correctly-rounded IEEE sqrt and one
     * division of exactly-representable integers — bit-identical under any
     * partitioning or engine, with none of the summation-order ulps that
@@ -149,9 +137,19 @@ object Preference {
                      qFpCol: String): DataFrame = {
     val s = scored.filter(col(qFpCol).isNotNull)
     val moments = s.groupBy(col(promptCol)).agg(
-      count(lit(1)).as("n_candidates"),
-      sum(col(qFpCol)).as("_s"),
-      sum(col(qFpCol) * col(qFpCol)).as("_ss"))
+        count(lit(1)).as("n_candidates"),
+        sum(col(qFpCol)).as("_s"),
+        sum(col(qFpCol) * col(qFpCol)).as("_ss"),
+        max(abs(col(qFpCol))).as("_qmax"))
+      // overflow tripwire on the prompt-domain-bounded frame (one
+      // comparison per GROUP, not per candidate): outside the documented
+      // envelope the non-ANSI Long math would wrap silently
+      // divide, don't multiply: n * qmax could itself wrap before the test
+      .withColumn("_ss", when(
+        col("n_candidates") >= lit(2147483648L) / greatest(col("_qmax"), lit(1L)),
+        raise_error(concat(lit("groupAdvantage: n*max|qfp| >= 2^31 for prompt "),
+          col(promptCol).cast("string"), lit(" — moments would overflow"))))
+        .otherwise(col("_ss")))
     val varNum = col("n_candidates") * col("_ss") - col("_s") * col("_s")
     s.join(moments, promptCol)
       .select(col(promptCol), col(idCol), col("n_candidates"),

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Sft {
 
+  /** Shared conversation scaffolding for the char-space and token-space
+    * lanes — normalized turns, then `turn_idx` + the exclusive prefix sum
+    * `_start` over `_len` (whatever unit a caller assigns that column:
+    * piece chars for [[renderChat]], piece tokens for [[tokenSpans]]).
+    * One definition so the two lanes' offset semantics — the exact
+    * hand-off contract sft2 pins — cannot drift.
+    */
+  private def baseTurns(events: DataFrame, convCol: String, tsCol: String,
+                        idCol: String, roleCol: String, textCol: String): DataFrame =
+    events.select(
+      col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
+      coalesce(col(textCol), lit("")).as("text"))
+
+  private def withOffsets(turns: DataFrame, convCol: String, tsCol: String,
+                          idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
+    turns
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("_start", coalesce(
+        sum(col("_len")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+  }
+
   /** Per-turn render frame: (conv, turn_idx, role, loss_start, loss_end,
     * render_fp, n_turns, n_chars). loss_* are null on non-assistant turns;
     * render_fp/n_* repeat per conversation (md5 + length of the full
@@ -37,30 +60,24 @@ object Sft {
     */
   def renderChat(events: DataFrame, convCol: String, tsCol: String,
                  idCol: String, roleCol: String, textCol: String): DataFrame = {
-    val turns = events.select(
-        col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
-        coalesce(col(textCol), lit("")).as("text"))
+    val turns = baseTurns(events, convCol, tsCol, idCol, roleCol, textCol)
       .withColumn("piece",
         concat(lit("<|"), col("role"), lit("|>"), col("text"), lit("<|end|>")))
-    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
-    val withOffsets = turns
-      .withColumn("turn_idx", row_number().over(w))
-      .withColumn("_start", coalesce(
-        sum(length(col("piece")).cast("long"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_len", length(col("piece")).cast("long"))
+    val spans = withOffsets(turns, convCol, tsCol, idCol)
       .withColumn("loss_start",
         when(col("role") === "assistant",
           col("_start") + length(col("role")).cast("long") + lit(4L)))
       .withColumn("loss_end",
         when(col("role") === "assistant",
-          col("_start") + length(col("piece")).cast("long") - lit(7L)))
+          col("_start") + col("_len") - lit(7L)))
     val conv = turns.groupBy(col(convCol)).agg(
       count(lit(1)).as("n_turns"),
-      sum(length(col("piece")).cast("long")).as("n_chars"),
+      sum(col("_len")).as("n_chars"),
       md5(array_join(transform(
         array_sort(collect_list(struct(col(tsCol), col(idCol), col("piece")))),
         t => t("piece")), "")).as("render_fp"))
-    withOffsets
+    spans
       .select(col(convCol), col("turn_idx"), col("role"),
         col("loss_start"), col("loss_end"))
       .join(conv, Seq(convCol))
@@ -83,26 +100,19 @@ object Sft {
     */
   def tokenSpans(events: DataFrame, convCol: String, tsCol: String,
                  idCol: String, roleCol: String, textCol: String): DataFrame = {
-    val turns = events.select(
-        col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
-        coalesce(col(textCol), lit("")).as("text"))
+    val turns = baseTurns(events, convCol, tsCol, idCol, roleCol, textCol)
       .withColumn("n_text_tokens",
         graft.functions.Text.bpeTokenCount(col("text")).cast("long"))
-      .withColumn("_piece_toks", col("n_text_tokens") + lit(2L))
-    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
-    val withOffsets = turns
-      .withColumn("turn_idx", row_number().over(w))
-      .withColumn("_tstart", coalesce(
-        sum(col("_piece_toks"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_len", col("n_text_tokens") + lit(2L))
+    val spans = withOffsets(turns, convCol, tsCol, idCol)
       .withColumn("tok_start",
-        when(col("role") === "assistant", col("_tstart") + lit(1L)))
+        when(col("role") === "assistant", col("_start") + lit(1L)))
       .withColumn("tok_end",
         when(col("role") === "assistant",
-          col("_tstart") + lit(1L) + col("n_text_tokens")))
+          col("_start") + lit(1L) + col("n_text_tokens")))
     val conv = turns.groupBy(col(convCol))
-      .agg(sum(col("_piece_toks")).as("n_tokens"))
-    withOffsets
+      .agg(sum(col("_len")).as("n_tokens"))
+    spans
       .select(col(convCol), col("turn_idx"), col("role"),
         col("n_text_tokens"), col("tok_start"), col("tok_end"))
       .join(conv, Seq(convCol))

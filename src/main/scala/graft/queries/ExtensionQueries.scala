@@ -2976,7 +2976,7 @@ object ExtensionQueries {
     // the integer margin test.
     "dpo1_preference_pairs" ->
       s"""WITH ${qfpScoredSql("documents")},
-         |${dpoPairsSql("qscored", "")}
+         |${dpoPairsSql("qscored")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
 
     // sft2: the token-span twin of sft1's oracle — BPE pre-tokenizer
@@ -3056,7 +3056,7 @@ object ExtensionQueries {
     // verbatim (the d6b/d12b discipline).
     "dpo2_incremental_pairs" ->
       s"""WITH ${qfpScoredSql("documents")},
-         |${dpoPairsSql("qscored", "")}
+         |${dpoPairsSql("qscored")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
 
     // fim1: cut-point residues, the PSM render, and the loss arithmetic
@@ -3135,7 +3135,7 @@ object ExtensionQueries {
          |  SELECT doc_id, text FROM cand
          |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |${qfpScoredSql("clean")},
-         |${dpoPairsSql("qscored", "")}
+         |${dpoPairsSql("qscored")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
 
     // rrf1: the full hybrid stack restated — BM25 posting-list probe,
@@ -4366,6 +4366,24 @@ object ExtensionQueries {
   /** d7c's whole-corpus contamination audit; shared verbatim with d7d's
     * two-batch incremental chain.
     */
+  private def d7cSql: String =
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+         |mat AS (
+         |  SELECT eval_id, COUNT(*) AS n_matched
+         |  FROM ev WHERE EXISTS (SELECT 1 FROM tr WHERE tr.s = ev.s)
+         |  GROUP BY 1)
+         |SELECT t.eval_id,
+         |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) AS overlap_frac,
+         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) >= 0.5 AS contaminated
+         |FROM tot t LEFT JOIN mat m ON m.eval_id = t.eval_id
+         |ORDER BY t.eval_id""".stripMargin
+
   /** Shared scoring-stage CTE ladder for the fine-tuning lanes (dpo1/c9):
     * t2's quality formula over `rel`, emitted as `qscored(doc_id, qfp)`
     * with the 4-decimal quality in FIXED-POINT 1e4 units — the same
@@ -4390,13 +4408,13 @@ object ExtensionQueries {
   /** dpo1's pair selection restated: injective arg_max/arg_min keys, the
     * integer margin test, and the 1e-4 scale-back.
     */
-  private def dpoPairsSql(scoredRel: String, keepersFilter: String): String =
+  private def dpoPairsSql(scoredRel: String): String =
     s"""g AS (
        |  SELECT doc_id % 64 AS prompt_id, COUNT(*) AS n_candidates,
        |    arg_max(doc_id, qfp * 4294967296 - doc_id) AS chosen_id,
        |    arg_min(doc_id, qfp * 4294967296 + doc_id) AS rejected_id,
        |    MAX(qfp) AS cq, MIN(qfp) AS rq
-       |  FROM $scoredRel WHERE qfp IS NOT NULL$keepersFilter
+       |  FROM $scoredRel WHERE qfp IS NOT NULL
        |  GROUP BY 1),
        |pairs AS (
        |  SELECT prompt_id, CAST(n_candidates AS BIGINT) AS n_candidates,
@@ -4405,24 +4423,6 @@ object ExtensionQueries {
        |    ROUND(rq / 10000.0, 4) AS rejected_q,
        |    ROUND((cq - rq) / 10000.0, 4) AS margin
        |  FROM g WHERE n_candidates >= 2 AND cq - rq >= 500)""".stripMargin
-
-  private def d7cSql: String =
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
-         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
-         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0),
-         |tot AS (SELECT eval_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
-         |mat AS (
-         |  SELECT eval_id, COUNT(*) AS n_matched
-         |  FROM ev WHERE EXISTS (SELECT 1 FROM tr WHERE tr.s = ev.s)
-         |  GROUP BY 1)
-         |SELECT t.eval_id,
-         |  CAST(t.n_shingles AS BIGINT) AS n_shingles,
-         |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
-         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) AS overlap_frac,
-         |  ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE), 4) >= 0.5 AS contaminated
-         |FROM tot t LEFT JOIN mat m ON m.eval_id = t.eval_id
-         |ORDER BY t.eval_id""".stripMargin
 
   /** pg1's 4-iteration fixed-point PageRank unrolled (the bpe3 chained-CTE
     * discipline): edges, degrees, r0, then r1..r4 each one contribution

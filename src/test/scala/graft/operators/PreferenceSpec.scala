@@ -139,6 +139,17 @@ class PreferenceSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("advantage"))))
   }
 
+  test("group advantage: the moment-overflow tripwire raises instead of wrapping") {
+    // n * max|qfp| = 2 * 1.1e9 > 2^31: n*ss - s*s would exceed 2^63
+    val rows = Seq(
+      (1L, 1L, 1100000000L: java.lang.Long),
+      (1L, 2L, 1099999993L: java.lang.Long))
+    val thrown = intercept[Throwable] { adv(rows).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(thrown).exists(_.contains("overflow")), msgs(thrown).mkString(" | "))
+  }
+
   test("null-scored candidates are outside both the moments and the output") {
     val out = adv(Seq(
       (1L, 1L, 1000L: java.lang.Long),
