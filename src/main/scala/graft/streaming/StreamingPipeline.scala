@@ -817,6 +817,58 @@ object StreamingPipeline {
     publishVersion(spark, stateDir, batchId, prior)
   }
 
+  /** Streaming PREFERENCE-STATE fold — the fine-tuning tier's member of
+    * the versioned-state family ([[cdcApplyBatch]], [[countMinBatch]]):
+    * each micro-batch of scored candidates folds into the persisted
+    * per-prompt (count, best, worst) state via
+    * [[graft.operators.Preference.mergePreferenceState]]'s monoid merge,
+    * and [[currentPreferencePairs]] reads live DPO pairs from the
+    * published version at any time. Replay-idempotent WITHOUT markers:
+    * a replayed batch merges the same batch state onto the same parent
+    * (versions strictly below its id — never one containing itself) and
+    * overwrites `v=<id>` with identical rows, so the one non-idempotent
+    * component (the candidate count, a sum) can never double-fold. State
+    * size is the prompt domain, forever, no matter how many candidates
+    * stream through.
+    */
+  def preferenceFoldStream(scored: DataFrame, stateDir: String,
+                           checkpointDir: String, promptCol: String,
+                           idCol: String, qFpCol: String): StreamingQuery =
+    scored.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        preferenceFoldBatch(batch, batchId, stateDir, promptCol, idCol, qFpCol)
+      }
+      .start()
+
+  /** One replayable preference-fold micro-batch (see
+    * [[preferenceFoldStream]]).
+    */
+  def preferenceFoldBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                          promptCol: String, idCol: String,
+                          qFpCol: String): Unit = {
+    import graft.operators.Preference
+    val spark = batch.sparkSession
+    val prior = priorVersions(spark, stateDir, batchId)
+    val delta = Preference.preferenceState(batch, promptCol, idCol, qFpCol)
+    val next = prior.sorted.lastOption match {
+      case Some(v) => Preference.mergePreferenceState(
+        spark.read.parquet(s"$stateDir/v=$v"), delta)
+      case None => delta
+    }
+    next.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    publishVersion(spark, stateDir, batchId, prior)
+  }
+
+  /** Live preference pairs from the last published state version (None
+    * before the first publish) — what a sampling-loop consumer polls.
+    */
+  def currentPreferencePairs(spark: SparkSession, stateDir: String,
+                             minMarginFp: Long): Option[DataFrame] =
+    cdcCurrentState(spark, stateDir)
+      .map(graft.operators.Preference.pairsFromState(_, minMarginFp))
+
   /** Sliding-window aggregate (the tumbling [[hourlyWindow]]'s overlapping
     * twin): each event contributes to size/slide overlapping windows, state
     * is one aggregate row per OPEN window (bounded by watermark ÷ slide),

@@ -782,6 +782,47 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(StreamingPipeline.cdcCurrentState(spark, stateDir).get.count() <= 2L * 32)
   }
 
+  test("streaming preference fold: chained batches equal one-shot pairs; replay converges") {
+    import spark.implicits._
+    import graft.operators.Preference
+    val stateDir = Files.createTempDirectory("pref_state").toString
+    val all = (0L until 120L).map(i => (i % 7, i, (i * 97 % 10000): java.lang.Long))
+    def foldBatch(id: Long, rows: Seq[(Long, Long, java.lang.Long)]) =
+      StreamingPipeline.preferenceFoldBatch(
+        rows.toDF("prompt", "id", "qfp"), id, stateDir, "prompt", "id", "qfp")
+    val batches = (0 until 3).map(k => all.filter(_._2 % 3 == k))
+    batches.zipWithIndex.foreach { case (b, i) => foldBatch(i.toLong, b) }
+    val oneShot = Preference.preferencePairs(
+        all.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp", 500L)
+      .orderBy("prompt").collect().toSeq
+    def live = StreamingPipeline.currentPreferencePairs(spark, stateDir, 500L)
+      .get.orderBy("prompt").collect().toSeq
+    assert(live == oneShot)
+    // at-least-once replay of COMMITTED batch 2: rebuilt from v=1, the
+    // candidate count must not double-fold
+    foldBatch(2L, batches(2))
+    assert(live == oneShot)
+    // state stays prompt-domain-bounded
+    assert(StreamingPipeline.cdcCurrentState(spark, stateDir).get.count() == 7L)
+  }
+
+  test("streaming preference fold end-to-end: memory-stream candidates publish live pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("prefs_state").toString
+    val ck = Files.createTempDirectory("prefs_ck").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    mem.addData((1L, 1L, 9000L), (1L, 2L, 1000L), (2L, 3L, 5000L))
+    val q = StreamingPipeline.preferenceFoldStream(
+      mem.toDF().toDF("prompt", "id", "qfp"), stateDir, ck, "prompt", "id", "qfp")
+    q.awaitTermination(120000)
+    val pairs = StreamingPipeline.currentPreferencePairs(spark, stateDir, 500L)
+      .get.orderBy("prompt").collect()
+    assert(pairs.map(_.getAs[Long]("prompt")).toSeq == Seq(1L)) // prompt 2 is a singleton
+    assert(pairs.head.getAs[Long]("chosen_id") == 1L)
+    assert(pairs.head.getAs[Long]("rejected_id") == 2L)
+  }
+
   test("streaming count-min end-to-end: memory-stream items drain into the counter table") {
     import spark.implicits._
     import graft.operators.Frequency
