@@ -161,6 +161,55 @@ class PreferenceSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("advantage")).toSeq == Seq(-1.0, 1.0))
   }
 
+  test("property: pairs and advantages match a naive in-memory reference on random data") {
+    val rnd = new scala.util.Random(20260814)
+    val rows = (0L until 400L).flatMap { i =>
+      // random prompt domain, ~8% null scores, duplicate qualities likely
+      val q: java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(50) * 100L)
+      Some((rnd.nextInt(23).toLong, i, q))
+    }
+    // naive reference: group in memory, sort, pick extremes with the
+    // documented tie-breaks, margin-filter
+    val byPrompt = rows.filter(_._3 != null).groupBy(_._1)
+    val refPairs = byPrompt.toSeq.flatMap { case (p, cs) =>
+      val n = cs.size
+      if (n < 2) None else {
+        val chosen = cs.minBy(c => (-c._3.toLong, c._2))
+        val rejected = cs.minBy(c => (c._3.toLong, c._2))
+        val margin = chosen._3.toLong - rejected._3.toLong
+        if (margin < 500) None
+        else Some((p, n.toLong, chosen._2, rejected._2,
+          chosen._3.toLong / 10000.0, rejected._3.toLong / 10000.0, margin / 10000.0))
+      }
+    }.sortBy(_._1)
+    val gotPairs = pairs(rows).orderBy("prompt").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(gotPairs == refPairs)
+    // advantages: z = (n*q - S)/sqrt(n*SS - S^2), rounded 4
+    val refAdv = byPrompt.toSeq.flatMap { case (p, cs) =>
+      val n = cs.size.toLong
+      val s = cs.map(_._3.toLong).sum
+      val ss = cs.map(c => c._3.toLong * c._3.toLong).sum
+      val varNum = n * ss - s * s
+      cs.map { c =>
+        val adv: java.lang.Double =
+          if (n < 2 || varNum <= 0) null
+          else BigDecimal((n * c._3.toLong - s).toDouble / math.sqrt(varNum.toDouble))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (c._2, p, n, adv)
+      }
+    }.sortBy(_._1)
+    val gotAdv = adv(rows).orderBy("id").collect().toSeq.map(r =>
+      (r.getLong(1), r.getLong(0), r.getLong(2),
+        if (r.isNullAt(4)) null else (r.getDouble(4): java.lang.Double)))
+    assert(gotAdv.size == refAdv.size)
+    gotAdv.zip(refAdv).foreach { case ((id, p, n, a), (rid, rp, rn, ra)) =>
+      assert(id == rid && p == rp && n == rn, s"row $id")
+      assert(a == ra, s"advantage mismatch for id $id: $a vs $ra")
+    }
+  }
+
   test("partitioning invariance: 1, 3, and 16 partitions agree exactly") {
     val rows = (0L until 200L).map(i => (i % 11, i, (i * 37 % 10000): java.lang.Long))
     val base = pairs(rows).orderBy("prompt").collect().toSeq
