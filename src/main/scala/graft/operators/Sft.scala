@@ -157,12 +157,24 @@ object Sft {
       lit("<|mid|>"), middle)
     // <|pre|> + prefix + <|suf|> + suffix + <|mid|> precede the middle
     val lossStart = lit(7L) + c1 + lit(7L) + (n - c2) + lit(7L)
+    // token space (the [[tokenSpans]] contract: sentinels are ATOMIC, the
+    // pieces tokenize independently with the BPE pre-tokenizer — which is
+    // also the honest semantics, since the cut falls mid-token and the
+    // halves really do tokenize separately in a FIM render)
+    def nt(piece: org.apache.spark.sql.Column) =
+      graft.functions.Text.bpeTokenCount(piece).cast("long")
+    val tokLossStart = lit(3L) + nt(prefix) + nt(suffix)
     docs.select(col(idCol), n.as("n_chars"),
       when(eligible, lit("psm")).otherwise(lit("raw")).as("mode"),
       when(eligible, render).otherwise(col(textCol)).as("rendered"),
       when(eligible, lossStart).otherwise(lit(0L)).as("loss_start"),
       when(eligible, lossStart + (c2 - c1))
-        .otherwise(coalesce(n, lit(0L))).as("loss_end"))
+        .otherwise(coalesce(n, lit(0L))).as("loss_end"),
+      when(eligible, lit(3L) + nt(prefix) + nt(suffix) + nt(middle))
+        .otherwise(coalesce(nt(col(textCol)), lit(0L))).as("n_tokens"),
+      when(eligible, tokLossStart).otherwise(lit(0L)).as("tok_loss_start"),
+      when(eligible, tokLossStart + nt(middle))
+        .otherwise(coalesce(nt(col(textCol)), lit(0L))).as("tok_loss_end"))
       .withColumn("render_fp", md5(coalesce(col("rendered"), lit(""))))
   }
 }

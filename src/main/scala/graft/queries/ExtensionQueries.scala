@@ -3059,8 +3059,9 @@ object ExtensionQueries {
          |${dpoPairsSql("qscored")}
          |SELECT * FROM pairs ORDER BY prompt_id""".stripMargin,
 
-    // fim1: cut-point residues, the PSM render, and the loss arithmetic
-    // restated; CASE keeps the modulus unevaluated on ineligible rows.
+    // fim1: cut-point residues, the PSM render, and the char- AND
+    // token-space loss arithmetic restated (piece token counts via t5's
+    // regex); CASE keeps the modulus unevaluated on ineligible rows.
     "fim1_psm_transform" ->
       """WITH f AS (
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
@@ -3074,19 +3075,33 @@ object ExtensionQueries {
         |  SELECT *, CASE WHEN elig
         |    THEN c1 + 1 + ((doc_id * 104729) % (n - c1 - 1)) END AS c2
         |  FROM g),
+        |pc AS (
+        |  SELECT *,
+        |    CASE WHEN elig THEN substr(text, 1, CAST(c1 AS INTEGER)) END AS pfx,
+        |    CASE WHEN elig THEN substr(text, CAST(c2 + 1 AS INTEGER), CAST(n AS INTEGER)) END AS sfx,
+        |    CASE WHEN elig THEN substr(text, CAST(c1 + 1 AS INTEGER), CAST(c2 - c1 AS INTEGER)) END AS mid
+        |  FROM h),
+        |tc AS (
+        |  SELECT *,
+        |    CAST(len(regexp_extract_all(COALESCE(pfx, ''), '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS ntp,
+        |    CAST(len(regexp_extract_all(COALESCE(sfx, ''), '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS nts,
+        |    CAST(len(regexp_extract_all(COALESCE(mid, ''), '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS ntm,
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS ntt
+        |  FROM pc),
         |r AS (
         |  SELECT doc_id, n AS n_chars,
         |    CASE WHEN elig THEN 'psm' ELSE 'raw' END AS mode,
-        |    CASE WHEN elig THEN
-        |      '<|pre|>' || substr(text, 1, CAST(c1 AS INTEGER)) ||
-        |      '<|suf|>' || substr(text, CAST(c2 + 1 AS INTEGER), CAST(n AS INTEGER)) ||
-        |      '<|mid|>' || substr(text, CAST(c1 + 1 AS INTEGER), CAST(c2 - c1 AS INTEGER))
-        |    ELSE text END AS rendered,
+        |    CASE WHEN elig THEN '<|pre|>' || pfx || '<|suf|>' || sfx || '<|mid|>' || mid
+        |         ELSE text END AS rendered,
         |    CASE WHEN elig THEN 7 + c1 + 7 + (n - c2) + 7 ELSE 0 END AS loss_start,
         |    CASE WHEN elig THEN 7 + c1 + 7 + (n - c2) + 7 + (c2 - c1)
-        |         ELSE COALESCE(n, 0) END AS loss_end
-        |  FROM h)
+        |         ELSE COALESCE(n, 0) END AS loss_end,
+        |    CASE WHEN elig THEN 3 + ntp + nts + ntm ELSE ntt END AS n_tokens,
+        |    CASE WHEN elig THEN 3 + ntp + nts ELSE 0 END AS tok_loss_start,
+        |    CASE WHEN elig THEN 3 + ntp + nts + ntm ELSE ntt END AS tok_loss_end
+        |  FROM tc)
         |SELECT doc_id, n_chars, mode, rendered, loss_start, loss_end,
+        |  n_tokens, tok_loss_start, tok_loss_end,
         |  md5(COALESCE(rendered, '')) AS render_fp
         |FROM r ORDER BY doc_id""".stripMargin,
 

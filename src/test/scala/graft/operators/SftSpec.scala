@@ -97,6 +97,10 @@ class SftSpec extends SparkSpec {
     assert(r.getAs[String]("mode") == "psm")
     assert(r.getAs[String]("rendered") == "<|pre|>abcdefg<|suf|>ij<|mid|>h")
     assert(r.getAs[Long]("loss_start") == 30L && r.getAs[Long]("loss_end") == 31L)
+    // token space: "abcdefg"/"ij"/"h" are 1 BPE piece each + 3 sentinels
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("tok_loss_start") == 5L)
+    assert(r.getAs[Long]("tok_loss_end") == 6L)
   }
 
   test("FIM: the loss span addresses exactly the moved middle; pieces reconstruct") {
@@ -109,6 +113,7 @@ class SftSpec extends SparkSpec {
       val (id, text) = (r.getAs[Long]("doc_id"), byId(r.getAs[Long]("doc_id")))
       val rendered = r.getAs[String]("rendered")
       val (ls, le) = (r.getAs[Long]("loss_start").toInt, r.getAs[Long]("loss_end").toInt)
+      val (tls, tle) = (r.getAs[Long]("tok_loss_start"), r.getAs[Long]("tok_loss_end"))
       if (r.getAs[String]("mode") == "psm") {
         assert(id % 2 == 0)
         // strip the three 7-char headers, reassemble prefix+middle+suffix
@@ -118,9 +123,13 @@ class SftSpec extends SparkSpec {
         assert(prefix + middle + suffix == text, s"doc $id does not reconstruct")
         assert(middle.nonEmpty && prefix.nonEmpty && suffix.nonEmpty)
         assert(rendered.substring(ls, le) == middle)
+        // token layout: middle is last, so its span ends at n_tokens; at
+        // least the 3 sentinels + one prefix/suffix piece precede it
+        assert(tle == r.getAs[Long]("n_tokens") && tls >= 5 && tls < tle)
       } else {
         assert(id % 2 == 1)
         assert(rendered == text && ls == 0 && le == text.length)
+        assert(tls == 0 && tle == r.getAs[Long]("n_tokens"))
       }
     }
   }
