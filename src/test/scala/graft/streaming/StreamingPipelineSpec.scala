@@ -802,6 +802,13 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     // candidate count must not double-fold
     foldBatch(2L, batches(2))
     assert(live == oneShot)
+    // crash BEFORE publish: v=2 exists but _CURRENT still points at v=1;
+    // the replay recomputes v=2 from the same sub-id parent and republishes
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_CURRENT"), false)
+    foldBatch(2L, batches(2))
+    assert(live == oneShot)
     // state stays prompt-domain-bounded
     assert(StreamingPipeline.cdcCurrentState(spark, stateDir).get.count() == 7L)
   }
