@@ -36,14 +36,25 @@ object Bench {
     // the emitted `drift` and drift-normalized vs_baseline make that a
     // one-number read instead of a same-session control re-timing.
     val sentinelNames = Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join")
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A sentinel that THROWS must not record a near-zero wall: its ~0 s
+    // reading would collapse `drift` toward 0 and inflate every
+    // drift-normalized ratio by orders of magnitude — the adjudication
+    // metric would report a massive global regression (or mask a real
+    // host band) instead of saying "a sentinel is broken". Failed
+    // sentinels are dropped from the battery; the epochs below still
+    // record the failure as that query's own timing row.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
     val sentinelTimes: Map[String, Double] =
-      sentinelNames.filter(SparkEntry.queries.contains).map { name =>
-        name -> (1 to 3).map(_ => timeOnce(SparkEntry.queries(name))).min
+      sentinelNames.filter(SparkEntry.queries.contains).flatMap { name =>
+        val runs = (1 to 3).flatMap(_ => timeOnce(SparkEntry.queries(name)))
+        if (runs.size < 3) {
+          System.err.println(s"Bench: sentinel $name FAILED — excluded from drift")
+          None
+        } else Some(name -> runs.min)
       }.toMap
     // Timed epochs in name order (Map hash order varies with the query set,
     // which would shuffle noise across rounds). Three timed epochs, min per

@@ -214,7 +214,13 @@ case class PqEncode(emb: Expression, books: Expression, m: Int, ksub: Int)
   * read in place, never copied.
   *
   * Null contract (mirrors the composed form): null codes/tables array, a
-  * null element in either, or mismatched lengths → NULL.
+  * null element in either, mismatched lengths, or a code outside its
+  * table's [0, len) range → NULL. The range check matters: the composed
+  * form's non-ANSI `element_at(tb, cd + 1)` yields NULL on an out-of-range
+  * code (e.g. codes persisted under a larger-ksub model than the tables
+  * were built with, or a corrupted extent row), while an unchecked
+  * `getDouble(code)` on UnsafeArrayData reads ADJACENT BUFFER MEMORY and
+  * returns a silently wrong score.
   */
 case class PqAdcScore(codes: Expression, tables: Expression)
     extends BinaryExpression {
@@ -243,7 +249,10 @@ case class PqAdcScore(codes: Expression, tables: Expression)
     var s = 0
     while (s < n) {
       if (cd.isNullAt(s) || tb.isNullAt(s)) return null
-      acc += tb.getArray(s).getDouble(cd.getInt(s))
+      val row = tb.getArray(s)
+      val code = cd.getInt(s)
+      if (code < 0 || code >= row.numElements()) return null
+      acc += row.getDouble(code)
       s += 1
     }
     acc
@@ -254,6 +263,8 @@ case class PqAdcScore(codes: Expression, tables: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val code = ctx.freshName("code")
       s"""
          |final int $n = $cd.numElements();
          |if ($tb.numElements() != $n) {
@@ -262,7 +273,10 @@ case class PqAdcScore(codes: Expression, tables: Expression)
          |  double $acc = 0.0;
          |  for (int $s = 0; $s < $n; $s++) {
          |    if ($cd.isNullAt($s) || $tb.isNullAt($s)) { ${ev.isNull} = true; break; }
-         |    $acc += $tb.getArray($s).getDouble($cd.getInt($s));
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $tb.getArray($s);
+         |    final int $code = $cd.getInt($s);
+         |    if ($code < 0 || $code >= $row.numElements()) { ${ev.isNull} = true; break; }
+         |    $acc += $row.getDouble($code);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

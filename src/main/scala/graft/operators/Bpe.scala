@@ -144,7 +144,7 @@ object Bpe {
         val next = vocab
           .select(applyMerge(col("syms"), l, r).as("syms"), col("cnt"))
           .localCheckpoint()
-        dropCheckpoint(vocab)
+        Checkpoints.drop(vocab)
         vocab = next
       }
       i += 1
@@ -153,7 +153,7 @@ object Bpe {
     // nothing reads the frame again; without this every train call leaves
     // one vocab-sized RDD in the block manager until the ContextCleaner
     // happens to GC it (round-15 review finding)
-    dropCheckpoint(vocab)
+    Checkpoints.drop(vocab)
     merges.result()
   }
 
@@ -339,12 +339,6 @@ object Bpe {
     * must have eagerly materialized the successor first (a locally
     * checkpointed RDD has no lineage to rebuild from).
     */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-    }
-
   /** Per-document BPE token count under a given merge table: symbolize
     * every token occurrence, fold the merge chain (codegen'd replaces),
     * sum symbol counts per document. Linear in corpus size, one shuffle

@@ -51,15 +51,32 @@ object Centrality {
       .localCheckpoint() // static across iterations; computed once
     val ids = nodes.select(col("id")).localCheckpoint()
     var rank = ids.withColumn("rank", lit(1000000000L))
+    var prevCkpt: Option[DataFrame] = None
     for (_ <- 0 until iterations) {
       val contrib = withDeg
         .join(rank.select(col("id").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("id"), expr("rank div outdeg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       rank = ids.join(contrib, Seq("id"), "left")
+        // overflow tripwire (the groupAdvantage discipline): a hub's
+        // summed in-mass beyond 2^63/85 would wrap `85 * s` under
+        // non-ANSI Long math into a garbage (negative) rank — raise
+        // instead. One comparison per node; s is never negative.
+        .withColumn("_s", when(col("s") > lit(Long.MaxValue / 85),
+          raise_error(lit("pageRankFixedPoint: damping would overflow " +
+            "(node in-mass > 2^63/85 micro-units) — lower the fixed-point scale")))
+          .otherwise(coalesce(col("s"), lit(0L))))
         .select(col("id"),
-          (lit(150000000L) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+          (lit(150000000L) + expr("85 * _s div 100")).as("rank"))
         .localCheckpoint() // flat lineage per iteration (the CC lesson)
+      // release the superseded round's snapshot (leak class of Bpe r16):
+      // only in-loop checkpoints — the first input shares ids' RDD
+      prevCkpt.foreach(Checkpoints.drop)
+      prevCkpt = Some(rank)
+    }
+    if (iterations > 0) { // the returned checkpoint is self-contained
+      Checkpoints.drop(withDeg)
+      Checkpoints.drop(ids)
     }
     rank
   }

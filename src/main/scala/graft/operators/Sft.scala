@@ -32,8 +32,14 @@ object Sft {
   private def baseTurns(events: DataFrame, convCol: String, tsCol: String,
                         idCol: String, roleCol: String, textCol: String): DataFrame =
     events.select(
-      col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
-      coalesce(col(textCol), lit("")).as("text"))
+        col(convCol), col(tsCol), col(idCol), col(roleCol).as("role"),
+        coalesce(col(textCol), lit("")).as("text"))
+      // the ONE conversation-keyed shuffle, placed BEFORE the per-turn
+      // projection: the piece/regex work runs parallel across the cluster
+      // (not in however few splits the scan produced — the Dedup.spread
+      // lesson), and every downstream window spec inherits the
+      // partitioning. Everything after this line is shuffle-free.
+      .repartition(col(convCol))
 
   private def withOffsets(turns: DataFrame, convCol: String, tsCol: String,
                           idCol: String): DataFrame = {
@@ -64,23 +70,27 @@ object Sft {
       .withColumn("piece",
         concat(lit("<|"), col("role"), lit("|>"), col("text"), lit("<|end|>")))
       .withColumn("_len", length(col("piece")).cast("long"))
-    val spans = withOffsets(turns, convCol, tsCol, idCol)
+    // conversation-level columns ride the SAME window partition as the
+    // offsets (full-frame aggregates) — one scan, one shuffle, no second
+    // branch and no join-back; the per-group collect_list is bounded by
+    // conversation length, exactly the groupBy fold's state
+    val wFull = Window.partitionBy(col(convCol))
+    withOffsets(turns, convCol, tsCol, idCol)
       .withColumn("loss_start",
         when(col("role") === "assistant",
           col("_start") + length(col("role")).cast("long") + lit(4L)))
       .withColumn("loss_end",
         when(col("role") === "assistant",
           col("_start") + col("_len") - lit(7L)))
-    val conv = turns.groupBy(col(convCol)).agg(
-      count(lit(1)).as("n_turns"),
-      sum(col("_len")).as("n_chars"),
-      md5(array_join(transform(
-        array_sort(collect_list(struct(col(tsCol), col(idCol), col("piece")))),
-        t => t("piece")), "")).as("render_fp"))
-    spans
+      .withColumn("n_turns", count(lit(1)).over(wFull))
+      .withColumn("n_chars", sum(col("_len")).over(wFull))
+      .withColumn("render_fp", md5(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol), col("piece")))
+          .over(wFull)),
+        t => t("piece")), "")))
       .select(col(convCol), col("turn_idx"), col("role"),
-        col("loss_start"), col("loss_end"))
-      .join(conv, Seq(convCol))
+        col("loss_start"), col("loss_end"),
+        col("n_turns"), col("n_chars"), col("render_fp"))
   }
 
   /** TOKEN-space loss spans — the hand-off [[renderChat]]'s char spans
@@ -104,18 +114,16 @@ object Sft {
       .withColumn("n_text_tokens",
         graft.functions.Text.bpeTokenCount(col("text")).cast("long"))
       .withColumn("_len", col("n_text_tokens") + lit(2L))
-    val spans = withOffsets(turns, convCol, tsCol, idCol)
+    withOffsets(turns, convCol, tsCol, idCol)
       .withColumn("tok_start",
         when(col("role") === "assistant", col("_start") + lit(1L)))
       .withColumn("tok_end",
         when(col("role") === "assistant",
           col("_start") + lit(1L) + col("n_text_tokens")))
-    val conv = turns.groupBy(col(convCol))
-      .agg(sum(col("_len")).as("n_tokens"))
-    spans
+      .withColumn("n_tokens",
+        sum(col("_len")).over(Window.partitionBy(col(convCol))))
       .select(col(convCol), col("turn_idx"), col("role"),
-        col("n_text_tokens"), col("tok_start"), col("tok_end"))
-      .join(conv, Seq(convCol))
+        col("n_text_tokens"), col("tok_start"), col("tok_end"), col("n_tokens"))
   }
 
   /** Fill-in-the-middle transformation (Bavarian et al. 2022): rewrite a

@@ -979,14 +979,29 @@ object ExtensionQueries {
           Seq("a", "b"), "left")
         .agg(count(lit(1)).as("n_strong_pairs"),
           sum(coalesce(col("hit"), lit(0L))).as("_n_strong_hit"))
+      // the J < 0.5 band: LSH recall there follows the banding s-curve
+      // (b=16, r=2 ⇒ knee ≈ 0.25 — pairs near the 0.05 verify threshold
+      // are MOSTLY not candidates, by design; d2b at its own geometry is
+      // the exact witness). The gate can't pin s-curve recall, but it CAN
+      // trip on total loss: measured weak recall is 0.25/0.05 at
+      // sf0.01/sf0.1, so a 0.02 floor is stable while a banding
+      // regression that silently drops the whole weak band flips it.
+      val weak = truth.filter(col("jaccard") < 0.5)
+      val weakStats = weak.join(emitted.select(col("a"), col("b"), lit(1L).as("hit")),
+          Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_weak_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("_n_weak_hit"))
       val prec = emitted.join(truth.withColumnRenamed("jaccard", "_tj"), Seq("a", "b"), "left")
         .agg(coalesce(expr("bool_and(_tj IS NOT NULL AND _tj = jaccard)"), lit(true))
           .as("precision_ok"))
       truth.agg(count(lit(1)).as("n_true_pairs"))
-        .crossJoin(strongStats).crossJoin(prec)
-        .select(col("n_true_pairs"), col("n_strong_pairs"), col("precision_ok"),
+        .crossJoin(strongStats).crossJoin(weakStats).crossJoin(prec)
+        .select(col("n_true_pairs"), col("n_strong_pairs"), col("n_weak_pairs"),
+          col("precision_ok"),
           (col("_n_strong_hit").cast("double")
-            >= lit(0.9) * col("n_strong_pairs").cast("double")).as("strong_recall_ok"))
+            >= lit(0.9) * col("n_strong_pairs").cast("double")).as("strong_recall_ok"),
+          (col("n_weak_pairs") === 0 || col("_n_weak_hit").cast("double")
+            >= lit(0.02) * col("n_weak_pairs").cast("double")).as("weak_not_lost"))
     }),
 
     // D2b portable MinHash+LSH (md5 hashes, lexicographic min) — the
@@ -2885,7 +2900,9 @@ object ExtensionQueries {
          |  FROM pairs p JOIN sets sa ON sa.doc_id = p.a JOIN sets sb ON sb.doc_id = p.b)
          |SELECT CAST(COUNT(*) FILTER (WHERE jaccard >= 0.05) AS BIGINT) AS n_true_pairs,
          |  CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_strong_pairs,
-         |  TRUE AS precision_ok, TRUE AS strong_recall_ok
+         |  CAST(COUNT(*) FILTER (WHERE jaccard >= 0.05 AND jaccard < 0.5) AS BIGINT)
+         |    AS n_weak_pairs,
+         |  TRUE AS precision_ok, TRUE AS strong_recall_ok, TRUE AS weak_not_lost
          |FROM jac""".stripMargin,
 
     // d3 (round 16 gate): per-doc token count (oracle-exact) + the

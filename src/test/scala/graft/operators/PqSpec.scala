@@ -130,6 +130,14 @@ class PqSpec extends SparkSpec {
     // mismatched lengths -> null (the zip_with-pads-then-element_at(null) path)
     val mism = Seq((1L, Array(0, 1), Array(Array(0.5)))).toDF("id", "codes", "tables")
     assert(mism.select(Pq.adcScoreCol(col("codes"), col("tables"))).head().isNullAt(0))
+    // out-of-range code -> null, NOT an adjacent-memory read (codes written
+    // under a larger-ksub model than the tables; element_at parity)
+    for (bad <- Seq(Array(2, 0), Array(-1, 0))) {
+      val oob = Seq((1L, bad, Array(Array(0.5, 0.6), Array(0.7, 0.8))))
+        .toDF("id", "codes", "tables")
+      assert(oob.select(Pq.adcScoreCol(col("codes"), col("tables"))).head().isNullAt(0),
+        s"code ${bad.head} must yield null")
+    }
   }
 
   test("ADC candidate scoring stays inside whole-stage codegen (the reason PqAdcScore exists)") {
