@@ -50,8 +50,8 @@ class PlanQualitySpec extends SparkSpec {
     // crossJoins only — the truth/emitted frames are localCheckpointed, so
     // their own join machinery (banded equi-joins; e2c's all-pairs
     // broadcast cross) runs bounded at construction and never appears in
-    // the returned plan.
-    "d2_minhash_lsh" -> 2,
+    // the returned plan. d2's third is the weak-band tripwire aggregate.
+    "d2_minhash_lsh" -> 3,
     "d3b_simhash_neardup" -> 1,
     "e2c_embedding_neardup" -> 1,
     // c8 (round-16 retrieval composition): brute-force recall ground truth

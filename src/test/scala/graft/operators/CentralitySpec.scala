@@ -50,4 +50,20 @@ class CentralitySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(r0 == Set(1000000000L))
   }
+
+  test("iteration releases superseded rank snapshots (the BpeSpec leak bound)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edges = docs.select(col("id").as("src"),
+      explode(array((1 to 3).map(j =>
+        pmod(col("id") * (2 * j + 1) + j, lit(n))): _*)).as("dst"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Centrality.pageRankFixedPoint(edges, docs, iterations = 6)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the RETURNED frame's checkpoint may remain — the 5 superseded
+    // rank rounds plus withDeg/ids must all have been released
+    assert(after - before <= 1, s"leaked ${after - before} snapshots (expected <= 1)")
+  }
 }
