@@ -35,7 +35,14 @@ object Bench {
     // elevation that tracks the sentinels is host band, not regression —
     // the emitted `drift` and drift-normalized vs_baseline make that a
     // one-number read instead of a same-session control re-timing.
-    val sentinelNames = Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join")
+    // pg1 joined the battery after the round-16 final-commit run showed a
+    // SHUFFLE-side band (every CC/iterative lane +15-30% together) that
+    // t2/t9/j2 read straight through at 0.86 — the three original classes
+    // (codegen-lambda scan, lambda+shuffle agg, shuffle-bound join) don't
+    // span the multi-round iterative class whose per-round scheduler+
+    // exchange costs band independently.
+    val sentinelNames =
+      Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join", "pg1_pagerank")
     // A sentinel that THROWS must not record a near-zero wall: its ~0 s
     // reading would collapse `drift` toward 0 and inflate every
     // drift-normalized ratio by orders of magnitude — the adjudication
