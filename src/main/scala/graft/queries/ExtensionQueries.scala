@@ -292,11 +292,21 @@ object ExtensionQueries {
     // floor is a collapse tripwire, and near-threshold recall is the
     // documented price of corpus-scaled buckets, recoverable by raising
     // nBands).
+    // Gate shape (revised late round 16): the first gate computed
+    // brute-force truth over ALL pairs — verification machinery that was
+    // QUADRATIC in the corpus while the operator it verifies is banded
+    // (the sf1 probe read the lane 69× at 10× rows, all of it the truth
+    // stage). Truth is now anchored to a FIXED 200-vector query set
+    // (e2h's sampled-recall discipline): truth volume is 200·n — linear —
+    // recall is estimated over anchored pairs, and precision recomputes
+    // each EMITTED pair's cosine directly (|emitted| work), so the whole
+    // gate now scales like the operator it checks.
     "e2c_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val emitted = Similarity.cosineNearDupPairs(emb, 0.4,
         nBands = 8, targetPop = 64).localCheckpoint()
-      val qa = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val qa = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
         .withColumn("_na", Vectors.norm2(col("ea")))
       val qb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
         .withColumn("_nb", Vectors.norm2(col("eb")))
@@ -308,8 +318,11 @@ object ExtensionQueries {
           Seq("a", "b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
           sum(coalesce(col("hit"), lit(0L))).as("_n_hit"))
-      val prec = emitted.join(truth.withColumnRenamed("cosine", "_tc"), Seq("a", "b"), "left")
-        .agg(coalesce(expr("bool_and(_tc IS NOT NULL AND _tc = cosine)"), lit(true))
+      val prec = emitted
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("_ea")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("_eb")), Seq("b"))
+        .withColumn("_rc", round(Vectors.cosine(col("_ea"), col("_eb")), 4))
+        .agg(coalesce(expr("bool_and(_rc = cosine AND _rc >= 0.4)"), lit(true))
           .as("precision_ok"))
       hits.crossJoin(prec)
         .select(col("n_true_pairs"), col("precision_ok"),
@@ -2938,6 +2951,7 @@ object ExtensionQueries {
         |dots AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS dot
         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 200
         |  GROUP BY a.vec_id, b.vec_id),
         |cos AS (
         |  SELECT d.a, d.b, ROUND(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS cosine
