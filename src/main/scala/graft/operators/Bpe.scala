@@ -177,9 +177,28 @@ object Bpe {
     * adversarial corpora, and the naive reference implementation agrees
     * with both.
     */
-  def trainMergesLocal(wc: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  def trainMergesLocal(wc: DataFrame, nMerges: Int,
+                       minCount: Long = 1L,
+                       maxVocab: Int = 8000000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val rows = wc.select(col("word"), col("cnt").cast("long")).collect()
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // Guard the one driver-side collect: Heaps-law sub-linearity is honest
+    // for clean tokenized text, but raw web corpora carry vocabulary long
+    // tails (noise, ids, URLs) that would make an unbounded collect a
+    // driver OOM at 100 TB. minCount is Sennrich's standard min-frequency
+    // prune (zero semantic change when every word clears the floor — a
+    // pruned word can only lower pair weights it contributes to, never
+    // reorder merges among surviving words' pairs at minCount=1); the
+    // limit(maxVocab+1) bounds the collect ITSELF, so an over-budget
+    // vocabulary raises loudly instead of OOMing first.
+    val rows = wc.select(col("word"), col("cnt").cast("long"))
+      .filter(col("cnt") >= minCount)
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"trainMergesLocal: corpus vocabulary exceeds maxVocab=$maxVocab after " +
+        s"minCount=$minCount prune — raise minCount (min-frequency prune, " +
+        s"Sennrich 2016) or maxVocab, or fall back to the distributed trainMerges")
     val syms = rows.map(r =>
       scala.collection.mutable.ArrayBuffer[String](r.getString(0).map(_.toString): _*))
     val cnts = rows.map(_.getLong(1))

@@ -74,10 +74,12 @@ object Centrality {
       prevCkpt.foreach(Checkpoints.drop)
       prevCkpt = Some(rank)
     }
-    if (iterations > 0) { // the returned checkpoint is self-contained
-      Checkpoints.drop(withDeg)
-      Checkpoints.drop(ids)
-    }
+    // withDeg is never referenced by the returned frame (at iterations == 0
+    // it was computed eagerly and never read) — release it unconditionally;
+    // ids backs the returned frame's RDD when iterations == 0, so only its
+    // drop stays behind the guard
+    Checkpoints.drop(withDeg)
+    if (iterations > 0) Checkpoints.drop(ids) // returned checkpoint is self-contained
     rank
   }
 }

@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** State-frame column contract shared by [[preferenceState]] /
+    * [[mergePreferenceState]] / [[pairsFromState]]: the prompt key is the
+    * FIRST column, followed by exactly these in this order. The contract is
+    * validated, not assumed — a state frame whose columns were reordered
+    * (a caller's select, a parquet round-trip with a different column
+    * order) must fail loudly rather than silently group on the wrong
+    * column. */
+  private val stateCols = Seq("n_candidates", "_cq", "chosen_id", "_rq", "rejected_id")
+
+  private def statePromptCol(state: DataFrame, caller: String): String = {
+    val cols = state.columns
+    require(cols.length == stateCols.length + 1 && cols.tail.sameElements(stateCols) &&
+      !stateCols.contains(cols.head),
+      s"$caller: expected preference-state schema (<prompt>, ${stateCols.mkString(", ")}) " +
+        s"in that order, got (${cols.mkString(", ")})")
+    cols.head
+  }
+
   /** (prompt, n_candidates, chosen_id, rejected_id, chosen_q, rejected_q,
     * margin) — one row per prompt with ≥2 scored candidates and
     * chosen−rejected ≥ `minMarginFp`. chosen_q/rejected_q/margin are the
@@ -79,7 +97,8 @@ object Preference {
 
   /** Monoid merge of two state frames (missing prompts pass through). */
   def mergePreferenceState(a: DataFrame, b: DataFrame): DataFrame = {
-    val promptCol = a.columns.head
+    val promptCol = statePromptCol(a, "mergePreferenceState")
+    statePromptCol(b, "mergePreferenceState")
     val shift = lit(4294967296L)
     val up = col("_cq") * shift - col("chosen_id")
     val dn = col("_rq") * shift + col("rejected_id")
@@ -95,7 +114,7 @@ object Preference {
 
   /** [[preferencePairs]]' output contract read from a state frame. */
   def pairsFromState(state: DataFrame, minMarginFp: Long): DataFrame = {
-    val promptCol = state.columns.head
+    val promptCol = statePromptCol(state, "pairsFromState")
     state
       .filter(col("n_candidates") >= 2 &&
         col("_cq") - col("_rq") >= minMarginFp)
@@ -136,11 +155,16 @@ object Preference {
   def groupAdvantage(scored: DataFrame, promptCol: String, idCol: String,
                      qFpCol: String): DataFrame = {
     val s = scored.filter(col(qFpCol).isNotNull)
+    // widen BEFORE squaring: an IntegerType qfp column inside the documented
+    // |qfp| < 2^30 envelope still wraps the per-row int*int square past
+    // |qfp| > 46340 under non-ANSI arithmetic — and the n*max|qfp| tripwire
+    // below cannot see it, since n and qmax don't wrap
+    val qWide = col(qFpCol).cast("long")
     val moments = s.groupBy(col(promptCol)).agg(
         count(lit(1)).as("n_candidates"),
-        sum(col(qFpCol)).as("_s"),
-        sum(col(qFpCol) * col(qFpCol)).as("_ss"),
-        max(abs(col(qFpCol))).as("_qmax"))
+        sum(qWide).as("_s"),
+        sum(qWide * qWide).as("_ss"),
+        max(abs(qWide)).as("_qmax"))
       // overflow tripwire on the prompt-domain-bounded frame (one
       // comparison per GROUP, not per candidate): outside the documented
       // envelope the non-ANSI Long math would wrap silently

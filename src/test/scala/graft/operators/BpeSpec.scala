@@ -185,6 +185,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("hybrid trainer vocab guard: prune is a no-op above the floor, over-budget raises") {
+    val wc = Bpe.wordCounts(docs, "text")
+    // every word in the learned corpus has cnt >= 1, so minCount=1 (the
+    // default) and a generous maxVocab must change nothing
+    val base = Bpe.trainMergesLocal(wc, 12)
+    assert(Bpe.trainMergesLocal(wc, 12, minCount = 1L, maxVocab = 1000) == base)
+    // a vocabulary over maxVocab must fail loudly, not collect unboundedly
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(wc, 12, minCount = 1L, maxVocab = 3)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+    // a minCount prune that drops the long tail keeps the collect in budget
+    // (docs has words with cnt >= 2: 'the', 'that', 'on', 'and', 'cat', 'hat')
+    val pruned = Bpe.trainMergesLocal(wc, 3, minCount = 2L, maxVocab = 10)
+    assert(pruned.nonEmpty)
+  }
+
   test("hybrid trainer stops early on a fully merged vocabulary") {
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     assert(Bpe.trainMergesLocal(Bpe.wordCounts(tiny, "text"), 10) == Seq(("a", "b")))

@@ -66,4 +66,17 @@ class CentralitySpec extends SparkSpec {
     // rank rounds plus withDeg/ids must all have been released
     assert(after - before <= 1, s"leaked ${after - before} snapshots (expected <= 1)")
   }
+
+  test("iterations=0 releases the edge-degree snapshot (withDeg is never returned)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Centrality.pageRankFixedPoint(
+      Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"),
+      Seq(0L, 1L).toDF("id"), iterations = 0)
+    out.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only ids may remain (it backs the returned frame's RDD); withDeg —
+    // computed eagerly, never referenced by the return — must be dropped
+    assert(after - before <= 1, s"leaked ${after - before} snapshots (expected <= 1)")
+    assert(out.collect().map(_.getLong(1)).toSet == Set(1000000000L))
+  }
 }

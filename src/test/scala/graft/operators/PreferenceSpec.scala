@@ -112,6 +112,43 @@ class PreferenceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candidates") == 4L)
   }
 
+  test("state consumers fail loudly on a reordered/renamed state schema") {
+    val good = Preference.preferenceState(Seq(
+      (1L, 1L, 9000L: java.lang.Long), (1L, 2L, 1000L: java.lang.Long)
+    ).toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
+    // a parquet round-trip / caller select that reorders columns must not
+    // silently group on the wrong column
+    val reordered = good.select("n_candidates", "prompt", "_cq",
+      "chosen_id", "_rq", "rejected_id")
+    val ex1 = intercept[IllegalArgumentException] {
+      Preference.pairsFromState(reordered, 500L)
+    }
+    assert(ex1.getMessage.contains("pairsFromState"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Preference.mergePreferenceState(good, reordered)
+    }
+    assert(ex2.getMessage.contains("mergePreferenceState"))
+    // the canonical shape still flows
+    assert(Preference.pairsFromState(good, 500L).count() == 1L)
+  }
+
+  test("group advantage: IntegerType qfp beyond 46340 does not wrap the square") {
+    // 50000^2 = 2.5e9 > Int.MaxValue: an un-widened int*int square wraps
+    // to a negative partial and poisons the variance (inside the documented
+    // |qfp| < 2^30 envelope, so the n*max|qfp| tripwire cannot see it)
+    val intRows = Seq((1L, 1L, 50000), (1L, 2L, 60000), (1L, 3L, 70000))
+      .toDF("prompt", "id", "qfp") // qfp is IntegerType here
+    val got = Preference.groupAdvantage(intRows, "prompt", "id", "qfp")
+      .orderBy("id").collect().map(_.getAs[Double]("advantage")).toSeq
+    // same data as long — the reference arithmetic
+    val want = adv(Seq(
+      (1L, 1L, 50000L: java.lang.Long),
+      (1L, 2L, 60000L: java.lang.Long),
+      (1L, 3L, 70000L: java.lang.Long)))
+      .orderBy("id").collect().map(_.getAs[Double]("advantage")).toSeq
+    assert(got == want && got == Seq(-1.2247, 0.0, 1.2247))
+  }
+
   private def adv(rows: Seq[(Long, Long, java.lang.Long)]) =
     Preference.groupAdvantage(
       rows.toDF("prompt", "id", "qfp"), "prompt", "id", "qfp")
