@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The host-drift sentinel battery (see the in-method comment). Exposed
+    * so InvariantsSpec can hold the sentinel pin file in lockstep. */
+  val sentinelNames: Seq[String] =
+    Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join", "pg1_pagerank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,8 +46,7 @@ object Bench {
     // (codegen-lambda scan, lambda+shuffle agg, shuffle-bound join) don't
     // span the multi-round iterative class whose per-round scheduler+
     // exchange costs band independently.
-    val sentinelNames =
-      Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join", "pg1_pagerank")
+    val sentinelNames = Bench.sentinelNames
     // A sentinel that THROWS must not record a near-zero wall: its ~0 s
     // reading would collapse `drift` toward 0 and inflate every
     // drift-normalized ratio by orders of magnitude — the adjudication
@@ -115,13 +119,31 @@ object Bench {
     val vsBaseline =
       if (common.isEmpty) -1.0
       else common.map(results).sum / common.map(baseline).sum
+    // Sentinel pins live in their OWN resource, minted under the battery's
+    // OWN protocol (back-to-back warm min-of-3 straight after the warm-up
+    // epochs, quiet pin host — i.e. exactly how the battery reads them).
+    // Round 16's battery divided battery readings by interleaved-3-epoch /
+    // QBench pins instead: drift read 0.66 while the surface read 1.09,
+    // and the "normalized" ratios amplified the discrepancy to 2.8-3.1x —
+    // noise amplification, not adjudication (round-16 verdict item 2).
+    // Falls back to the epoch-protocol pins only when the sentinel file is
+    // absent (a fresh checkout), where approximate drift beats none.
+    val sentinelBaseline: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/graft/sentinel_baseline.json")
+      if (in == null) baseline
+      else try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally in.close()
+    }
     // drift = Σ sentinel wall / Σ sentinel pin (sentinels with no pin are
     // skipped; -1 when none are pinned, e.g. a fresh checkout). The
     // normalized vs_baseline divides the drift factor out.
-    val sentCommon = sentinelTimes.keys.toSeq.filter(baseline.contains).sorted
+    val sentCommon = sentinelTimes.keys.toSeq.filter(sentinelBaseline.contains).sorted
     val drift =
       if (sentCommon.isEmpty) -1.0
-      else sentCommon.map(sentinelTimes).sum / sentCommon.map(baseline).sum
+      else sentCommon.map(sentinelTimes).sum / sentCommon.map(sentinelBaseline).sum
     // Output contract: the driver's tail capture truncates long stdout (82
     // queries overflowed a single line in round 3 -> BENCH parsed:null), so
     // the per-query detail lines go FIRST and the short machine-readable
@@ -139,8 +161,12 @@ object Bench {
         else common.sortBy(k => -ratios(k)).take(10)
           .map(k => "\"" + k + "\":" + fmt(ratios(k) / drift)).mkString("{", ",", "}")
       val sentJson = sentCommon
-        .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k) / baseline(k))).mkString("{", ",", "}")
-      println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","drift":${fmt(drift)},"vs_baseline_drift_norm":${fmt(if (drift > 0) vsBaseline / drift else -1.0)},"sentinels":$sentJson,"queries":$worst,"queries_drift_norm":$worstNorm,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
+        .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k) / sentinelBaseline(k))).mkString("{", ",", "}")
+      // raw sentinel seconds: every round's artifact doubles as a
+      // battery-protocol pin-minting record (no separate minting run)
+      val sentSecJson = sentinelTimes.keys.toSeq.sorted
+        .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k))).mkString("{", ",", "}")
+      println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","drift":${fmt(drift)},"vs_baseline_drift_norm":${fmt(if (drift > 0) vsBaseline / drift else -1.0)},"sentinels":$sentJson,"sentinels_sec":$sentSecJson,"queries":$worst,"queries_drift_norm":$worstNorm,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
     }
     val slowest = keys.sortBy(k => -results(k)).take(10)
       .map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")

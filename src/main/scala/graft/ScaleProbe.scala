@@ -101,7 +101,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d", "r17")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -488,6 +488,34 @@ object ScaleProbe {
         f"out=$t17out%6d t=$tT17%5.1fs | rrf_post=$postRows%7d out=$rrfRows%4d " +
         f"t=$tRrf%5.1fs | d7d_eval=$evalRows%6d state=$stateRows%6d " +
         f"out=$d7dRows%4d t=$tD7d%5.1fs")
+    }
+    // R17: the d2 weak-band (J < 0.5) LSH recall s-curve, measured against
+    // the banding expectation E = Σ_pairs 1-(1-J^r)^b computed from the
+    // exact-Jaccard truth — across band budgets and BOTH test scales. The
+    // d2 gate's weak_not_lost floor is set from this: measured/expected
+    // ratios near 1.0 mean xxhash64 behaves like the random-hash model and
+    // HALF the expectation is a safe scale-adaptive floor (vs the old
+    // fixed 0.02, which would pass at 1/50th of measured recall).
+    if (want("r17")) {
+      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val docs = Tables.documents(spark, dir)
+        val truth = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(0)),
+          "doc_id", "text", "blk", 0.05).select("a", "b", "jaccard").localCheckpoint()
+        for ((perms, bands) <- Seq((16, 8), (32, 16), (64, 32))) {
+          val r = perms / bands
+          val emitted = Dedup.minhashLsh(docs, "doc_id", "text", perms, bands, 0.05)
+          val weak = truth.filter(col("jaccard") < 0.5)
+          val st = weak.join(emitted.select(col("a"), col("b"), lit(1L).as("hit")),
+              Seq("a", "b"), "left")
+            .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("hits"),
+              sum(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), r), bands)).as("exp"))
+            .collect()(0)
+          println(f"PROBE-R17 d2-weak $dir perms=$perms%3d bands=$bands%3d " +
+            f"n_weak=${st.getLong(0)}%6d hits=${st.getLong(1)}%5d " +
+            f"expected=${st.getDouble(2)}%8.2f ratio=${st.getLong(1) / st.getDouble(2)}%6.3f")
+        }
+        graft.operators.Checkpoints.drop(truth)
+      }
     }
     spark.stop()
   }

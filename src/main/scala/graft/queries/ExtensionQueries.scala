@@ -1580,6 +1580,46 @@ object ExtensionQueries {
         .orderBy("prompt_id")
     }),
 
+    // C11 cross-modal pairing — the multimodal tier's c8 twin: where c8
+    // pins chunk↔embedding id plumbing, c11 pins caption↔image plumbing
+    // across a near-dup composition. A deterministic doc→image assignment
+    // (media_id = 2·doc_id + 13 — injective, order-preserving, and in a
+    // DIFFERENT id space so the hand-off join is real, not structural)
+    // pairs every caption with one synthetic grid image; dHash near-dup
+    // runs on the IMAGE side in image-id space, MinHash near-dup on the
+    // CAPTION side in doc-id space, and the image pairs are translated
+    // back through the pairing relation before the full-outer verdict
+    // merge. Every row is oracle-exact (no pinned-TRUE gate): a botched
+    // id hand-off lands pairs on the wrong captions and the hash breaks.
+    // Scale: both pair generators are banded (never all-pairs); the
+    // translation is two equi-joins against the |docs|-row pairing
+    // relation; the verdict merge is a full outer of two pair sets.
+    "c11_crossmodal_pairing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairing = docs.select(col("doc_id"),
+        (col("doc_id") * 2 + 13).as("media_id"))
+      val media = Multimodal.syntheticGridImages(
+        pairing.select(col("media_id")), "media_id")
+      // one row per image; both banding self-join sides consume it
+      val sigs = Multimodal.dHashSigs(media).localCheckpoint()
+      val imgPairsMedia = Dedup.simhashPairsFromSigs(
+        sigs, "media_id", "dhash", maxDist = 3, sigBits = 64)
+      // the id hand-off under test: image-space pairs → caption space
+      val back = pairing.select(col("media_id"), col("doc_id"))
+      val imgPairs = imgPairsMedia
+        .join(back.select(col("media_id").as("a"), col("doc_id").as("_da")), Seq("a"))
+        .join(back.select(col("media_id").as("b"), col("doc_id").as("_db")), Seq("b"))
+        .select(col("_da").as("a"), col("_db").as("b"), lit(true).as("img_dup"))
+      val txtPairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+          numPerms = 16, bands = 8, threshold = 0.05)
+        .select(col("a"), col("b"), lit(true).as("txt_dup"))
+      imgPairs.join(txtPairs, Seq("a", "b"), "full")
+        .select(col("a"), col("b"),
+          coalesce(col("img_dup"), lit(false)).as("img_dup"),
+          coalesce(col("txt_dup"), lit(false)).as("txt_dup"))
+        .orderBy("a", "b")
+    }),
+
     "c7_corpus_datacard" -> ((s, d) =>
       qualityFrame(Tables.documents(s, d))
         .withColumn("fp", Text.fingerprint(col("text")))
@@ -2413,6 +2453,53 @@ object ExtensionQueries {
        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
        |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** dHash near-dup pair CTEs over the synthetic grid images, keyed by an
+    * arbitrary image-id source (m4 keys images by doc_id; c11 by the
+    * cross-modal assignment 2·doc_id + 13). `imgSrc` must select one
+    * `img_id` column; emits CTE `ipairs(a, b, sa, sb)` — banded candidate
+    * pairs in IMAGE-id space with both 64-bit signatures, Hamming filter
+    * left to the caller. Restates [[Multimodal.gridValue]] (md5-keyed
+    * blocks, id%4 top-row perturbation), the 9x8 dHash bit grid, and the
+    * 16-bit-band pigeonhole join in closed form.
+    */
+  private def dhashPairsCtes(imgSrc: String): String =
+    s"""imgs AS ($imgSrc),
+       |cells AS (
+       |  SELECT img_id, bx, by FROM imgs
+       |  CROSS JOIN (SELECT unnest(range(0, 9)) AS bx)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS by)),
+       |hx AS (
+       |  SELECT img_id, bx, by,
+       |    md5(CAST(img_id // 4 AS VARCHAR) || ':' ||
+       |        CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)) AS h
+       |  FROM cells),
+       |vals AS (
+       |  SELECT img_id, bx, by,
+       |    CASE WHEN img_id % 4 > 0 AND by = 0 AND bx < img_id % 4
+       |         THEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) + 97) % 256
+       |         ELSE (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) END AS v
+       |  FROM hx),
+       |bits AS (
+       |  SELECT l.img_id, CAST(l.by * 8 + l.bx AS INTEGER) AS k
+       |  FROM vals l JOIN vals r
+       |    ON r.img_id = l.img_id AND r.by = l.by AND r.bx = l.bx + 1
+       |  WHERE l.bx < 8 AND l.v > r.v),
+       |sig AS (
+       |  SELECT i.img_id,
+       |    CAST(COALESCE(SUM(CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+       |                           ELSE CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS s
+       |  FROM imgs i LEFT JOIN bits ON bits.img_id = i.img_id
+       |  GROUP BY i.img_id),
+       |banded AS (
+       |  SELECT img_id, s, band, (s >> (16 * band)) & 65535 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
+       |ipairs AS (
+       |  SELECT DISTINCT l.img_id AS a, r.img_id AS b, l.s AS sa, r.s AS sb
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.key = r.key AND l.img_id < r.img_id)""".stripMargin
 
   /** d12's whole-corpus span-removal oracle — shared VERBATIM by the
     * incremental lane d12b (the d7b discipline: the batched form must
@@ -3928,43 +4015,25 @@ object ExtensionQueries {
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
 
     "m4_image_neardup" ->
-      """WITH cells AS (
-        |  SELECT doc_id, bx, by FROM documents
-        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS bx)
-        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS by)),
-        |hx AS (
-        |  SELECT doc_id, bx, by,
-        |    md5(CAST(doc_id // 4 AS VARCHAR) || ':' ||
-        |        CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)) AS h
-        |  FROM cells),
-        |vals AS (
-        |  SELECT doc_id, bx, by,
-        |    CASE WHEN doc_id % 4 > 0 AND by = 0 AND bx < doc_id % 4
-        |         THEN ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) + 97) % 256
-        |         ELSE (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-        |             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) END AS v
-        |  FROM hx),
-        |bits AS (
-        |  SELECT l.doc_id, CAST(l.by * 8 + l.bx AS INTEGER) AS k
-        |  FROM vals l JOIN vals r
-        |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
-        |  WHERE l.bx < 8 AND l.v > r.v),
-        |sig AS (
-        |  SELECT d.doc_id,
-        |    CAST(COALESCE(SUM(CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
-        |                           ELSE CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS s
-        |  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
-        |  GROUP BY d.doc_id),
-        |banded AS (
-        |  SELECT doc_id, s, band, (s >> (16 * band)) & 65535 AS key
-        |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
-        |pairs AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.s AS sa, r.s AS sb
-        |  FROM banded l JOIN banded r
-        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
-        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
+      s"""WITH ${dhashPairsCtes("SELECT doc_id AS img_id FROM documents")}
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM ipairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
+
+    // c11: the image side restates the dHash chain over the ASSIGNED image
+    // ids (2·doc_id + 13), maps surviving pairs back to caption space via
+    // the inverse assignment (order-preserving, so a < b carries over), and
+    // full-outer-merges with the MinHash text pairs — every flag row exact.
+    "c11_crossmodal_pairing" ->
+      s"""WITH ${dhashPairsCtes("SELECT 2 * doc_id + 13 AS img_id FROM documents")},
+         |$minhashPairsCtes,
+         |ip AS (
+         |  SELECT (a - 13) // 2 AS a, (b - 13) // 2 AS b FROM ipairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3),
+         |tp AS (SELECT a, b FROM verified WHERE jaccard >= 0.05)
+         |SELECT COALESCE(ip.a, tp.a) AS a, COALESCE(ip.b, tp.b) AS b,
+         |  (ip.a IS NOT NULL) AS img_dup, (tp.a IS NOT NULL) AS txt_dup
+         |FROM ip FULL OUTER JOIN tp ON ip.a = tp.a AND ip.b = tp.b
+         |ORDER BY a, b""".stripMargin,
 
     // d8: the shared verified-pairs CTE covers every band collision, so
     // restricting to cross-membership pairs reproduces exactly the

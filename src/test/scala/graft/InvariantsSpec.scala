@@ -69,6 +69,22 @@ class InvariantsSpec extends SparkSpec {
       s"stale baseline pins: ${(pinned -- registered).toSeq.sorted}")
   }
 
+  test("sentinel baseline pins exactly the drift battery, under its own protocol") {
+    // round-16 verdict item 2: the battery times back-to-back warm
+    // min-of-3 but divided by interleaved-3-epoch / QBench pins — drift
+    // read 0.66 while the surface read 1.09 (noise amplification). The
+    // sentinel pins live in their OWN resource, minted from a quiet-host
+    // Bench run's `sentinels_sec` output (the battery's own protocol);
+    // this test keeps that file in lockstep with the battery membership.
+    val in = getClass.getResourceAsStream("/graft/sentinel_baseline.json")
+    assert(in != null, "sentinel_baseline.json missing from classpath")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // numeric-valued keys only — Bench's parser shape (skips the _comment)
+    val pinned = """"([a-z0-9_]+)"\s*:\s*[0-9.]+""".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    assert(pinned == Bench.sentinelNames.toSet,
+      s"sentinel pins ${pinned.toSeq.sorted} != battery ${Bench.sentinelNames.sorted}")
+  }
+
   test("BASELINE.md pin table stays in lockstep with bench_baseline.json") {
     // the enforced pins live in the json resource; the md table is the
     // human-audited record of the same numbers. Round 15's review found the

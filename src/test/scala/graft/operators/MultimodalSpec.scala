@@ -177,6 +177,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got.size >= 20 * 6, s"expected at least 6 pairs per group, got ${got.size}")
   }
 
+  test("c11 cross-modal pairing: image-id hand-off verified against brute-force truth") {
+    // the c11 lane assigns media_id = 2*doc_id + 13 and translates image
+    // near-dup pairs back to caption space through the pairing relation.
+    // Truth here is INDEPENDENT: brute-force Hamming <= 3 over closed-form
+    // signatures of the ASSIGNED ids, mapped back arithmetically — a botched
+    // hand-off join (wrong key, wrong inverse, dropped rows) fails exactly.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("c11_crossmodal_pairing")(spark, dir)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val expectImg = (for {
+      a <- docIds; b <- docIds if a < b
+      h = java.lang.Long.bitCount(
+        expectedDHash(2 * a + 13) ^ expectedDHash(2 * b + 13)) if h <= 3
+    } yield (a, b)).toSet
+    val gotImg = out.filter(_._3).map(r => (r._1, r._2)).toSet
+    assert(gotImg == expectImg,
+      s"missing=${(expectImg -- gotImg).take(5)} extra=${(gotImg -- expectImg).take(5)}")
+    assert(expectImg.nonEmpty, "corpus must produce image near-dups for the test to bite")
+    // the text flag must restate the text near-dup operator's pair set
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expectTxt = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(out.filter(_._4).map(r => (r._1, r._2)).toSet == expectTxt)
+    // verdict-merge hygiene: no vacuous rows, canonical orientation, no dups
+    assert(out.forall(r => r._3 || r._4))
+    assert(out.forall(r => r._1 < r._2))
+    assert(out.map(r => (r._1, r._2)).distinct.size == out.size)
+  }
+
   test("chunkPayload: overlapping windows, truncated tail, empty payloads skipped") {
     // media 3: "hello world!" (12 bytes), chunk 6 / hop 4 -> offsets 0,4,8
     val chunks = Multimodal.chunkPayload(
