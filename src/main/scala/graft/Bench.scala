@@ -105,8 +105,10 @@ object Bench {
     // manual re-timing session. Ratios are only meaningful at the baseline's
     // scale factor; at other SFs they are emitted anyway and readers ignore
     // them. Queries newer than the pin simply have no ratio.
-    val baseline: Map[String, Double] = {
-      val in = getClass.getResourceAsStream("/graft/bench_baseline.json")
+    // ONE pin parser for both resources — the two files must never parse
+    // differently (numeric-valued keys only; a _comment string is skipped)
+    def loadPins(resource: String): Map[String, Double] = {
+      val in = getClass.getResourceAsStream(resource)
       if (in == null) Map.empty
       else try {
         val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -114,6 +116,7 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } finally in.close()
     }
+    val baseline = loadPins("/graft/bench_baseline.json")
     val common = keys.filter(baseline.contains)
     val ratios = common.map(k => k -> results(k) / baseline(k)).toMap
     val vsBaseline =
@@ -129,13 +132,8 @@ object Bench {
     // Falls back to the epoch-protocol pins only when the sentinel file is
     // absent (a fresh checkout), where approximate drift beats none.
     val sentinelBaseline: Map[String, Double] = {
-      val in = getClass.getResourceAsStream("/graft/sentinel_baseline.json")
-      if (in == null) baseline
-      else try {
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } finally in.close()
+      val pins = loadPins("/graft/sentinel_baseline.json")
+      if (pins.isEmpty) baseline else pins
     }
     // drift = Σ sentinel wall / Σ sentinel pin (sentinels with no pin are
     // skipped; -1 when none are pinned, e.g. a fresh checkout). The
@@ -150,6 +148,11 @@ object Bench {
     // total line goes LAST where tail capture is guaranteed to retain it.
     println(s"""{"metric":"detail_min","queries":${jmap(results)},"sf":"$sfDir"}""")
     println(s"""{"metric":"detail_median","queries":${jmap(medians)},"sf":"$sfDir"}""")
+    // raw sentinel seconds: every artifact doubles as a battery-protocol
+    // pin-minting record — computed (and, below, emitted) even on a fresh
+    // checkout with no pins in common, the exact scenario that needs one
+    val sentSecJson = sentinelTimes.keys.toSeq.sorted
+      .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k))).mkString("{", ",", "}")
     if (common.nonEmpty) {
       val worst = common.sortBy(k => -ratios(k)).take(10)
         .map(k => "\"" + k + "\":" + fmt(ratios(k))).mkString("{", ",", "}")
@@ -162,11 +165,10 @@ object Bench {
           .map(k => "\"" + k + "\":" + fmt(ratios(k) / drift)).mkString("{", ",", "}")
       val sentJson = sentCommon
         .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k) / sentinelBaseline(k))).mkString("{", ",", "}")
-      // raw sentinel seconds: every round's artifact doubles as a
-      // battery-protocol pin-minting record (no separate minting run)
-      val sentSecJson = sentinelTimes.keys.toSeq.sorted
-        .map(k => "\"" + k + "\":" + fmt(sentinelTimes(k))).mkString("{", ",", "}")
       println(s"""{"metric":"vs_baseline_detail","value":${fmt(vsBaseline)},"unit":"ratio","drift":${fmt(drift)},"vs_baseline_drift_norm":${fmt(if (drift > 0) vsBaseline / drift else -1.0)},"sentinels":$sentJson,"sentinels_sec":$sentSecJson,"queries":$worst,"queries_drift_norm":$worstNorm,"n_baselined":${common.size},"n_unbaselined":${keys.size - common.size},"sf":"$sfDir"}""")
+    } else if (sentinelTimes.nonEmpty) {
+      // fresh checkout (no per-query pins): still record the minting data
+      println(s"""{"metric":"sentinels_sec","sentinels_sec":$sentSecJson,"sf":"$sfDir"}""")
     }
     val slowest = keys.sortBy(k => -results(k)).take(10)
       .map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")

@@ -505,14 +505,19 @@ object ScaleProbe {
           val r = perms / bands
           val emitted = Dedup.minhashLsh(docs, "doc_id", "text", perms, bands, 0.05)
           val weak = truth.filter(col("jaccard") < 0.5)
+          // coalesce OUTSIDE the sums too: over an EMPTY weak band the
+          // no-groupBy agg returns one row with count 0 and NULL sums
           val st = weak.join(emitted.select(col("a"), col("b"), lit(1L).as("hit")),
               Seq("a", "b"), "left")
-            .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("hits"),
-              sum(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), r), bands)).as("exp"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("hits"),
+              coalesce(sum(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), r), bands)),
+                lit(0.0)).as("exp"))
             .collect()(0)
+          val ratio = if (st.getDouble(2) > 0) st.getLong(1) / st.getDouble(2) else -1.0
           println(f"PROBE-R17 d2-weak $dir perms=$perms%3d bands=$bands%3d " +
             f"n_weak=${st.getLong(0)}%6d hits=${st.getLong(1)}%5d " +
-            f"expected=${st.getDouble(2)}%8.2f ratio=${st.getLong(1) / st.getDouble(2)}%6.3f")
+            f"expected=${st.getDouble(2)}%8.2f ratio=$ratio%6.3f")
         }
         graft.operators.Checkpoints.drop(truth)
       }

@@ -182,7 +182,8 @@ object Bpe {
                        maxVocab: Int = 8000000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // < MaxValue: maxVocab + 1 below must not overflow into a negative limit
+    require(maxVocab >= 1 && maxVocab < Int.MaxValue, s"maxVocab out of range: $maxVocab")
     // Guard the one driver-side collect: Heaps-law sub-linearity is honest
     // for clean tokenized text, but raw web corpora carry vocabulary long
     // tails (noise, ids, URLs) that would make an unbounded collect a

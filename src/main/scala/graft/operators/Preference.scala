@@ -154,6 +154,15 @@ object Preference {
     */
   def groupAdvantage(scored: DataFrame, promptCol: String, idCol: String,
                      qFpCol: String): DataFrame = {
+    // the contract is FIXED-POINT INTEGER scores: a fractional column would
+    // be silently truncated by the widening cast below (0.95 -> 0, total
+    // signal loss with no error) — off-envelope input must RAISE instead
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val qType = scored.schema(qFpCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(qType),
+      s"groupAdvantage: $qFpCol must be an integral fixed-point column " +
+        s"(|qfp| < 2^30), got $qType — scale fractional scores to fixed " +
+        s"point first (e.g. round(q * 10000).cast(\"long\"))")
     val s = scored.filter(col(qFpCol).isNotNull)
     // widen BEFORE squaring: an IntegerType qfp column inside the documented
     // |qfp| < 2^30 envelope still wraps the per-row int*int square past

@@ -983,8 +983,13 @@ object ExtensionQueries {
     // synthetic corpus yields pairs.
     "d2_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // ONE statement of the banding geometry: the weak-band expectation
+      // below derives its s-curve exponents from these same values, so a
+      // retune cannot leave the floor on a stale curve
+      val (d2Perms, d2Bands) = (32, 16)
+      val d2Rows = d2Perms / d2Bands
       val emitted = Dedup.minhashLsh(docs, "doc_id", "text",
-        numPerms = 32, bands = 16, threshold = 0.05).localCheckpoint()
+        numPerms = d2Perms, bands = d2Bands, threshold = 0.05).localCheckpoint()
       val truth = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit(0)),
         "doc_id", "text", "blk", 0.05).select("a", "b", "jaccard").localCheckpoint()
       val strong = truth.filter(col("jaccard") >= 0.5)
@@ -1010,7 +1015,8 @@ object ExtensionQueries {
           Seq("a", "b"), "left")
         .agg(count(lit(1)).as("n_weak_pairs"),
           sum(coalesce(col("hit"), lit(0L))).as("_n_weak_hit"),
-          sum(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), 2), 16)).as("_exp_weak_hit"))
+          sum(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), d2Rows), d2Bands))
+            .as("_exp_weak_hit"))
       val prec = emitted.join(truth.withColumnRenamed("jaccard", "_tj"), Seq("a", "b"), "left")
         .agg(coalesce(expr("bool_and(_tj IS NOT NULL AND _tj = jaccard)"), lit(true))
           .as("precision_ok"))

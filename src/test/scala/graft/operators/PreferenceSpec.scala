@@ -132,6 +132,17 @@ class PreferenceSpec extends SparkSpec {
     assert(Preference.pairsFromState(good, 500L).count() == 1L)
   }
 
+  test("group advantage: a fractional qfp column fails loudly, not by silent truncation") {
+    // cast('long') on a DoubleType score would truncate 0.95 -> 0: total
+    // signal loss with no error — the contract is fixed-point integers
+    val dblRows = Seq((1L, 1L, 0.95), (1L, 2L, 0.80), (1L, 3L, 0.10))
+      .toDF("prompt", "id", "qfp")
+    val ex = intercept[IllegalArgumentException] {
+      Preference.groupAdvantage(dblRows, "prompt", "id", "qfp")
+    }
+    assert(ex.getMessage.contains("integral fixed-point"))
+  }
+
   test("group advantage: IntegerType qfp beyond 46340 does not wrap the square") {
     // 50000^2 = 2.5e9 > Int.MaxValue: an un-widened int*int square wraps
     // to a negative partial and poisons the variance (inside the documented
