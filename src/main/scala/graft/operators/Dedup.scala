@@ -708,6 +708,39 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** [[simhashPairsFromSigs]]'s DELTA × CORPUS form — the incremental-gate
+    * shape (d8's delta-bands × corpus-bands discipline applied to raw
+    * signatures): all (delta id `a`, corpus id `b`) with Hamming ≤
+    * `maxDist`, candidates from the pigeonhole band equi-join between the
+    * two frames only — per-batch cost never touches corpus × corpus. Ids
+    * may overlap across frames (a replayed batch gating against an index
+    * that already contains its own rows); the caller excludes them
+    * upstream, so no a < b cut is applied here.
+    */
+  def simhashCrossPairs(delta: DataFrame, corpus: DataFrame, idCol: String,
+                        sigCol: String, maxDist: Int, sigBits: Int = 64): DataFrame = {
+    val bands = maxDist + 1
+    require(sigBits >= 1 && sigBits <= 64, s"sigBits must be in [1, 64], got $sigBits")
+    require(sigBits % bands == 0, s"maxDist+1 must divide sigBits=$sigBits, got $bands")
+    val width = sigBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def banded(df: DataFrame, asId: String, asSig: String) = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
+      }
+      df.select(col(idCol).as(asId), col(sigCol).as(asSig),
+          explode(array(bandCols: _*)).as("bd"))
+        .select(col(asId), col(asSig), col("bd.band").as("band"), col("bd.key").as("key"))
+    }
+    banded(delta, "a", "sig_a")
+      .join(banded(corpus, "b", "sig_b"), Seq("band", "key"))
+      .select("a", "b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
   /** SimHash near-duplicate pairs over text: 64-bit signatures (16-bit
     * bands at the default maxDist=3 — see [[simhash64]] for the scale
     * argument) fed through pigeonhole banding.

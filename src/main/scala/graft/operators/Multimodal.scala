@@ -724,4 +724,29 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Persisted perceptual-signature index — the media twin of
+    * [[Dedup.buildDedupIndex]] (linear parquet of (media_id, dhash), 8
+    * bytes of signature per image regardless of payload size): one dedup
+    * truth shared by the batch near-dup lanes and the streaming media gate
+    * ([[graft.streaming.StreamingPipeline.mediaGateStream]]). Build once
+    * over the existing corpus; the gate appends admitted signatures behind
+    * its committed-batch markers. Rebuilding clears stale markers so a
+    * fresh index never skips a replayed batch's append.
+    */
+  def buildMediaIndex(media: DataFrame, dir: String): Unit = {
+    val committed = new org.apache.hadoop.fs.Path(s"$dir/_committed")
+    val fs = committed.getFileSystem(media.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(committed)) fs.delete(committed, true)
+    dHashSigs(media).write.mode("overwrite").parquet(s"$dir/sigs")
+  }
+
+  /** Append admitted (media_id, dhash) rows to a media index. */
+  def appendToMediaIndex(sigs: DataFrame, dir: String): Unit =
+    sigs.select(col("media_id"), col("dhash"))
+      .write.mode("append").parquet(s"$dir/sigs")
+
+  /** The index's signature frame: (media_id, dhash). */
+  def mediaIndexSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
 }

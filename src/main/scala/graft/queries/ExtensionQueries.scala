@@ -1633,6 +1633,42 @@ object ExtensionQueries {
         .orderBy("a", "b")
     }),
 
+    // C12 cross-modal contrastive hard negatives — the mining operator a
+    // CLIP-style contrastive trainer consumes, built on c11's pair
+    // machinery: captions whose TEXT nearly collides (MinHash near-dup)
+    // while their IMAGES do NOT (dHash anti-join) are the informative
+    // negatives — "text says almost the same thing, vision differs".
+    // Pairs near-dup on BOTH sides are near-POSITIVES and are excluded
+    // (training against them poisons the contrastive loss — the e2i
+    // hard-negative discipline applied cross-modally). Each surviving
+    // pair emits BOTH directions: (anchor caption, negative image).
+    // The anti-join runs in image-id space through the same
+    // order-preserving assignment c11 pins, so a plumbing bug surfaces
+    // as a hash break here too. Scale: both pair sets banded; the
+    // anti-join and direction expansion are linear in the pair sets.
+    "c12_crossmodal_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairing = docs.select(col("doc_id"),
+        (col("doc_id") * 2 + 13).as("media_id"))
+      val media = Multimodal.syntheticGridImages(
+        pairing.select(col("media_id")), "media_id")
+      val sigs = Multimodal.dHashSigs(media).localCheckpoint()
+      val imgPairs = Dedup.simhashPairsFromSigs(
+          sigs, "media_id", "dhash", maxDist = 3, sigBits = 64)
+        .select(col("a").as("ma"), col("b").as("mb"))
+      val txtPairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.05)
+      val txtInImg = txtPairs.select(
+        (col("a") * 2 + 13).as("ma"), (col("b") * 2 + 13).as("mb"),
+        col("a"), col("b"), col("jaccard"))
+      val hard = txtInImg.join(imgPairs, Seq("ma", "mb"), "left_anti")
+      hard.select(col("a").as("anchor_doc"), col("mb").as("neg_media_id"),
+          col("jaccard"))
+        .unionAll(hard.select(col("b").as("anchor_doc"),
+          col("ma").as("neg_media_id"), col("jaccard")))
+        .orderBy("anchor_doc", "neg_media_id")
+    }),
+
     "c7_corpus_datacard" -> ((s, d) =>
       qualityFrame(Tables.documents(s, d))
         .withColumn("fp", Text.fingerprint(col("text")))
@@ -4047,6 +4083,25 @@ object ExtensionQueries {
          |  (ip.a IS NOT NULL) AS img_dup, (tp.a IS NOT NULL) AS txt_dup
          |FROM ip FULL OUTER JOIN tp ON ip.a = tp.a AND ip.b = tp.b
          |ORDER BY a, b""".stripMargin,
+
+    // c12: text-near pairs (verified MinHash) minus image-near pairs
+    // (dHash chain over the assigned ids), expanded to both
+    // (anchor caption, negative image) directions — every row exact.
+    "c12_crossmodal_negatives" ->
+      s"""WITH ${dhashPairsCtes("SELECT 2 * doc_id + 13 AS img_id FROM documents")},
+         |$minhashPairsCtes,
+         |ip AS (
+         |  SELECT a, b FROM ipairs WHERE bit_count(xor(sa, sb)) <= 3),
+         |hard AS (
+         |  SELECT a, b, jaccard FROM verified tp
+         |  WHERE jaccard >= 0.05 AND NOT EXISTS (
+         |    SELECT 1 FROM ip
+         |    WHERE ip.a = 2 * tp.a + 13 AND ip.b = 2 * tp.b + 13))
+         |SELECT anchor_doc, neg_media_id, jaccard FROM (
+         |  SELECT a AS anchor_doc, 2 * b + 13 AS neg_media_id, jaccard FROM hard
+         |  UNION ALL
+         |  SELECT b AS anchor_doc, 2 * a + 13 AS neg_media_id, jaccard FROM hard)
+         |ORDER BY anchor_doc, neg_media_id""".stripMargin,
 
     // d8: the shared verified-pairs CTE covers every band collision, so
     // restricting to cross-membership pairs reproduces exactly the

@@ -430,6 +430,64 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming MEDIA near-dup gate — [[dedupGateStream]]'s multimodal twin,
+    * and the proof the signature layer is MODALITY-AGNOSTIC: above
+    * `(media_id, dhash)` this is the same persisted-index + pigeonhole-band
+    * machinery the text gates run, with the image decode confined to one
+    * `mapPartitions` ([[graft.operators.Multimodal.dHashSigs]]). Each
+    * micro-batch of (media_id, payload, meta) rows is admitted only where
+    * its perceptual hash has no Hamming ≤ `maxDist` neighbor in the
+    * persisted index ([[graft.operators.Multimodal.buildMediaIndex]]) or
+    * among smaller-id batch rows; admitted payload rows land under
+    * `outDir/batch=<id>/` and their SIGNATURES (8 bytes/image — the index
+    * never stores payloads) append to the index. Payloads that yield no
+    * signature (null/undecodable/undersized) are NOT admitted — they
+    * cannot be safely deduplicated; route them through a quarantine path.
+    * Candidates are batch-bands × index-bands ([[graft.operators.Dedup
+    * .simhashCrossPairs]]): per-batch cost never touches index × index.
+    */
+  def mediaGateStream(media: DataFrame, indexDir: String, outDir: String,
+                      checkpointDir: String, maxDist: Int = 3): StreamingQuery =
+    media.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaGateBatch(batch, batchId, indexDir, outDir, maxDist)
+      }
+      .start()
+
+  /** One idempotent micro-batch of the media gate — [[dedupGateBatch]]'s
+    * replay protocol verbatim: (1) gate excluding this batch's own ids
+    * from the index side (a crashed attempt may already have appended
+    * them), (2) overwrite the batch-scoped output partition, (3) append
+    * admitted signatures behind a committed-batch marker.
+    */
+  def mediaGateBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                     outDir: String, maxDist: Int = 3): Unit = {
+    import graft.operators.{Dedup, Multimodal}
+    // one decode per payload; both the self-join and the cross-join read it
+    val sigs = Multimodal.dHashSigs(batch).localCheckpoint()
+    // within-batch: greedy keeper — drop the higher id of each near pair
+    val selfDrop = Dedup.simhashPairsFromSigs(sigs, "media_id", "dhash", maxDist, 64)
+      .select(col("b").as("media_id")).distinct()
+    val selfKept = sigs.join(selfDrop, Seq("media_id"), "left_anti")
+    val index = Multimodal.mediaIndexSigs(batch.sparkSession, indexDir)
+      .join(sigs.select("media_id"), Seq("media_id"), "left_anti")
+    val vsIndexDrop = Dedup.simhashCrossPairs(selfKept, index, "media_id", "dhash", maxDist, 64)
+      .select(col("a").as("media_id")).distinct()
+    // feeds two sinks (output semi-join + index append); compute once
+    val admitted = selfKept.join(vsIndexDrop, Seq("media_id"), "left_anti")
+      .localCheckpoint()
+    batch.join(admitted.select("media_id"), Seq("media_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
+    val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Multimodal.appendToMediaIndex(admitted, indexDir)
+      fs.mkdirs(marker)
+    }
+  }
+
   /** Streaming DECONTAMINATION monitor — the eval-suite-overlap member of
     * the gate family: each micro-batch of TRAINING documents probes the
     * persisted contamination index

@@ -134,6 +134,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-frame banding is COMPLETE and EXACT for Hamming <= k (delta x corpus)") {
+    // simhashCrossPairs: the incremental-gate shape — every (delta, corpus)
+    // pair within maxDist found via band collisions only, none invented,
+    // and NO a < b cut (the gate's semantics are directional)
+    val rnd = new scala.util.Random(97)
+    def flip(sig: Long, nBits: Int): Long = {
+      var s = sig
+      rnd.shuffle((0 until 64).toList).take(nBits).foreach(b => s ^= (1L << b))
+      s
+    }
+    val corpus = Vector.fill(30)(rnd.nextLong()).zipWithIndex
+      .map { case (s, i) => (100L + i, s) }
+    // delta: mutations of corpus sigs at distances 0..6 plus fresh randoms
+    val delta = corpus.take(14).zipWithIndex.map { case ((_, s), i) => (i.toLong, flip(s, i % 7)) } ++
+      Vector.fill(10)(rnd.nextLong()).zipWithIndex.map { case (s, i) => (50L + i, s) }
+    for (maxDist <- Seq(1, 3)) {
+      val got = Dedup.simhashCrossPairs(
+        delta.toDF("doc_id", "simhash"), corpus.toDF("doc_id", "simhash"),
+        "doc_id", "simhash", maxDist, 64)
+        .as[(Long, Long, Int)].collect().toSet
+      val expect = (for {
+        (a, sa) <- delta; (b, sb) <- corpus
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxDist
+      } yield (a, b, h)).toSet
+      assert(got == expect, s"maxDist=$maxDist missing=${expect -- got} extra=${got -- expect}")
+      assert(expect.nonEmpty, "test corpus produced no close cross pairs — weaken mutation")
+    }
+  }
+
   private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = s.map(t => ((t._1, t._2), t._3)).toMap
   }

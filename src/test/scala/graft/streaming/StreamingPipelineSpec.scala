@@ -201,6 +201,62 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(emitted2 == Set(30L), s"rebuilt-index gate: $emitted2") // 31 caught by 30's append
   }
 
+  test("streaming media gate: perceptual index drops image dups across batches; replay re-emits; undecodable never admitted") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // synthetic grid images: ids sharing id/4 are in-group (Hamming <= 3
+    // pairwise — MultimodalSpec pins this); cross-group sigs are md5-random
+    def images(ids: Long*): org.apache.spark.sql.DataFrame = Multimodal
+      .syntheticGridImages(ids.toDF("media_id"), "media_id")
+    def payloads(ids: Long*): Seq[(Long, Array[Byte])] =
+      images(ids: _*).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+    val idxDir = Files.createTempDirectory("media_idx").toString
+    val out = Files.createTempDirectory("media_out").toString
+    // corpus index: one image from group 0 (id 0) and one from group 1 (id 4)
+    Multimodal.buildMediaIndex(images(0L, 4L), idxDir)
+
+    // batch 0: 1 near-dups indexed 0; 8/9 in-group self-pair (keep 8);
+    // 16 fresh; 99 undecodable (no signature -> never admitted)
+    val b0 = (payloads(1L, 8L, 9L, 16L) :+ (99L -> "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out)
+    def emitted() = spark.read.parquet(out).select("media_id").as[Long].collect().toSet
+    assert(emitted() == Set(8L, 16L), s"after batch 0: ${emitted()}")
+
+    // replay after full commit: survivors re-emit instead of self-filtering
+    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out)
+    assert(emitted() == Set(8L, 16L), s"after committed replay: ${emitted()}")
+
+    // batch 1: 10 duplicates ADMITTED 8 (group 2 — only the appended index
+    // knows); 20 is fresh (group 5)
+    val b1 = payloads(10L, 20L).toDF("media_id", "payload")
+    StreamingPipeline.mediaGateBatch(b1, 1L, idxDir, out)
+    assert(emitted() == Set(8L, 16L, 20L), s"after batch 1: ${emitted()}")
+  }
+
+  test("streaming media gate end-to-end: MemoryStream payloads drain through the shared index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("media_s_idx").toString
+    val out = Files.createTempDirectory("media_s_out").toString
+    val ck = Files.createTempDirectory("media_s_ck").toString
+    val imgs = Multimodal.syntheticGridImages(
+        Seq(1L, 8L).toDF("media_id"), "media_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    Multimodal.buildMediaIndex(
+      Multimodal.syntheticGridImages(Seq(0L).toDF("media_id"), "media_id"), idxDir)
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val media = stream.toDF().toDF("media_id", "payload")
+    stream.addData(imgs.toSeq: _*) // 1 in-group dups indexed 0; 8 fresh
+    val q = StreamingPipeline.mediaGateStream(media, idxDir, out, ck)
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).select("media_id").as[Long].collect().toSet
+    assert(got == Set(8L), s"end-to-end admitted: $got")
+  }
+
   test("streaming semantic gate: index dups, self dups, cross-batch dups; replay re-emits") {
     import graft.operators.Similarity
     import spark.implicits._
