@@ -132,8 +132,13 @@ object Bench {
     // Falls back to the epoch-protocol pins only when the sentinel file is
     // absent (a fresh checkout), where approximate drift beats none.
     val sentinelBaseline: Map[String, Double] = {
-      val pins = loadPins("/graft/sentinel_baseline.json")
-      if (pins.isEmpty) baseline else pins
+      // fall back ONLY when the resource is ABSENT (fresh checkout):
+      // a present-but-unparseable pin file must surface as drift = -1
+      // (no pinned sentinels), not silently divide by the epoch pins —
+      // that is the exact noise-amplification mode this split removed
+      val in = getClass.getResourceAsStream("/graft/sentinel_baseline.json")
+      if (in == null) baseline
+      else { in.close(); loadPins("/graft/sentinel_baseline.json") }
     }
     // drift = Σ sentinel wall / Σ sentinel pin (sentinels with no pin are
     // skipped; -1 when none are pinned, e.g. a fresh checkout). The

@@ -684,20 +684,7 @@ object Dedup {
     */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
                            maxDist: Int, sigBits: Int = 64): DataFrame = {
-    val bands = maxDist + 1
-    require(sigBits >= 1 && sigBits <= 64, s"sigBits must be in [1, 64], got $sigBits")
-    require(sigBits % bands == 0, s"maxDist+1 must divide sigBits=$sigBits, got $bands")
-    val width = sigBits / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val bandCols = (0 until bands).map { b =>
-      // shiftright is arithmetic (sign-extends past bit 63); the mask keeps
-      // exactly `width` bits, so the top band's key is still correct
-      struct(lit(b).as("band"),
-        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
-    }
-    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
-      explode(array(bandCols: _*)).as("bd"))
-      .select(col(idCol), col("__sig"), col("bd.band").as("band"), col("bd.key").as("key"))
+    val banded = bandedSigs(sigs, idCol, sigCol, maxDist, sigBits)
     banded.select(col("band"), col("key"), col(idCol).as("a"), col("__sig").as("sig_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("b"), col("__sig").as("sig_b")),
         Seq("band", "key"))
@@ -719,26 +706,41 @@ object Dedup {
     */
   def simhashCrossPairs(delta: DataFrame, corpus: DataFrame, idCol: String,
                         sigCol: String, maxDist: Int, sigBits: Int = 64): DataFrame = {
+    def side(df: DataFrame, asId: String, asSig: String) =
+      bandedSigs(df, idCol, sigCol, maxDist, sigBits)
+        .select(col(idCol).as(asId), col("__sig").as(asSig), col("band"), col("key"))
+    side(delta, "a", "sig_a")
+      .join(side(corpus, "b", "sig_b"), Seq("band", "key"))
+      .select("a", "b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
+  /** ONE statement of the pigeonhole band projection shared by
+    * [[simhashPairsFromSigs]] and [[simhashCrossPairs]] (the
+    * portableBandSigs discipline): (id, __sig, band, key) with
+    * `maxDist + 1` equal-width bands — two copies of the shift/mask
+    * arithmetic could drift independently and silently break banding
+    * completeness in whichever caller the spec doesn't cover.
+    */
+  private def bandedSigs(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxDist: Int, sigBits: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val bands = maxDist + 1
     require(sigBits >= 1 && sigBits <= 64, s"sigBits must be in [1, 64], got $sigBits")
     require(sigBits % bands == 0, s"maxDist+1 must divide sigBits=$sigBits, got $bands")
     val width = sigBits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    def banded(df: DataFrame, asId: String, asSig: String) = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
-      }
-      df.select(col(idCol).as(asId), col(sigCol).as(asSig),
-          explode(array(bandCols: _*)).as("bd"))
-        .select(col(asId), col(asSig), col("bd.band").as("band"), col("bd.key").as("key"))
+    val bandCols = (0 until bands).map { b =>
+      // shiftright is arithmetic (sign-extends past bit 63); the mask keeps
+      // exactly `width` bits, so the top band's key is still correct
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask)).as("key"))
     }
-    banded(delta, "a", "sig_a")
-      .join(banded(corpus, "b", "sig_b"), Seq("band", "key"))
-      .select("a", "b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= maxDist)
-      .select("a", "b", "hamming")
+    sigs.select(col(idCol), col(sigCol).as("__sig"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("__sig"), col("bd.band").as("band"), col("bd.key").as("key"))
   }
 
   /** SimHash near-duplicate pairs over text: 64-bit signatures (16-bit

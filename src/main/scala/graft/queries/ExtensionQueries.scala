@@ -35,6 +35,15 @@ object ExtensionQueries {
   /** bpe3 trains this many merges — mirrored by the oracle's unroll depth. */
   private val bpe3NMerges = 8
 
+  /** c11/c12's deterministic caption→image assignment: injective,
+    * order-preserving, into a DISTINCT id space (so the hand-off join is
+    * real, not structural). ONE statement on the Spark side — both lanes
+    * and every inline translation derive from it; the oracle restates it
+    * as the literal `2 * doc_id + 13` its hash checks pin.
+    */
+  private def toMediaId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * 2 + 13
+
   /** The t2 quality-feature chain, shared with c5's pruning lane. The
     * quality combine runs in exact DECIMAL: 0.5*stop + 0.5*(1-punct) hits
     * exact half-way 5th decimals (e.g. 0.52565) where double rounding
@@ -1610,7 +1619,7 @@ object ExtensionQueries {
     "c11_crossmodal_pairing" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairing = docs.select(col("doc_id"),
-        (col("doc_id") * 2 + 13).as("media_id"))
+        toMediaId(col("doc_id")).as("media_id"))
       val media = Multimodal.syntheticGridImages(
         pairing.select(col("media_id")), "media_id")
       // one row per image; both banding self-join sides consume it
@@ -1649,7 +1658,7 @@ object ExtensionQueries {
     "c12_crossmodal_negatives" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairing = docs.select(col("doc_id"),
-        (col("doc_id") * 2 + 13).as("media_id"))
+        toMediaId(col("doc_id")).as("media_id"))
       val media = Multimodal.syntheticGridImages(
         pairing.select(col("media_id")), "media_id")
       val sigs = Multimodal.dHashSigs(media).localCheckpoint()
@@ -1659,7 +1668,7 @@ object ExtensionQueries {
       val txtPairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
         numPerms = 16, bands = 8, threshold = 0.05)
       val txtInImg = txtPairs.select(
-        (col("a") * 2 + 13).as("ma"), (col("b") * 2 + 13).as("mb"),
+        toMediaId(col("a")).as("ma"), toMediaId(col("b")).as("mb"),
         col("a"), col("b"), col("jaccard"))
       val hard = txtInImg.join(imgPairs, Seq("ma", "mb"), "left_anti")
       hard.select(col("a").as("anchor_doc"), col("mb").as("neg_media_id"),

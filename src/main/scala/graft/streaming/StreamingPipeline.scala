@@ -378,6 +378,9 @@ object StreamingPipeline {
       Dedup.appendToDedupIndex(survivors, idCol, textCol, indexDir)
       fs.mkdirs(marker)
     }
+    // release the per-batch snapshot: a long-lived stream otherwise pins
+    // one checkpointed RDD per micro-batch (the Centrality/Bpe leak class)
+    graft.operators.Checkpoints.drop(survivors)
   }
 
   /** Streaming SEMANTIC dedup gate — [[dedupGateStream]]'s embedding twin
@@ -428,6 +431,8 @@ object StreamingPipeline {
       Similarity.appendAssignedToSemanticIndex(admitted, indexDir)
       fs.mkdirs(marker)
     }
+    // release the per-batch snapshot (the mediaGateBatch leak-class note)
+    graft.operators.Checkpoints.drop(admitted)
   }
 
   /** Streaming MEDIA near-dup gate — [[dedupGateStream]]'s multimodal twin,
@@ -447,12 +452,13 @@ object StreamingPipeline {
     * .simhashCrossPairs]]): per-batch cost never touches index × index.
     */
   def mediaGateStream(media: DataFrame, indexDir: String, outDir: String,
-                      checkpointDir: String, maxDist: Int = 3): StreamingQuery =
+                      checkpointDir: String, maxDist: Int = 3,
+                      quarantineDir: Option[String] = None): StreamingQuery =
     media.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mediaGateBatch(batch, batchId, indexDir, outDir, maxDist)
+        mediaGateBatch(batch, batchId, indexDir, outDir, maxDist, quarantineDir)
       }
       .start()
 
@@ -461,10 +467,18 @@ object StreamingPipeline {
     * from the index side (a crashed attempt may already have appended
     * them), (2) overwrite the batch-scoped output partition, (3) append
     * admitted signatures behind a committed-batch marker.
+    *
+    * `quarantineDir` (optional) receives the rows that yielded NO signature
+    * (null/undecodable/undersized payloads) under `batch=<id>` — they are
+    * never admitted (can't be safely deduplicated) and would otherwise
+    * vanish silently; a pipeline that must account for every input row
+    * reads the quarantine next to the output. Overwrite-scoped, so replays
+    * rewrite rather than duplicate.
     */
   def mediaGateBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                     outDir: String, maxDist: Int = 3): Unit = {
-    import graft.operators.{Dedup, Multimodal}
+                     outDir: String, maxDist: Int = 3,
+                     quarantineDir: Option[String] = None): Unit = {
+    import graft.operators.{Checkpoints, Dedup, Multimodal}
     // one decode per payload; both the self-join and the cross-join read it
     val sigs = Multimodal.dHashSigs(batch).localCheckpoint()
     // within-batch: greedy keeper — drop the higher id of each near pair
@@ -478,6 +492,13 @@ object StreamingPipeline {
     // feeds two sinks (output semi-join + index append); compute once
     val admitted = selfKept.join(vsIndexDrop, Seq("media_id"), "left_anti")
       .localCheckpoint()
+    quarantineDir.foreach { qd =>
+      batch.join(sigs.select("media_id"), Seq("media_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$qd/batch=$batchId")
+    }
+    // admitted is eagerly checkpointed — sigs' blocks are no longer needed
+    // (the Centrality/Bpe leak class: a streaming loop pins them per batch)
+    Checkpoints.drop(sigs)
     batch.join(admitted.select("media_id"), Seq("media_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
@@ -486,6 +507,7 @@ object StreamingPipeline {
       Multimodal.appendToMediaIndex(admitted, indexDir)
       fs.mkdirs(marker)
     }
+    Checkpoints.drop(admitted) // both sinks written; nothing reads it again
   }
 
   /** Streaming DECONTAMINATION monitor — the eval-suite-overlap member of

@@ -213,20 +213,26 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
     val idxDir = Files.createTempDirectory("media_idx").toString
     val out = Files.createTempDirectory("media_out").toString
+    val quar = Files.createTempDirectory("media_quar").toString
     // corpus index: one image from group 0 (id 0) and one from group 1 (id 4)
     Multimodal.buildMediaIndex(images(0L, 4L), idxDir)
 
     // batch 0: 1 near-dups indexed 0; 8/9 in-group self-pair (keep 8);
-    // 16 fresh; 99 undecodable (no signature -> never admitted)
+    // 16 fresh; 99 undecodable (no signature -> quarantined, never admitted)
     val b0 = (payloads(1L, 8L, 9L, 16L) :+ (99L -> "not an image".getBytes("UTF-8")))
       .toDF("media_id", "payload")
-    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out)
+    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out, quarantineDir = Some(quar))
     def emitted() = spark.read.parquet(out).select("media_id").as[Long].collect().toSet
     assert(emitted() == Set(8L, 16L), s"after batch 0: ${emitted()}")
+    // the signature-less row is accounted for, not silently lost — and
+    // dropped DUPLICATES are not quarantine (they were deduplicated)
+    def quarantined() = spark.read.parquet(quar).select("media_id").as[Long].collect().toSet
+    assert(quarantined() == Set(99L), s"quarantine: ${quarantined()}")
 
     // replay after full commit: survivors re-emit instead of self-filtering
-    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out)
+    StreamingPipeline.mediaGateBatch(b0, 0L, idxDir, out, quarantineDir = Some(quar))
     assert(emitted() == Set(8L, 16L), s"after committed replay: ${emitted()}")
+    assert(quarantined() == Set(99L), s"quarantine after replay: ${quarantined()}")
 
     // batch 1: 10 duplicates ADMITTED 8 (group 2 — only the appended index
     // knows); 20 is fresh (group 5)
