@@ -106,6 +106,26 @@ class InvariantsSpec extends SparkSpec {
       s"stale BASELINE.md table rows: ${(tableKeys -- jsonKeys).toSeq.sorted}")
   }
 
+  test("BASELINE.md pin-table total row equals the sum of its pin rows") {
+    // the doc claims the total row is the arithmetic sum of the pin rows;
+    // round-17 advice found it 8 s stale after the c11/c12 pins landed —
+    // the key-set lockstep above can't see a drifted TOTAL, so check the
+    // arithmetic too (±0.01 s for the 4-decimal rounding of ~200 addends)
+    val md = new java.io.File("BASELINE.md")
+    assume(md.exists(), "BASELINE.md not present (non-repo checkout)")
+    val lines = scala.io.Source.fromFile(md, "UTF-8").getLines().toSeq
+    val rowSum = lines
+      .flatMap("""^\| ([a-z0-9_]+) \| ([0-9.]+) \|$""".r.findFirstMatchIn(_))
+      .map(_.group(2).toDouble).sum
+    val total = lines
+      .flatMap("""^\| \*\*total\*\* \| \*\*([0-9.]+)\*\* \|$""".r.findFirstMatchIn(_))
+      .headOption.map(_.group(1).toDouble)
+    assert(total.isDefined, "no **total** row found in the BASELINE.md pin table")
+    assert(math.abs(total.get - rowSum) < 0.01,
+      f"BASELINE.md total row ${total.get}%.4f != pin-row sum $rowSum%.4f — " +
+        "update the total when adding/re-minting pins")
+  }
+
   test("registry hygiene: intra-registry duplicate keys fail at construction") {
     // the cross-registry check above cannot see a key duplicated WITHIN one
     // Map literal — Scala dedupes it (last entry wins) before any spec runs,
