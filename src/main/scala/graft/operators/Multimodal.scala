@@ -735,18 +735,35 @@ object Multimodal {
     * fresh index never skips a replayed batch's append.
     */
   def buildMediaIndex(media: DataFrame, dir: String): Unit = {
-    val committed = new org.apache.hadoop.fs.Path(s"$dir/_committed")
-    val fs = committed.getFileSystem(media.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(committed)) fs.delete(committed, true)
-    dHashSigs(media).write.mode("overwrite").parquet(s"$dir/sigs")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(media.sparkSession.sparkContext.hadoopConfiguration)
+    // clear markers AND stale batch subdirs: the base write only overwrites
+    // sigs/base, so a rebuild over a previously-streamed index would
+    // otherwise resurrect old b<id> appends next to a fresh corpus
+    for (sub <- Seq("_committed", "sigs")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    dHashSigs(media).write.mode("overwrite").parquet(s"$dir/sigs/base")
   }
 
-  /** Append admitted (media_id, dhash) rows to a media index. */
-  def appendToMediaIndex(sigs: DataFrame, dir: String): Unit =
+  /** Append batch `batchId`'s admitted (media_id, dhash) rows to a media
+    * index — IDEMPOTENTLY: each batch writes its own overwrite-scoped
+    * subdir (`sigs/b<id>`), the same discipline as the gate's output
+    * partitions, so an at-least-once replay that re-runs the append (a
+    * crash landed between append and the committed-batch marker) REWRITES
+    * the batch's rows instead of blindly appending them. The blind-append
+    * form accumulated duplicate (media_id, dhash) rows per crash loop —
+    * harmless to gating (candidate joins are distinct-based) but unbounded
+    * in storage (round-17 advice item 2).
+    */
+  def appendToMediaIndex(sigs: DataFrame, dir: String, batchId: Long): Unit =
     sigs.select(col("media_id"), col("dhash"))
-      .write.mode("append").parquet(s"$dir/sigs")
+      .write.mode("overwrite").parquet(s"$dir/sigs/b$batchId")
 
-  /** The index's signature frame: (media_id, dhash). */
+  /** The index's signature frame: (media_id, dhash) — the union of the
+    * base build and every batch-scoped append subdir.
+    */
   def mediaIndexSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs")
+    spark.read.parquet(s"$dir/sigs/*")
 }

@@ -504,7 +504,10 @@ object StreamingPipeline {
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      Multimodal.appendToMediaIndex(admitted, indexDir)
+      // batch-scoped overwrite append: a replay re-running this step (crash
+      // between append and marker) rewrites sigs/b<id> instead of
+      // accumulating duplicate signature rows per crash loop
+      Multimodal.appendToMediaIndex(admitted, indexDir, batchId)
       fs.mkdirs(marker)
     }
     Checkpoints.drop(admitted) // both sinks written; nothing reads it again

@@ -239,6 +239,24 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     val b1 = payloads(10L, 20L).toDF("media_id", "payload")
     StreamingPipeline.mediaGateBatch(b1, 1L, idxDir, out)
     assert(emitted() == Set(8L, 16L, 20L), s"after batch 1: ${emitted()}")
+
+    // worst crash point, CRASH LOOP form (round-17 advice item 2): the
+    // append landed but the marker didn't, repeatedly. The batch-scoped
+    // overwrite append must REWRITE sigs/b1 each replay — the blind-append
+    // form accumulated one duplicate (media_id, dhash) row set per loop
+    val marker = new org.apache.hadoop.fs.Path(s"$idxDir/_committed/batch-1")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def indexRows() = Multimodal.mediaIndexSigs(spark, idxDir)
+    val committedIndex = indexRows().count()
+    for (_ <- 1 to 3) {
+      assert(fs.delete(marker, true), "marker should exist before the crash replay")
+      StreamingPipeline.mediaGateBatch(b1, 1L, idxDir, out)
+    }
+    assert(indexRows().count() == committedIndex,
+      s"crash-loop replays grew the index: ${indexRows().count()} vs $committedIndex")
+    assert(indexRows().select("media_id").distinct().count() == committedIndex,
+      "duplicate media_id rows in the index after crash-loop replays")
+    assert(emitted() == Set(8L, 16L, 20L), s"after crash-loop replays: ${emitted()}")
   }
 
   test("media gate micro-batches release their checkpoint snapshots (leak bound across batches)") {
