@@ -2,9 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** The host-drift sentinel battery (see the in-method comment). Exposed
-    * so InvariantsSpec can hold the sentinel pin file in lockstep. */
+    * so InvariantsSpec can hold the sentinel pin file in lockstep.
+    * m2_image_decode joined in round 18 (verdict item 4): the codec-bound
+    * `mapPartitions` class (m1–m7 — ImageIO/PCM decode dominates, not
+    * codegen/shuffle) had no sentinel, and the round-16 incident showed an
+    * unspanned class can elevate invisibly — the m-lane ~2× cold readings
+    * the extra warm pass below exists for are exactly codec-JIT noise the
+    * other four sentinels read straight through.
+    */
   val sentinelNames: Seq[String] =
-    Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join", "pg1_pagerank")
+    Seq("t2_quality_score", "t9_bigram_lm", "j2_semi_join", "pg1_pagerank",
+      "m2_image_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
