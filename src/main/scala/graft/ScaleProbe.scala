@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval}
+import graft.operators.{Dedup, LanguageModel, Multimodal, Retrieval, Temporal}
 import graft.functions.Text
 
 /** One-off scale audit for the dedup family (SURVEY §6): measures CANDIDATE
@@ -101,7 +101,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d", "r17")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d", "r17", "r18")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -489,6 +489,66 @@ object ScaleProbe {
         f"t=$tRrf%5.1fs | d7d_eval=$evalRows%6d state=$stateRows%6d " +
         f"out=$d7dRows%4d t=$tD7d%5.1fs")
     }
+    // R18: rj1's output-growth defense, mechanized (round-17 verdict item
+    // 3 — two rounds of "pairs grow 100×, runtime sub-linear in output" was
+    // prose; this makes it a PROBE record with a tripwire). The copies
+    // shift KEYS only (the MakeScale scheme) and leave every date column
+    // unchanged, and bandRangeJoin pairs on dates alone — so the true pair
+    // set grows EXACTLY quadratically in the copy factor (every point-copy
+    // × interval-copy of a base pair matches), asserted below, while the
+    // per-pair cost must stay flat: a banded range join's wall is band
+    // replication + candidate volume, both linear in output here. The
+    // tripwire fails the probe loudly if time/pair at the largest scale
+    // grows past 3× the base reading (generous host-band headroom; a
+    // superlinear plan regression — e.g. the equi-join degrading to a
+    // nested loop — reads 10×+).
+    if (want("r18")) {
+      def shiftCopies(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+        val copies = df.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+        keys.foldLeft(copies)((d, k) =>
+          d.withColumn(k, col(k) + col("copy") * lit(100000000L))).drop("copy")
+      }
+      val readings = for ((tag, factor) <- Seq(("x1", 1), ("x2", 2), ("x4", 4))) yield {
+        val intervals = shiftCopies(Tables.orders(spark, sfDir), Seq("o_orderkey"), factor)
+          .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"),
+            (unix_date(col("o_orderdate").cast("date")) - 7).cast("long").as("lo_day"),
+            unix_date(col("o_orderdate").cast("date")).cast("long").as("hi_day"))
+          .localCheckpoint()
+        val points = shiftCopies(Tables.lineitem(spark, sfDir), Seq("l_orderkey"), factor)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"))
+          .localCheckpoint()
+        val (nInt, nPts) = (intervals.count(), points.count())
+        // warm once (codegen compile + exchange materialization), time the
+        // second run — the probe measures the join, not first-encounter JIT
+        def run(): Long = Temporal.bandRangeJoin(
+          points, "ship_day", intervals, "lo_day", "hi_day", bandWidth = 8L).count()
+        run()
+        val t0 = System.nanoTime()
+        val nPairs = run()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val usPerPair = wall * 1e6 / math.max(nPairs, 1L)
+        println(f"PROBE-R18 rj1 $tag%-3s intervals=$nInt%7d points=$nPts%8d " +
+          f"n_pairs=$nPairs%10d wall=$wall%6.2fs us_per_pair=$usPerPair%8.3f")
+        (factor, nPairs, wall)
+      }
+      val (_, basePairs, baseWall) = readings.head
+      for ((factor, nPairs, wall) <- readings.tail) {
+        require(nPairs == factor.toLong * factor * basePairs,
+          s"rj1 x$factor pair count $nPairs != ${factor * factor}x base $basePairs — " +
+            "the key-shifted upscale no longer grows output quadratically; " +
+            "re-derive the growth model before trusting the ratio")
+        val tppBase = baseWall / math.max(basePairs, 1L)
+        val tpp = wall / math.max(nPairs, 1L)
+        require(tpp <= 3.0 * tppBase,
+          f"rj1 TRIPWIRE: time/pair at x$factor (${tpp * 1e6}%.3f us) grew past 3x " +
+            f"base (${tppBase * 1e6}%.3f us) — superlinear in output, not the " +
+            "documented output-growth class")
+      }
+    }
+
     // R17: the d2 weak-band (J < 0.5) LSH recall s-curve, measured against
     // the banding expectation E = Σ_pairs 1-(1-J^r)^b computed from the
     // exact-Jaccard truth — across band budgets and BOTH test scales. The
