@@ -62,8 +62,9 @@ object StreamingPipeline {
   def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
                       checkpointDir: String, asOf: Date,
                       sink: SinkMode = SinkMode.Parquet,
-                      horizonDays: Int = 2): StreamingQuery =
-    reportStream(spark, inputDir).writeStream
+                      horizonDays: Int = 2,
+                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    reportStream(spark, inputDir, maxFilesPerTrigger).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -306,6 +307,28 @@ object StreamingPipeline {
       .select(col("buy_id"), col("user_id"), col("click_id"),
         unix_timestamp(col("buy_ts")).as("buy_epoch"),
         unix_timestamp(col("click_ts")).as("click_epoch"))
+  }
+
+  /** Parquet file-source stream for the gate family — the production entry
+    * a 100 TB backlog drains through. `Trigger.AvailableNow` alone lists
+    * EVERYTHING pending into one effective micro-batch (fine for tests and
+    * daily deltas; one batch = the whole corpus on a cold start), so the
+    * bounded-batch knob matters exactly at scale: `maxFilesPerTrigger`
+    * caps each micro-batch's file count and AvailableNow then drains the
+    * backlog as a SEQUENCE of bounded batches before stopping — same
+    * checkpoint, same at-least-once replay contract, and the gates'
+    * per-batch protocols (exclusion + batch-scoped overwrite + committed
+    * markers) are already batch-size-agnostic, so the final state is
+    * identical to the one-big-batch drain (StreamingPipelineSpec pins
+    * this). Schema is imposed, not inferred: streaming sources require it,
+    * and inference over a petabyte listing would be a driver-side scan.
+    */
+  def docStream(spark: SparkSession, inputDir: String,
+                schema: org.apache.spark.sql.types.StructType,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
   }
 
   /** Streaming incremental dedup gate: each micro-batch of documents is
