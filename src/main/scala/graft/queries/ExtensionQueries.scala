@@ -44,6 +44,39 @@ object ExtensionQueries {
   private def toMediaId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c * 2 + 13
 
+  /** Corpus-stride anchor for the quadratic-candidate PORTABLE witnesses
+    * (round-18 verdict item 2 — e2c's round-16 lesson applied before a
+    * witness hides its own quadratic): a deterministic 1-in-⌈n/cap⌉
+    * id-residue slice. The witnesses' FIXED band-key spaces (d3c: 256
+    * 8-bit keys; e2c2: 64 buckets/band) make their candidate volume grow
+    * ~n²/keys — fine at witness scale, a probe-dominating quadratic at
+    * ×10. With `cap` = the sf0.1 corpus size the slice is the identity at
+    * BOTH standard scales (stride 1 ⇒ CORRECTNESS rows unchanged) and
+    * caps the witness corpus at its sf0.1 size above them. The oracle
+    * applies the identical arithmetic ([[strideAnchorSql]]) — integer
+    * ceil-div agrees with SQL `ceil(n/cap.0)` for every n ≥ 0 — so the
+    * hash check stays exact over the anchored slice. The SCALE paths
+    * (d3/d3b xxhash64 2^16-key bands, e2c corpus-scaled planes) stay
+    * uncapped: their key spaces grow with the corpus by design.
+    */
+  private def strideAnchor(df: DataFrame, idCol: String, cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val stride = math.max(1L, (df.count() + cap - 1) / cap)
+    if (stride == 1L) df else df.filter(col(idCol) % stride === 0L)
+  }
+
+  /** [[strideAnchor]] restated as an ANSI subquery (same ceil-div, same
+    * residue-0 slice) — drop-in FROM source for the witness oracles.
+    */
+  private def strideAnchorSql(table: String, idCol: String, cap: Long): String =
+    s"(SELECT t.* FROM $table t CROSS JOIN (SELECT greatest(CAST(ceil(count(*) / $cap.0) AS BIGINT), 1) AS st FROM $table) n WHERE t.$idCol % n.st = 0)"
+
+  /** d3c / e2c2 anchor caps = the sf0.1 corpus sizes (identity at both
+    * oracle-checked scales; SURVEY §6.1i records the measured effect).
+    */
+  private val docWitnessCap = 5000L
+  private val embWitnessCap = 2000L
+
   /** The t2 quality-feature chain, shared with c5's pruning lane. The
     * quality combine runs in exact DECIMAL: 0.5*stop + 0.5*(1-punct) hits
     * exact half-way 5th decimals (e.g. 0.52565) where double rounding
@@ -344,10 +377,13 @@ object ExtensionQueries {
     // (floor(x·2^20) × integer plane components — order-independent, zero
     // ulp risk), every step restated in ANSI SQL → the banding machinery
     // and the surviving pair set are oracle-checked end to end. e2c stays
-    // the scale path (codegen float dots, corpus-scaled planes).
+    // the scale path (codegen float dots, corpus-scaled planes). Corpus is
+    // stride-anchored ([[strideAnchor]]): the fixed 64-bucket bands are
+    // quadratic-candidate above witness scale (19.1× at ×10 pre-anchor).
     "e2c2_embedding_neardup_portable" -> ((s, d) =>
-      Similarity.cosineNearDupPairsPortable(Tables.embeddings(s, d), 0.4,
-        planesPerBand = 6, nBands = 4)
+      Similarity.cosineNearDupPairsPortable(
+          strideAnchor(Tables.embeddings(s, d), "vec_id", embWitnessCap), 0.4,
+          planesPerBand = 6, nBands = 4)
         .orderBy("a", "b")),
 
     // D9 SemDeDup semantic near-dedup ([[Similarity.semanticDedup]]):
@@ -1101,10 +1137,14 @@ object ExtensionQueries {
     // 32-bit signature, the SAME pigeonhole banding + xor/popcount verify
     // as d3b — every arithmetic step reproduces in ANSI SQL, so the simhash
     // family's banding machinery is oracle-checked end to end. d3/d3b stay
-    // the scale path (xxhash64, 2^16 band keys).
+    // the scale path (xxhash64, 2^16 band keys). Corpus is stride-anchored
+    // ([[strideAnchor]]): the 32-bit width's 256-key bands are
+    // quadratic-candidate above witness scale (12.2× at ×10 pre-anchor);
+    // d3d keeps the full corpus — its 2^16-key bands are the scale layout.
     "d3c_simhash_portable" -> ((s, d) =>
-      Dedup.simhashPortableNearDup(Tables.documents(s, d), "doc_id", "text",
-          maxDist = 3)
+      Dedup.simhashPortableNearDup(
+          strideAnchor(Tables.documents(s, d), "doc_id", docWitnessCap),
+          "doc_id", "text", maxDist = 3)
         .orderBy("a", "b")),
 
     // D3d the portable witness at the PRODUCTION band width: 64-bit
@@ -1338,6 +1378,47 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bpe_tokens")).as("n_tokens"),
           Integrity.checksumAggOf(concat(lit("c6:"), col("doc_id").cast("string")))
+            .as("id_checksum"))
+        .orderBy("shard")
+    }),
+
+    // E2E1 the COMPOSED PRODUCTION PATH as one DAG (round-18 verdict item
+    // 6): ingest-validate (null/blank text quarantined) → exact-dedup gate
+    // (fingerprint keep-min) → near-dup gate (banded MinHash pairs →
+    // salted-star CC → drop non-canonical) → heuristic curation (the exact
+    // DECIMAL quality combine + length band, c1's rules) → tokenized
+    // export manifest (BPE accounting under the fixed tokenizer +
+    // deterministic shards + order-insensitive id checksums, c6's tail).
+    // Every stage is an already-oracle-checked operator; this lane pins
+    // the FULL assembly — the wall a production user sees end to end, and
+    // the one place cross-stage cache/lineage interactions can surface.
+    // The oracle restates all five stages in one recursive-CTE chain.
+    // Plan audit: SURVEY §6.3 (shuffle census + checkpoint placement).
+    "e2e1_production_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val valid = docs.filter(col("text").isNotNull &&
+        length(trim(col("text"))) > 0)
+      val keep = Dedup.exactByFingerprint(valid, "text", "doc_id").select("doc_id")
+      // two consumers (pair generation + survivor anti-join) — compute once
+      val deduped = valid.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      val pairs = Dedup.minhashLshPortable(deduped, "doc_id", "text",
+        numPerms = 16, bands = 8, threshold = 0.5)
+      val drops = Dedup.connectedComponents(pairs, "a", "b")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val curated = qualityFrame(deduped.join(drops, Seq("doc_id"), "left_anti"))
+        .filter(col("n_chars").between(100, 10000) && col("quality") >= 0.53)
+        .select("doc_id", "text")
+        .localCheckpoint() // feeds token accounting AND the shard assignment
+      val toks = Bpe.tokenCountsScalable(curated, "doc_id", "text", bpe2Merges)
+      graft.operators.Splits.deterministicShard(
+          curated.select("doc_id"), "doc_id", "e2e1", nShards = 8)
+        .join(toks, Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          Integrity.checksumAggOf(concat(lit("e2e1:"), col("doc_id").cast("string")))
             .as("id_checksum"))
         .orderBy("shard")
     }),
@@ -2205,7 +2286,8 @@ object ExtensionQueries {
     * extraction masks after the arithmetic shift, so sign extension never
     * reaches a key.
     */
-  private def simhashPortablePairsSql(bits: Int): String = {
+  private def simhashPortablePairsSql(bits: Int,
+                                      corpusSql: String = "documents"): String = {
     val width = bits / 4 // maxDist=3 → 4 equal bands
     val mask = (1L << width) - 1
     val votes = (0 until bits).map { j =>
@@ -2217,7 +2299,7 @@ object ExtensionQueries {
       val bit = if (j == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << j} AS BIGINT)"
       s"CASE WHEN b$j > 0 THEN $bit ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM $corpusSql c),
        |h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
        |votes AS (SELECT doc_id,
        |    $votes
@@ -2492,8 +2574,13 @@ object ExtensionQueries {
         |  SELECT 1 FROM ddropped dr WHERE dr.cell = d.cell AND dr.vec_id = d.vec_id)
         |ORDER BY cell, vec_id""".stripMargin
 
-  private val minhashPairsCtes: String =
-    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
+
+  /** [[minhashPairsCtes]] over an arbitrary source CTE/table (e2e1 runs the
+    * chain over its validated+exact-deduped frame, not raw documents).
+    */
+  private def minhashPairsCtesFrom(src: String): String =
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM $src),
        |sets AS (SELECT doc_id, list_distinct(${shinglesSql("toks")}) AS sh FROM tok),
        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
        |perms AS (SELECT CAST(p AS INTEGER) AS p FROM range(0, 16) t(p)),
@@ -3454,7 +3541,10 @@ object ExtensionQueries {
     // (32-bit/8-bit-band twin and the production 64-bit/16-bit-band
     // layout). Every step is the identical integer arithmetic the Spark
     // operator runs, so the pair sets hash-match exactly.
-    "d3c_simhash_portable" -> simhashPortablePairsSql(bits = 32),
+    // d3c's corpus is stride-anchored (identity at both checked scales —
+    // see the query-side comment); d3d keeps the full corpus.
+    "d3c_simhash_portable" -> simhashPortablePairsSql(bits = 32,
+      corpusSql = strideAnchorSql("documents", "doc_id", docWitnessCap)),
     "d3d_simhash_portable64" -> simhashPortablePairsSql(bits = 64),
 
     "d5_levenshtein_neardup" ->
@@ -3613,12 +3703,13 @@ object ExtensionQueries {
     // BIGINT projections (floor(x·2^20) × the same integer-mixed plane
     // components), per-band bit pack, band equi-join, rounded-cosine verify.
     // Every step is the identical integer arithmetic the Spark operator
-    // runs, so the pair set hash-matches exactly.
+    // runs, so the pair set hash-matches exactly. Corpus stride-anchored
+    // (identity at both checked scales — see the query-side comment).
     "e2c2_embedding_neardup_portable" ->
-      """WITH flat AS (
+      s"""WITH flat AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
-        |  FROM embeddings),
+        |  FROM ${strideAnchorSql("embeddings", "vec_id", embWitnessCap)} e),
         |fixq AS (
         |  SELECT vec_id, i, x, CAST(FLOOR(x * 1048576) AS BIGINT) AS q FROM flat),
         |planes AS (
@@ -4512,6 +4603,66 @@ object ExtensionQueries {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
          |  CAST(CAST(SUM(CAST(md5_number_lower('c6:' || CAST(doc_id AS VARCHAR)) AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS id_checksum
+         |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // e2e1: the five-stage production path restated as one chain —
+    // validate, exact-dedup keep-min, the recursive minhash+CC near-dup
+    // chain over the DEDUPED frame, the exact-DECIMAL quality cut, and
+    // c6's tokenize/shard/checksum manifest tail with the e2e1 salt.
+    "e2e1_production_export" ->
+      s"""WITH RECURSIVE vdocs AS (
+         |  SELECT * FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM vdocs GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+         |dd AS (SELECT v.* FROM vdocs v JOIN keep USING (doc_id)),
+         |${minhashPairsCtesFrom("dd")},
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id <> comp),
+         |nd AS (SELECT doc_id, text FROM dd
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |tokq AS (SELECT doc_id, text, $toksSql AS toks FROM nd),
+         |feat AS (
+         |  SELECT doc_id, toks,
+         |    CAST(len(toks) AS INTEGER) AS n_tokens,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(toks, x -> x IN $stopList)) AS DOUBLE) AS hits
+         |  FROM tokq),
+         |q AS (
+         |  SELECT doc_id, toks, n_chars,
+         |    CAST(ROUND((CAST(ROUND(hits / greatest(n_tokens, 1), 4) AS DECIMAL(9,4))
+         |        + 1 - CAST(ROUND(n_punct / greatest(n_chars, 1), 4) AS DECIMAL(9,4)))
+         |        * CAST(0.5 AS DECIMAL(2,1)), 4) AS DOUBLE) AS quality
+         |  FROM feat),
+         |curated AS (SELECT doc_id, toks FROM q
+         |  WHERE n_chars BETWEEN 100 AND 10000 AND quality >= 0.53),
+         |sym AS (SELECT doc_id, $bpeSymbolizeSql AS syms
+         |        FROM (SELECT doc_id, unnest(toks) AS word FROM curated)),
+         |mm AS (SELECT doc_id, ${bpe2Merges.foldLeft("syms") { case (e, (l, r)) =>
+               s"replace($e, '($l)($r)', '($l$r)')" }} AS s FROM sym),
+         |cnt AS (
+         |  SELECT doc_id, CAST(SUM(length(s) - length(replace(s, '(', ''))) AS BIGINT) AS n_bpe_tokens
+         |  FROM mm GROUP BY doc_id),
+         |k AS (
+         |  SELECT p.doc_id, COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |    CAST(CAST(md5_number_lower('e2e1:' || CAST(p.doc_id AS VARCHAR)) AS HUGEINT)
+         |      - 9223372036854775808 AS BIGINT) AS key
+         |  FROM curated p LEFT JOIN cnt c ON c.doc_id = p.doc_id)
+         |SELECT CAST(((key % 8) + 8) % 8 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(SUM(CAST(md5_number_lower('e2e1:' || CAST(doc_id AS VARCHAR)) AS DECIMAL(38,0)))
          |    AS DECIMAL(38,0)) AS VARCHAR) AS id_checksum
          |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
 
