@@ -766,4 +766,44 @@ object Multimodal {
     */
   def mediaIndexSigs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/sigs/*")
+
+  /** Compact the media index in place — [[graft.operators.Dedup.compactDedupIndex]]'s
+    * multimodal twin: a long-lived gate accumulates one `sigs/b<id>` subdir
+    * per admitted batch (plus duplicate rows only in the marker-lost replay
+    * window); compaction rewrites the whole signature set DISTINCT into a
+    * single `base` subdir of few files, via the same rename-aside swap +
+    * entry-time crash recovery (the index stays readable at every crash
+    * point; committed-batch markers are untouched — content is preserved,
+    * so replay-skips stay valid). Single-writer: serialize against gate
+    * batches. Returns (rows before, rows after).
+    */
+  def compactMediaIndex(spark: SparkSession, dir: String,
+                        numFiles: Int = 4): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mv(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compactMediaIndex: rename $src -> $dst failed")
+    val d = new Path(base, "sigs")
+    val tmp = new Path(base, "sigs.compact.tmp")
+    val old = new Path(base, "sigs.compact.old")
+    // entry-time recovery, the compactDistinctDir ladder
+    if (!fs.exists(d)) {
+      if (fs.exists(tmp)) mv(tmp, d)
+      else if (fs.exists(old)) mv(old, d)
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val cur = mediaIndexSigs(spark, dir)
+    val before = cur.count()
+    cur.dropDuplicates().coalesce(numFiles)
+      .write.mode("overwrite").parquet(new Path(tmp, "base").toString)
+    val after = spark.read.parquet(new Path(tmp, "base").toString).count()
+    mv(d, old)
+    mv(tmp, d)
+    fs.delete(old, true)
+    (before, after)
+  }
 }

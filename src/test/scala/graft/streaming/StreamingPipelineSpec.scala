@@ -330,6 +330,44 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(emitted() == Set(8L, 16L, 20L), s"after crash-loop replays: ${emitted()}")
   }
 
+  test("media index compaction folds batch subdirs distinct; gating unchanged; crash-safe entry") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def images(ids: Long*) = Multimodal
+      .syntheticGridImages(ids.toDF("media_id"), "media_id")
+    def payloads(ids: Long*) = images(ids: _*).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+    val idx = Files.createTempDirectory("mc_idx").toString
+    val out = Files.createTempDirectory("mc_out").toString
+    Multimodal.buildMediaIndex(images(0L), idx)
+    // two admitted batches -> two b<id> subdirs next to base
+    StreamingPipeline.mediaGateBatch(payloads(8L).toDF("media_id", "payload"), 0L, idx, out)
+    StreamingPipeline.mediaGateBatch(payloads(16L).toDF("media_id", "payload"), 1L, idx, out)
+    // manufacture a duplicate signature row under a stray batch id (the
+    // only dup source left is operator misuse; compaction must fold it)
+    Multimodal.appendToMediaIndex(Multimodal.dHashSigs(images(16L)), idx, 99L)
+    assert(Multimodal.mediaIndexSigs(spark, idx).count() == 4)
+    val (before, after) = Multimodal.compactMediaIndex(spark, idx)
+    assert(before == 4 && after == 3, s"compacted $before -> $after")
+    assert(new java.io.File(s"$idx/sigs").listFiles().count(_.isDirectory) == 1,
+      "batch subdirs should fold into a single base dir")
+    // gating behavior identical over the compacted index: 17 is in-group
+    // with admitted 16 (dropped), 24 is fresh (admitted)
+    StreamingPipeline.mediaGateBatch(payloads(17L, 24L).toDF("media_id", "payload"), 2L, idx, out)
+    val emitted = spark.read.parquet(out).select("media_id").as[Long].collect().toSet
+    assert(emitted == Set(8L, 16L, 24L), s"after compaction+batch 2: $emitted")
+    // crash-safe entry: a crash between the two swap renames leaves sigs
+    // absent and sigs.compact.old present — the next compaction recovers
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/sigs"),
+      new org.apache.hadoop.fs.Path(s"$idx/sigs.compact.old")))
+    val (b2, a2) = Multimodal.compactMediaIndex(spark, idx)
+    assert(b2 == 4 && a2 == 4, s"recovered compaction read $b2 -> $a2")
+    assert(Multimodal.mediaIndexSigs(spark, idx)
+      .select("media_id").as[Long].collect().toSet == Set(0L, 8L, 16L, 24L))
+  }
+
   test("media gate micro-batches release their checkpoint snapshots (leak bound across batches)") {
     import graft.operators.Multimodal
     import spark.implicits._
