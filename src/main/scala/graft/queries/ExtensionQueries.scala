@@ -1437,8 +1437,9 @@ object ExtensionQueries {
     // line. Chunks are t11's 200/150 char windows (the oracle restates the
     // same integer window math); each chunk's "embedding model" is a
     // deterministic assignment into the embeddings table
-    // (vec = (cid*31+7) mod |embeddings| — a stand-in for the real
-    // encoder, chosen for cross-engine restatability); the chunk-level
+    // (the (cid·31+7 mod n)-th embedding in vec_id order — a stand-in for
+    // the real encoder, chosen for cross-engine restatability and TOTAL
+    // over any id layout, dense or sparse); the chunk-level
     // corpus (NOT the raw vector table — the composition point) is then
     // searched with the e2l IVF-PQ stack (sampled k-means cells, ADC
     // shortlist at k·8, exact-cosine re-rank). Gate row (the e2d round-16
@@ -1603,6 +1604,22 @@ object ExtensionQueries {
       // bounded construction-time scalar (vector-table size), the
       // cosineNearDupPairs count() class
       val nVec = emb.count()
+      // the stand-in encoder maps chunks into the table's ORDINAL space
+      // (row_number over vec_id), not the raw id space: mod-|emb| of a raw
+      // id silently drops every chunk whose target id doesn't exist when
+      // the id layout is sparse (the sf1 MakeScale corpus shifts ids by
+      // copy·10^8 — the round-18 sf1 hash check caught exactly this), so
+      // the assignment must be TOTAL over any layout. The global rank is
+      // scaffolding-only cost: the real system embeds chunk text with a
+      // model; nothing in the production IVF-PQ path sorts globally.
+      // three consumers (chunk assignment + both re-check joins) — pay the
+      // rank window once (scaffolding-sized: the stand-in's vector table)
+      val embIdx = emb
+        .select(col("vec_id").as("_eid"), col("embedding"))
+        .withColumn("_ord",
+          row_number().over(Window.orderBy(col("_eid"))).cast("long") - 1)
+        .drop("_eid")
+        .localCheckpoint()
       val chunkIds = docs
         .withColumn("n_chunks",
           when(length(col("text")) <= 200, lit(1L))
@@ -1610,8 +1627,8 @@ object ExtensionQueries {
         .select(col("doc_id"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("vec_id"))
       val chunkEmb = chunkIds
-        .withColumn("_evec", pmod(col("vec_id") * 31 + 7, lit(nVec)))
-        .join(emb.select(col("vec_id").as("_evec"), col("embedding")), "_evec")
+        .withColumn("_ord", pmod(col("vec_id") * 31 + 7, lit(nVec)))
+        .join(embIdx, "_ord")
         .select("vec_id", "embedding")
         // repartition before the checkpoint: AQE coalesces the tiny join
         // exchange to ONE partition and localCheckpoint freezes it — the
@@ -1630,10 +1647,10 @@ object ExtensionQueries {
         .agg(coalesce(expr("bool_and(_k = 5)"), lit(false)).as("_all_k5"),
           count(lit(1)).as("_nq_seen"))
       val rechecked = approx
-        .withColumn("_ea_vec", pmod(col("a_id") * 31 + 7, lit(nVec)))
-        .withColumn("_eb_vec", pmod(col("b_id") * 31 + 7, lit(nVec)))
-        .join(emb.select(col("vec_id").as("_ea_vec"), col("embedding").as("_ea")), "_ea_vec")
-        .join(emb.select(col("vec_id").as("_eb_vec"), col("embedding").as("_eb")), "_eb_vec")
+        .withColumn("_ea_ord", pmod(col("a_id") * 31 + 7, lit(nVec)))
+        .withColumn("_eb_ord", pmod(col("b_id") * 31 + 7, lit(nVec)))
+        .join(embIdx.select(col("_ord").as("_ea_ord"), col("embedding").as("_ea")), "_ea_ord")
+        .join(embIdx.select(col("_ord").as("_eb_ord"), col("embedding").as("_eb")), "_eb_ord")
         .withColumn("_rc", round(Vectors.cosine(col("_ea"), col("_eb")), 4))
       val scoresOk = rechecked
         .agg(coalesce(expr("bool_and(_rc = cosine)"), lit(false)).as("scores_ok"))
