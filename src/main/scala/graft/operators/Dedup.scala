@@ -309,9 +309,20 @@ object Dedup {
     * the dir stays readable at every crash point. Returns (rows before,
     * rows after).
     */
+  /** `readPath` maps the live sub-dir to what spark.read should open (the
+    * media index appends a trailing glob star so base + batch subdirs are
+    * read as a union); `writeSub` nests the rewritten parquet inside the
+    * swap target (the media index folds everything into `base/` so the
+    * post-swap glob still matches). Defaults are the flat dedup/semantic
+    * layout. ONE copy of the swap/recovery ladder serves all three indexes
+    * (round-18 review finding: a drifting second copy of a crash protocol
+    * is its own bug).
+    */
   private[operators] def compactDistinctDir(spark: org.apache.spark.sql.SparkSession,
                                             dir: String, sub: String,
-                                            numFiles: Int): (Long, Long) = {
+                                            numFiles: Int,
+                                            readPath: String => String = identity,
+                                            writeSub: String = ""): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     // Hadoop FileSystem API (not java.nio) so an index on HDFS/S3A works for
@@ -333,11 +344,12 @@ object Dedup {
     }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val cur = spark.read.parquet(d.toString)
+    val cur = spark.read.parquet(readPath(d.toString))
     val before = cur.count()
     val distinctRows = cur.dropDuplicates().coalesce(numFiles)
-    distinctRows.write.mode("overwrite").parquet(tmp.toString)
-    val after = spark.read.parquet(tmp.toString).count()
+    val target = if (writeSub.isEmpty) tmp else new Path(tmp, writeSub)
+    distinctRows.write.mode("overwrite").parquet(target.toString)
+    val after = spark.read.parquet(target.toString).count()
     mv(d, old)
     mv(tmp, d)
     fs.delete(old, true)

@@ -756,6 +756,17 @@ object Multimodal {
     * form accumulated duplicate (media_id, dhash) rows per crash loop —
     * harmless to gating (candidate joins are distinct-based) but unbounded
     * in storage (round-17 advice item 2).
+    *
+    * CONTRACT — `batchId` is a DESTRUCTIVE key: writing a batch id that a
+    * previous stream epoch already used replaces that epoch's b<id> rows.
+    * The gate is safe by construction (its committed-batch markers skip
+    * the append on replay, and [[buildMediaIndex]] clears markers, batch
+    * subdirs, and base together on rebuild), but a caller that resets a
+    * stream CHECKPOINT against a KEPT index — restarting batch ids at 0
+    * with markers manually cleared — would silently erase the first
+    * epoch's admissions. Don't: rebuild the index with the checkpoint, or
+    * run [[compactMediaIndex]] first (folds every batch into `base`,
+    * freeing the whole id space). Single-writer, like every sink here.
     */
   def appendToMediaIndex(sigs: DataFrame, dir: String, batchId: Long): Unit =
     sigs.select(col("media_id"), col("dhash"))
@@ -778,32 +789,10 @@ object Multimodal {
     * batches. Returns (rows before, rows after).
     */
   def compactMediaIndex(spark: SparkSession, dir: String,
-                        numFiles: Int = 4): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
-    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mv(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"compactMediaIndex: rename $src -> $dst failed")
-    val d = new Path(base, "sigs")
-    val tmp = new Path(base, "sigs.compact.tmp")
-    val old = new Path(base, "sigs.compact.old")
-    // entry-time recovery, the compactDistinctDir ladder
-    if (!fs.exists(d)) {
-      if (fs.exists(tmp)) mv(tmp, d)
-      else if (fs.exists(old)) mv(old, d)
-    }
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    val cur = mediaIndexSigs(spark, dir)
-    val before = cur.count()
-    cur.dropDuplicates().coalesce(numFiles)
-      .write.mode("overwrite").parquet(new Path(tmp, "base").toString)
-    val after = spark.read.parquet(new Path(tmp, "base").toString).count()
-    mv(d, old)
-    mv(tmp, d)
-    fs.delete(old, true)
-    (before, after)
-  }
+                        numFiles: Int = 4): (Long, Long) =
+    // the ONE swap/recovery ladder (Dedup.compactDistinctDir), parameterized
+    // for this index's layout: read the base+batch subdirs via the glob,
+    // fold the distinct rewrite into a single base/ subdir
+    Dedup.compactDistinctDir(spark, dir, "sigs", numFiles,
+      readPath = p => s"$p/*", writeSub = "base")
 }

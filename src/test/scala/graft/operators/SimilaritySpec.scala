@@ -124,7 +124,13 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(Similarity.planesForCorpus(500, 64) == 4)   // sf0.01 corpus
     assert(Similarity.planesForCorpus(2000, 64) == 5)  // sf0.1 corpus
+    assert(Similarity.planesForCorpus(20000, 64) == 9) // sf1 corpus
     assert(Similarity.planesForCorpus(1L << 40, 64) == 34) // 1T docs
+    // these exact pins are ALSO e2c's recall-gate anchor: its floor is a
+    // quarter of the banding expectation computed from THIS function's
+    // output, so a planesForCorpus regression would move operator and
+    // floor together — the gate's blind spot is exactly this spec's job
+    // (round-18 review finding)
   }
 
   test("banded blocking: observed bucket population stays near N/2^planes on a seeded corpus") {

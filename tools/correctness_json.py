@@ -86,10 +86,14 @@ def main():
         else:
             raise SystemExit(f"unknown arg {args[i]}")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-    if only:
-        missing = only - set(oracles)
+    # a typo'd name in EITHER list must be loud: an unmatched --skip would
+    # silently RUN the intractable oracle the skip exists for (the
+    # ScaleProbe knownTags discipline)
+    for flag, names in (("--only", only), ("--skip", skip)):
+        missing = names - set(oracles)
         if missing:
-            raise SystemExit(f"--only names with no oracle entry: {sorted(missing)}")
+            raise SystemExit(f"{flag} names with no oracle entry: {sorted(missing)}")
+    if only:
         oracles = {k: v for k, v in oracles.items() if k in only}
     con = duckdb.connect()
     import os
