@@ -764,19 +764,66 @@ object Multimodal {
     * subdirs, and base together on rebuild), but a caller that resets a
     * stream CHECKPOINT against a KEPT index — restarting batch ids at 0
     * with markers manually cleared — would silently erase the first
-    * epoch's admissions. Don't: rebuild the index with the checkpoint, or
+    * epoch's admissions. Round 19 (verdict item 3) makes that misuse LOUD
+    * like every other gate failure: a `batchId` BELOW the max existing
+    * batch subdir is refused unless `allowReplace = true`. Equality stays
+    * legal — it is exactly the gate's marker-lost replay window (crash
+    * between append and marker ⇒ the replay rewrites its OWN b<id>), and
+    * older batches all have markers so the gate never re-appends them.
+    * Recovery from a refusal: rebuild the index with the checkpoint, or
     * run [[compactMediaIndex]] first (folds every batch into `base`,
     * freeing the whole id space). Single-writer, like every sink here.
     */
-  def appendToMediaIndex(sigs: DataFrame, dir: String, batchId: Long): Unit =
+  def appendToMediaIndex(sigs: DataFrame, dir: String, batchId: Long,
+                         allowReplace: Boolean = false): Unit = {
+    if (!allowReplace) {
+      val sigsPath = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+      val fs = sigsPath.getFileSystem(
+        sigs.sparkSession.sparkContext.hadoopConfiguration)
+      val maxExisting =
+        if (!fs.exists(sigsPath)) None
+        else fs.listStatus(sigsPath).toSeq
+          .map(_.getPath.getName)
+          .collect { case s if s.matches("b\\d+") => s.drop(1).toLong }
+          .maxOption
+      maxExisting.foreach { mx =>
+        require(batchId >= mx,
+          s"appendToMediaIndex: batchId $batchId is below the max existing " +
+            s"batch subdir b$mx — a checkpoint reset against a kept index " +
+            "would silently replace that epoch's admissions. Rebuild the " +
+            "index (buildMediaIndex) together with the checkpoint, compact " +
+            "first (compactMediaIndex frees the id space), or pass " +
+            "allowReplace = true if the replacement is intentional.")
+      }
+    }
     sigs.select(col("media_id"), col("dhash"))
       .write.mode("overwrite").parquet(s"$dir/sigs/b$batchId")
+  }
 
   /** The index's signature frame: (media_id, dhash) — the union of the
     * base build and every batch-scoped append subdir.
+    *
+    * Layout check (round-19 advice item 2): an index persisted by the
+    * pre-round-18 FLAT layout (part files directly under `sigs/`) would
+    * make the subdir glob treat each part file — and non-parquet markers
+    * like `_SUCCESS` — as a root path and fail confusingly (or worse,
+    * read partially). Any non-directory child under `sigs/` fails loudly
+    * with the rebuild instruction instead.
     */
-  def mediaIndexSigs(spark: SparkSession, dir: String): DataFrame =
+  def mediaIndexSigs(spark: SparkSession, dir: String): DataFrame = {
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sigsPath)) {
+      val flat = fs.listStatus(sigsPath).filter(!_.isDirectory)
+        .map(_.getPath.getName)
+      require(flat.isEmpty,
+        s"mediaIndexSigs: $dir/sigs contains non-directory entries " +
+          s"(${flat.take(3).mkString(", ")}) — a flat pre-batch-subdir " +
+          "layout this reader cannot load. Rebuild the index with " +
+          "buildMediaIndex over the current corpus.")
+    }
     spark.read.parquet(s"$dir/sigs/*")
+  }
 
   /** Compact the media index in place — [[graft.operators.Dedup.compactDedupIndex]]'s
     * multimodal twin: a long-lived gate accumulates one `sigs/b<id>` subdir

@@ -1209,9 +1209,17 @@ object ExtensionQueries {
     // (banded DP, O(maxDist·len) per pair). Candidate volume is quadratic
     // with a fixed band count (§6.1) — d5b is the production lane; this
     // entry stays registered as the oracle witness for the banding + DP.
+    // Corpus stride-anchored ([[strideAnchor]], round 19 — verdict item 1):
+    // at sf1 the oracle's quadratic levenshtein restatement over the full
+    // ×10 corpus timed out at 2700 s (CORRECTNESS_sf1 r18's one hole);
+    // the anchor caps the WITNESS corpus at its sf0.1 size (identity at
+    // both standard scales ⇒ hashes byte-unchanged) exactly as §6.1i did
+    // for e2c2/d3c. The production lane d5b keeps the full corpus: its
+    // banding + bounded DP are the scale path.
     "d5_levenshtein_neardup" -> ((s, d) =>
-      Dedup.editDistanceNearDup(Tables.documents(s, d), "doc_id", "text",
-        "lang", lenWindow = 16, maxDist = 40)
+      Dedup.editDistanceNearDup(
+        strideAnchor(Tables.documents(s, d), "doc_id", docWitnessCap),
+        "doc_id", "text", "lang", lenWindow = 16, maxDist = 40)
         .orderBy("blk", "a", "b")),
 
     // D6 near-dup clustering: connected components over the portable
@@ -3578,14 +3586,17 @@ object ExtensionQueries {
       corpusSql = strideAnchorSql("documents", "doc_id", docWitnessCap)),
     "d3d_simhash_portable64" -> simhashPortablePairsSql(bits = 64),
 
+    // d5's corpus is stride-anchored (identity at both checked scales —
+    // see the query-side comment; closes the r18 sf1 oracle timeout).
     "d5_levenshtein_neardup" ->
-      """SELECT blk, a, b, dist FROM (
-        |  SELECT x.lang AS blk, x.doc_id AS a, y.doc_id AS b,
-        |    levenshtein(x.text, y.text) AS dist
-        |  FROM documents x JOIN documents y
-        |    ON x.lang = y.lang AND x.doc_id < y.doc_id
-        |   AND abs(x.n_chars - y.n_chars) <= 16) t
-        |WHERE dist <= 40 ORDER BY blk, a, b""".stripMargin,
+      s"""SELECT blk, a, b, dist FROM (
+         |  SELECT x.lang AS blk, x.doc_id AS a, y.doc_id AS b,
+         |    levenshtein(x.text, y.text) AS dist
+         |  FROM ${strideAnchorSql("documents", "doc_id", docWitnessCap)} x
+         |  JOIN ${strideAnchorSql("documents", "doc_id", docWitnessCap)} y
+         |    ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |   AND abs(x.n_chars - y.n_chars) <= 16) t
+         |WHERE dist <= 40 ORDER BY blk, a, b""".stripMargin,
 
     "c1_curation_pipeline" ->
       s"""WITH RECURSIVE $minhashPairsCtes,

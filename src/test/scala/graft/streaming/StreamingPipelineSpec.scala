@@ -368,6 +368,59 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
       .select("media_id").as[Long].collect().toSet == Set(0L, 8L, 16L, 24L))
   }
 
+  test("media index refuses a destructive batchId rewind loudly; replay and compaction paths stay green") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def images(ids: Long*) = Multimodal
+      .syntheticGridImages(ids.toDF("media_id"), "media_id")
+    def payloads(ids: Long*) = images(ids: _*).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toSeq
+    val idx = Files.createTempDirectory("guard_idx").toString
+    val out = Files.createTempDirectory("guard_out").toString
+    Multimodal.buildMediaIndex(images(0L), idx)
+    StreamingPipeline.mediaGateBatch(payloads(8L).toDF("media_id", "payload"), 0L, idx, out)
+    StreamingPipeline.mediaGateBatch(payloads(16L).toDF("media_id", "payload"), 1L, idx, out)
+    val sigs16 = Multimodal.dHashSigs(images(24L))
+    // the round-18 verdict's silent-data-loss scenario: a checkpoint reset
+    // against a kept index restarts batch ids at 0 — must now fail LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.appendToMediaIndex(sigs16, idx, 0L)
+    }
+    assert(e.getMessage.contains("below the max existing"), e.getMessage)
+    // batch 0's admissions survived the refused rewind
+    assert(Multimodal.mediaIndexSigs(spark, idx)
+      .select("media_id").as[Long].collect().toSet == Set(0L, 8L, 16L))
+    // equality = the gate's marker-lost replay window — stays legal
+    Multimodal.appendToMediaIndex(Multimodal.dHashSigs(images(16L)), idx, 1L)
+    // explicit opt-out for an intentional replacement
+    Multimodal.appendToMediaIndex(sigs16, idx, 0L, allowReplace = true)
+    assert(Multimodal.mediaIndexSigs(spark, idx)
+      .select("media_id").as[Long].collect().toSet == Set(0L, 16L, 24L))
+    // compaction frees the id space: any batchId is legal again
+    Multimodal.compactMediaIndex(spark, idx)
+    Multimodal.appendToMediaIndex(Multimodal.dHashSigs(images(32L)), idx, 0L)
+    assert(Multimodal.mediaIndexSigs(spark, idx)
+      .select("media_id").as[Long].collect().toSet == Set(0L, 16L, 24L, 32L))
+  }
+
+  test("mediaIndexSigs rejects a flat pre-batch-subdir layout with a rebuild message") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val idx = Files.createTempDirectory("flat_idx").toString
+    // simulate the legacy layout: part files (and _SUCCESS) directly under sigs/
+    Multimodal.dHashSigs(Multimodal.syntheticGridImages(
+      Seq(0L).toDF("media_id"), "media_id"))
+      .write.mode("overwrite").parquet(s"$idx/sigs")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.mediaIndexSigs(spark, idx).count()
+    }
+    assert(e.getMessage.contains("buildMediaIndex"), e.getMessage)
+    // rebuild clears the flat layout and the reader works again
+    Multimodal.buildMediaIndex(Multimodal.syntheticGridImages(
+      Seq(0L, 8L).toDF("media_id"), "media_id"), idx)
+    assert(Multimodal.mediaIndexSigs(spark, idx).count() == 2)
+  }
+
   test("media gate micro-batches release their checkpoint snapshots (leak bound across batches)") {
     import graft.operators.Multimodal
     import spark.implicits._
