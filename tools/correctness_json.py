@@ -123,17 +123,26 @@ def main():
             print(f"{name}: SPARK READ FAIL")
             continue
         # wall-clock budget on the DuckDB side only: an interrupt fired from
-        # a timer thread makes the execute raise instead of running for hours
+        # a timer thread makes the execute raise instead of running for hours.
+        # The interrupt is gated on a per-query done flag: without it the
+        # timer can fire in the window between fetchdf() returning and
+        # timer.cancel(), leaving a pending interrupt on the SHARED
+        # connection that spuriously aborts the NEXT query — a false
+        # failure row in the artifact (round-19 advice item 1).
         timer = None
+        done = threading.Event()
         if timeout > 0:
-            timer = threading.Timer(timeout, con.interrupt)
+            timer = threading.Timer(
+                timeout, lambda: None if done.is_set() else con.interrupt())
             timer.start()
         t0 = time.time()
         try:
             ora_df = con.execute(sql).fetchdf()
+            done.set()
             row["oracle_sec"] = round(time.time() - t0, 2)
             row["oracle_rows"] = len(ora_df)
         except Exception as e:
+            done.set()
             row["err"] = f"oracle: {type(e).__name__}: {e}"
             row["oracle_sec"] = round(time.time() - t0, 2)
             results[name] = row
