@@ -133,6 +133,43 @@ class SimilaritySpec extends SparkSpec {
     // (round-18 review finding)
   }
 
+  test("e2c collapse tripwire: exact banding hit counts on the real corpora (model-independent)") {
+    // round-19 advice item 4: e2c's recall floor is a quarter of the SRP
+    // banding expectation computed from the SAME planesForCorpus output
+    // the operator bands with — a shared-model regression moves operator
+    // and floor together, invisible to the gate. This pin is the second,
+    // model-INDEPENDENT tripwire: the whole chain (planes, hash, bands,
+    // verify) is deterministic over the fixed test corpora, so the truth-
+    // hit counts are exact constants. A banding/signature regression of
+    // any kind moves them; a legitimate model change must re-pin BOTH
+    // scales with a CODE reason (the bench-pin discipline).
+    import graft.operators.Similarity
+    for ((dir, expPlanes, expTruth, expHits) <- Seq(
+        ("/root/testdata/sf0.01", 4, 38L, 12L),
+        ("/root/testdata/sf0.1", 5, 163L, 56L))) {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val planes = Similarity.planesForCorpus(emb.count(), 64)
+      assert(planes == expPlanes, s"$dir planes $planes != $expPlanes")
+      val emitted = Similarity
+        .cosineNearDupPairsBanded(emb, 0.4, planes, 8).localCheckpoint()
+      val qa = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .withColumn("_na", Vectors.norm2(col("ea")))
+      val qb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        .withColumn("_nb", Vectors.norm2(col("eb")))
+      val truth = qb.join(broadcast(qa), col("a") < col("b"))
+        .withColumn("cosine", round(
+          Vectors.cosine(col("ea"), col("eb"), col("_na"), col("_nb")), 4))
+        .filter(col("cosine") >= 0.4).select("a", "b")
+      assert(truth.count() == expTruth, s"$dir truth != $expTruth")
+      val hits = truth.join(emitted.select("a", "b"), Seq("a", "b"), "left_semi").count()
+      assert(hits == expHits,
+        s"$dir banding hits $hits != pinned $expHits — either a banding/" +
+          "signature regression (collapse reads ~0) or an intentional model " +
+          "change that must re-pin both scales")
+    }
+  }
+
   test("banded blocking: observed bucket population stays near N/2^planes on a seeded corpus") {
     // 2000 seeded random 16-dim vectors, planes from the scaling rule:
     // mean per-band bucket population must be within 4x of the uniform
