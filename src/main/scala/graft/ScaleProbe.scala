@@ -690,6 +690,16 @@ object ScaleProbe {
       require(e2cExp <= 1.35,
         f"e2c TRIPWIRE: fitted candidate-growth exponent $e2cExp%.3f > 1.35 — " +
           "planesForCorpus no longer pins E[bucket pop]; check the plane scaling")
+      // and the DESIGN ceiling itself, per rung: E[pop] ≤ targetPop means
+      // candidates ≤ n·targetPop·bands/2 at ANY n (measured 3.82M vs
+      // ceiling 5.12M at ×10) — an absolute bound that needs no fit
+      for ((f, _, nEmb, _, e2cc, _, _) <- rungs) {
+        val ceiling = nEmb.toDouble * 64 * 8 / 2
+        require(e2cc <= ceiling,
+          f"e2c TRIPWIRE at x$f: candidates $e2cc%d exceed the design " +
+            f"ceiling n*targetPop*bands/2 = $ceiling%.0f — bucket " +
+            "population is no longer bounded by targetPop")
+      }
       // m4: model tripwire, not an exponent cap — the fixed-2^16-key chance
       // term is quadratic BY DESIGN. The first r19 run showed the uniform-
       // key model (bands·nC2/2^16) undershoots 2.2×: the synthetic images'
