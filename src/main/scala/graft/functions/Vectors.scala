@@ -38,11 +38,37 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = cosine(a, b, norm2(a), norm2(b))
 
   /** Deterministic pseudo-random hyperplane component for LSH bucketing:
-    * plane(j)[i] derived from (i, j) by integer mixing — no RNG state, so
-    * buckets are reproducible across runs/engines. Values in {-3..3}.
+    * plane(j)[i] derived from (i = 1-based dim index, j = GLOBAL plane
+    * index) by integer mixing — no RNG state, so buckets are reproducible
+    * across runs/engines and restatable in ANSI SQL (every intermediate
+    * stays far below 2^63: no wrapping arithmetic). Values in {-3..3}.
+    *
+    * Round 19 — the §6.1l ladder's ×30 rung caught the original linear
+    * form `(i·2654435761 + j·40503) mod 7` PERIODIC in j with period 7
+    * (both multipliers reduce mod 7; 40503 ≡ 1): the whole scheme had
+    * only SEVEN distinct hyperplanes, so any plane budget past 7 silently
+    * stopped growing the key space (buckets saturated at ~2^7 per band —
+    * measured 1008 used of 8192 at planes=10 — and candidates went
+    * quadratic: 34.5M at n=60k vs the 15.4M design ceiling), and adjacent
+    * BANDS shared planes whenever global indices collided mod 7 — the
+    * real source of the depressed 0.41–0.57 recall "transfer" §6.1k had
+    * attributed to lattice quantization. The cross-term form
+    * `(i·(j+13)·40503 mod 1000003) mod 7` fixes both: the inner modulus
+    * is prime, so plane slopes `(j+13)·40503 mod 1000003` are distinct
+    * for every j < 1000003 (no period, no cross-band sharing), while the
+    * outer mod-7 keeps the {-3..3} lattice and the double-mod chain is
+    * exactly expressible in SQL on non-negative BIGINTs.
     */
   def planeComponent(i: Column, j: Int): Column =
-    pmod(i * lit(2654435761L) + lit(j) * lit(40503L), lit(7)) - lit(3)
+    pmod(pmod(i * lit((j + 13).toLong * 40503L), lit(1000003L)), lit(7)) - lit(3)
+
+  /** [[planeComponent]] as driver-side arithmetic — the ONE statement the
+    * literal-plane fast/fixed-point paths tabulate from (two copies of the
+    * mixing could drift and silently split the bucket space between the
+    * scale path and its portable witness).
+    */
+  private[graft] def planeComponentLong(i: Long, j: Long): Long =
+    Math.floorMod(Math.floorMod(i * (j + 13L) * 40503L, 1000003L), 7L) - 3L
 
   /** Sign bucket over `nPlanes` hyperplanes → integer bucket id in
     * [0, 2^nPlanes). Embedding dims are indexed 1-based.
@@ -70,7 +96,7 @@ object Vectors {
   def lshBucketFast(emb: Column, nPlanes: Int, dims: Int, firstPlane: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val plane = Array.tabulate(dims) { idx =>
-        (Math.floorMod((idx + 1) * 2654435761L + (firstPlane + j).toLong * 40503L, 7L) - 3L).toFloat
+        planeComponentLong(idx + 1L, (firstPlane + j).toLong).toFloat
       }
       val d = dot(emb, typedLit(plane))
       // two-sided when: a NULL projection (null element inside the array,
@@ -105,7 +131,7 @@ object Vectors {
     val unit = (1L << scaleBits).toDouble
     val bits = (0 until nPlanes).map { j =>
       val plane = Array.tabulate(dims) { idx =>
-        Math.floorMod((idx + 1) * 2654435761L + (firstPlane + j).toLong * 40503L, 7L) - 3L
+        planeComponentLong(idx + 1L, (firstPlane + j).toLong)
       }
       val proj = aggregate(
         zip_with(emb, typedLit(plane),

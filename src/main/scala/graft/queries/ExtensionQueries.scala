@@ -2395,7 +2395,7 @@ object ExtensionQueries {
         |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
         |proj AS (
         |  SELECT f.vec_id, p.j,
-        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |    SUM(f.x * ((f.i * (p.j + 13) * 40503) % 1000003 % 7 - 3)) AS pr
         |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
         |buckets AS (
         |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
@@ -2431,7 +2431,7 @@ object ExtensionQueries {
         |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
         |proj AS (
         |  SELECT f.vec_id, p.j,
-        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |    SUM(f.x * ((f.i * (p.j + 13) * 40503) % 1000003 % 7 - 3)) AS pr
         |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
         |buckets AS (
         |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
@@ -3659,7 +3659,7 @@ object ExtensionQueries {
          |FROM labels GROUP BY comp ORDER BY comp""".stripMargin,
 
     // e2b: the LSH bucket is deterministic integer arithmetic
-    // (pmod(i*2654435761 + j*40503, 7) - 3 hyperplane components), so the
+    // (pmod(pmod(i*(j+13)*40503, 1000003), 7) - 3 hyperplane components), so the
     // approximate path itself is oracle-checkable end to end.
     "e2b_ann_lsh" -> e2bSql,
 
@@ -3703,7 +3703,7 @@ object ExtensionQueries {
         |planes AS (SELECT CAST(j AS INTEGER) AS j FROM range(0, 6) t(j)),
         |proj AS (
         |  SELECT f.vec_id, p.j,
-        |    SUM(f.x * (((f.i * 2654435761 + p.j * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |    SUM(f.x * ((f.i * (p.j + 13) * 40503) % 1000003 % 7 - 3)) AS pr
         |  FROM flat f CROSS JOIN planes p GROUP BY f.vec_id, p.j),
         |buckets AS (
         |  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
@@ -3759,7 +3759,7 @@ object ExtensionQueries {
         |  FROM range(0, 4) t(b) CROSS JOIN range(0, 6) u(j)),
         |proj AS (
         |  SELECT f.vec_id, p.band, p.j,
-        |    SUM(f.q * (((f.i * 2654435761 + (p.band * 6 + p.j) * 40503) % 7 + 7) % 7 - 3)) AS pr
+        |    SUM(f.q * ((f.i * (p.band * 6 + p.j + 13) * 40503) % 1000003 % 7 - 3)) AS pr
         |  FROM fixq f CROSS JOIN planes p GROUP BY 1, 2, 3),
         |buckets AS (
         |  SELECT vec_id, band,
