@@ -153,13 +153,27 @@ object Bench {
       if (in == null) baseline
       else { in.close(); loadPins("/graft/sentinel_baseline.json") }
     }
-    // drift = Σ sentinel wall / Σ sentinel pin (sentinels with no pin are
-    // skipped; -1 when none are pinned, e.g. a fresh checkout). The
+    // drift = MEDIAN of per-sentinel wall/pin ratios (sentinels with no pin
+    // are skipped; -1 when none are pinned, e.g. a fresh checkout). The
     // normalized vs_baseline divides the drift factor out.
+    // Median, not Σwall/Σpin (round 20): the sum-ratio weights sentinels by
+    // wall seconds, so ONE elevated heavy sentinel owns the factor — the
+    // round-20 adjudication run read m2's battery at 2.26× (the codec-JIT
+    // band, cleared by a dedicated min-of-3 at 0.83× the same hour), which
+    // dragged sum-ratio drift to 1.43 while the other five sentinels sat at
+    // 0.72–1.23 (median 1.05, host at par) — and the drift-NORMALIZED
+    // ratios then divided m2's own epoch elevation by its own band (0.92),
+    // masking exactly the lane the battery exists to flag. The median moves
+    // only when the host band is broad (a genuine drift shifts most
+    // classes), never on a single banding sentinel.
     val sentCommon = sentinelTimes.keys.toSeq.filter(sentinelBaseline.contains).sorted
     val drift =
       if (sentCommon.isEmpty) -1.0
-      else sentCommon.map(sentinelTimes).sum / sentCommon.map(sentinelBaseline).sum
+      else {
+        val rs = sentCommon.map(k => sentinelTimes(k) / sentinelBaseline(k)).sorted
+        if (rs.size % 2 == 1) rs(rs.size / 2)
+        else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0
+      }
     // Output contract: the driver's tail capture truncates long stdout (82
     // queries overflowed a single line in round 3 -> BENCH parsed:null), so
     // the per-query detail lines go FIRST and the short machine-readable

@@ -92,6 +92,101 @@ object ScaleProbe {
       col("lang"))
   }
 
+
+  /** e2c's banding candidates (ids only, the operator's own layout:
+    * 8 bands × planesForCorpus planes — bandedNearDupCore's candidate
+    * half restated; the verify half is irrelevant to candidate volume).
+    */
+  private def e2cCandidates(emb: DataFrame, n: Long): Long = {
+    val planes = operators.Similarity.planesForCorpus(n, 64)
+    val bandCols = (0 until 8).map { t =>
+      struct(lit(t).as("band"),
+        functions.Vectors.lshBucketFast(col("embedding"), planes, 64,
+          firstPlane = t * planes).as("bucket"))
+    }
+    val banded = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
+      .localCheckpoint()
+    banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+  }
+
+  /** Fixed-2^16-key pigeonhole candidates: 4 × 16-bit bands over a 64-bit
+    * signature column (the simhashPairsFromSigs band arithmetic,
+    * pre-Hamming) — m4's dHash and m6's audio-fingerprint share it.
+    */
+  private def pigeonholeCandidates(sigs: DataFrame, idCol: String, sigCol: String): Long = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.key").as("key"))
+      .localCheckpoint()
+    banded.select(col("band"), col("key"), col(idCol).as("a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+  }
+
+  /** Least-squares log-log slope of a (n, work) series — the §6.1l fitted
+    * growth exponent.
+    */
+  private def fitExponent(pts: Seq[(Long, Long)]): Double = {
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(math.max(1L, p._2).toDouble))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** §6.1l decorrelated doc ladder: copy c of doc d gets a shifted id and
+    * every THIRD token replaced with a copy-unique salt token — every
+    * width-3 shingle contains a salt, so cross-copy shingle sets are
+    * DISJOINT (J = 0 exactly) and exponents measure corpus-size scaling
+    * alone (the every-5th MakeScale salt leaks J⁴ ≈ 0.4%/band chance
+    * candidates through 4-row band keys — §6.1l finding 1).
+    */
+  private def upscaleDecor(docs: DataFrame, factor: Int): DataFrame = {
+    val copies = docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+    copies.select(
+      (col("doc_id") + col("copy") * lit(1000000000L)).as("doc_id"),
+      when(col("copy") === 0, col("text")).otherwise(
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(1), size(split(col("text"), " "))),
+            (tok, i) => when(pmod(i, lit(3)) === 0,
+              concat(lit("w"), col("copy"), lit("x"), i)).otherwise(tok)),
+          " ")).as("text"),
+      col("lang"))
+  }
+
+  /** §6.1l embedding ladder — the MakeScale rotation scheme: circular shift
+    * by `copy` positions is norm-preserving and decorrelates copies (no
+    * injected near-dup pairs), ids key-shifted like the doc ladder. Note
+    * rotation preserves WITHIN-copy inner products, so each copy universe
+    * carries exactly the base corpus's true-pair structure — true pairs
+    * grow linearly in the factor by construction (the r20 e2c wire's
+    * denominator model).
+    */
+  private def upscaleEmb(emb: DataFrame, factor: Int): DataFrame = {
+    val copies = emb.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+    copies.select(
+      (col("vec_id") + col("copy") * lit(1000000000L)).as("vec_id"),
+      when(col("copy") === 0, col("embedding")).otherwise(
+        concat(
+          slice(col("embedding"), col("copy") + 1,
+            size(col("embedding")) - col("copy")),
+          slice(col("embedding"), lit(1), col("copy")))).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.tune(SparkSession.builder()
@@ -101,7 +196,7 @@ object ScaleProbe {
     // named probe families; no args = everything. Unknown tags fail loudly —
     // a typo'd tag silently running NOTHING would read as "probe produced no
     // output" rather than "tag not matched".
-    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d", "r17", "r18", "r19", "r19s")
+    val knownTags = Set("base", "cc", "d9", "pq", "r15", "r15b", "r15c", "r16a", "r16b", "r16c", "r16d", "r17", "r18", "r19", "r19s", "r20", "r20s")
     require(args.forall(knownTags), s"unknown probe tag(s) ${args.filterNot(knownTags).mkString(", ")} — known: ${knownTags.toSeq.sorted.mkString(", ")}")
     val want: String => Boolean =
       if (args.isEmpty) _ => true else tag => args.contains(tag)
@@ -580,86 +675,10 @@ object ScaleProbe {
     // Wall seconds are printed per rung as supporting record only — the
     // deterministic proxies do the gating.
     if (want("r19")) {
-      def fitExponent(pts: Seq[(Long, Long)]): Double = {
-        val xs = pts.map(p => math.log(p._1.toDouble))
-        val ys = pts.map(p => math.log(math.max(1L, p._2).toDouble))
-        val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
-        xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
-          xs.map(x => (x - mx) * (x - mx)).sum
-      }
-      def timed[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val v = f; (v, (System.nanoTime() - t0) / 1e9)
-      }
-      // The doc ladder salts every THIRD token, not MakeScale's fifth: the
-      // first r19 run tripped its own d2 wire (exponent 1.698) and the
-      // trip was the LADDER leaking, not the operator — every-5th salting
-      // leaves copy↔original 3-shingle Jaccard ≈ 0.25, which is below any
-      // VERIFY threshold (why MakeScale is right for the bench/correctness
-      // corpora) but leaks through 4-row band keys as J⁴ ≈ 0.4%/band
-      // CANDIDATE collisions, quadratic in the copy factor. Salting every
-      // 3rd token puts a copy-unique token inside every width-3 shingle →
-      // cross-copy shingle sets are DISJOINT (J = 0 exactly) and the
-      // exponent measures corpus-size scaling alone.
-      def upscaleDecor(docs: DataFrame, factor: Int): DataFrame = {
-        val copies = docs.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-        copies.select(
-          (col("doc_id") + col("copy") * lit(1000000000L)).as("doc_id"),
-          when(col("copy") === 0, col("text")).otherwise(
-            array_join(
-              zip_with(
-                split(col("text"), " "),
-                sequence(lit(1), size(split(col("text"), " "))),
-                (tok, i) => when(pmod(i, lit(3)) === 0,
-                  concat(lit("w"), col("copy"), lit("x"), i)).otherwise(tok)),
-              " ")).as("text"),
-          col("lang"))
-      }
-      // embeddings upscale — the MakeScale rotation scheme: circular shift
-      // by `copy` positions is norm-preserving and decorrelates copies (no
-      // injected near-dup pairs), ids key-shifted like the doc ladder
-      def upscaleEmb(emb: DataFrame, factor: Int): DataFrame = {
-        val copies = emb.withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
-        copies.select(
-          (col("vec_id") + col("copy") * lit(1000000000L)).as("vec_id"),
-          when(col("copy") === 0, col("embedding")).otherwise(
-            concat(
-              slice(col("embedding"), col("copy") + 1,
-                size(col("embedding")) - col("copy")),
-              slice(col("embedding"), lit(1), col("copy")))).as("embedding"))
-      }
-      // e2c's banding candidates (ids only, the operator's own layout:
-      // 8 bands × planesForCorpus planes — bandedNearDupCore's candidate
-      // half restated; the verify half is irrelevant to candidate volume)
-      def e2cCandidates(emb: DataFrame, n: Long): Long = {
-        val planes = operators.Similarity.planesForCorpus(n, 64)
-        val bandCols = (0 until 8).map { t =>
-          struct(lit(t).as("band"),
-            functions.Vectors.lshBucketFast(col("embedding"), planes, 64,
-              firstPlane = t * planes).as("bucket"))
-        }
-        val banded = emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
-          .select(col("vec_id"), col("bd.band").as("band"), col("bd.bucket").as("bucket"))
-          .localCheckpoint()
-        banded.select(col("band"), col("bucket"), col("vec_id").as("a"))
-          .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b")),
-            Seq("band", "bucket"))
-          .filter(col("a") < col("b")).select("a", "b").distinct().count()
-      }
-      // m4's pigeonhole candidates: 4 × 16-bit bands over the dHash sigs
-      // (the simhashPairsFromSigs band arithmetic, pre-Hamming)
-      def m4Candidates(sigs: DataFrame): Long = {
-        val bandCols = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-        }
-        val banded = sigs.select(col("media_id"), explode(array(bandCols: _*)).as("bd"))
-          .select(col("media_id"), col("bd.band").as("band"), col("bd.key").as("key"))
-          .localCheckpoint()
-        banded.select(col("band"), col("key"), col("media_id").as("a"))
-          .join(banded.select(col("band"), col("key"), col("media_id").as("b")),
-            Seq("band", "key"))
-          .filter(col("a") < col("b")).select("a", "b").distinct().count()
-      }
+      // doc/embedding ladders are the shared upscaleDecor/upscaleEmb
+      // (object level since r20 — the every-THIRD-token salt and the
+      // rotation scheme; scaladoc there records why MakeScale's every-5th
+      // salt leaks at the candidate level, §6.1l finding 1).
       // ×30 joined in late round 19: the rung values are deterministic
       // counts (no noise to average away), so a fourth point genuinely
       // extends the measured range — in particular past e2c's discrete
@@ -676,7 +695,7 @@ object ScaleProbe {
         val sigs = Multimodal.dHashSigs(
           Multimodal.syntheticGridImages(docs.select("doc_id"), "doc_id"))
           .localCheckpoint()
-        val (m4c, tM4) = timed(m4Candidates(sigs))
+        val (m4c, tM4) = timed(pigeonholeCandidates(sigs, "media_id", "dhash"))
         val ((_, d6rounds), tD6) = timed(Dedup.connectedComponentsWithRounds(
           Dedup.minhashLshPortable(docs, "doc_id", "text", 16, 8, 0.05), "a", "b"))
         println(f"PROBE-R19 x$f%-2d n_docs=$nDocs%6d n_emb=$nEmb%6d " +
@@ -730,16 +749,202 @@ object ScaleProbe {
       require(bQuad <= 50.0 * uniformB,
         f"m4 TRIPWIRE: quadratic coefficient $bQuad%.3e > 50x the uniform " +
           f"2^16-key model ($uniformB%.3e) — the band key space has collapsed")
-      val (n10, m4c10) = (rungs.last._2.toDouble, rungs.last._6.toDouble)
-      val m4pred = aLin * n10 + bQuad * n10 * n10
-      require(m4c10 <= 2.0 * m4pred && m4c10 >= 0.3 * m4pred,
-        f"m4 TRIPWIRE at x10: candidates $m4c10%.0f vs two-rung-fit " +
-          f"prediction $m4pred%.0f — growth no longer follows the " +
-          "linear+pigeonhole model")
-      require(rungs.last._7 <= rungs.head._7 + 4,
-        s"d6 TRIPWIRE: CC rounds grew ${rungs.head._7} -> ${rungs.last._7} " +
-          "on x10 data — more than the O(log n) model's +4; star contraction " +
-          "is no longer halving components per round")
+      // The ×30 rung joined after these wires were calibrated for ×10, so
+      // gate each EXTRAPOLATION rung explicitly with its own bound and name
+      // the rung in the message (round-20 advice item 1): the m4 fit is
+      // checked at every rung past the two it was fitted on, and the d6
+      // O(log n) bound is ceil(log2(f)) headroom over the ×1 baseline —
+      // +4 at ×10 (log2(10) ≈ 3.3), +5 at ×30 (log2(30) ≈ 4.9); the flat
+      // +4 the ×10 calibration used would false-trip a healthy
+      // implementation running near the model bound at ×30.
+      for (r <- rungs.drop(2)) {
+        val (f, nD, m4cF) = (r._1, r._2.toDouble, r._6.toDouble)
+        val m4pred = aLin * nD + bQuad * nD * nD
+        require(m4cF <= 2.0 * m4pred && m4cF >= 0.3 * m4pred,
+          f"m4 TRIPWIRE at x$f%d: candidates $m4cF%.0f vs two-rung-fit " +
+            f"prediction $m4pred%.0f — growth no longer follows the " +
+            "linear+pigeonhole model")
+        val d6Allow = math.ceil(math.log(f.toDouble) / math.log(2.0)).toInt
+        require(r._7 <= rungs.head._7 + d6Allow,
+          s"d6 TRIPWIRE at x$f: CC rounds grew ${rungs.head._7} -> ${r._7} " +
+            s"— more than the O(log n) model's +$d6Allow; star contraction " +
+            "is no longer halving components per round")
+      }
+    }
+
+    // R20 (round-19 verdict item 3): the §6.1l exponent ladder extended to
+    // the banding families that still had only single-ratio growth records,
+    // plus e2c's absolute verify-work wire. Same ×1/×3/×10/×30 rungs, same
+    // deterministic work proxies (counts, not wall time):
+    //  - d5b: the production edit-distance lane's MinHash blocking
+    //    (16 perms / 8 bands — 2-ROW band keys, a wider-collision family
+    //    than d2's 4-row bands, so it needs its own fit). Tripwire:
+    //    fitted exponent ≤ 1.35.
+    //  - d9: SemDeDup cell pairs Σ C(|cell|,2) under the corpus-scaled
+    //    cellsForCorpus quantizer (the semanticDedupAuto scale path; the
+    //    oracle lane's fixed 16 cells are gate-scale machinery). Tripwire:
+    //    fitted exponent ≤ 1.35 — cells scale with the corpus, so E[|cell|]
+    //    is pinned and pair volume must stay ~linear.
+    //  - m6: audio-fingerprint pigeonhole (fixed 2^16 keys — quadratic
+    //    chance term BY DESIGN, exactly m4): two-rung A·n + B·n² fit,
+    //    extrapolation rungs within [0.3, 2]× prediction, B ≤ 50× the
+    //    uniform-key coefficient.
+    //  - d7/d7b: decontamination against a FIXED eval suite (the
+    //    deployment model — benchmark suites do not grow with the training
+    //    corpus; the corpus-grown eval the d7 QUERY uses at gate scale
+    //    would make the ladder measure the upscaler's position-aligned
+    //    salt shingles instead of the operator). Proxies: matched
+    //    inverted-index rows (d7's join output — must stay eval-bounded:
+    //    ≤ 2× base at every rung, since decorrelated copies share no
+    //    shingle with the unsalted eval slice) and d7b's Bloom-surviving
+    //    train shingles (must stay ≤ matches + 2·fpp·train_shingles — the
+    //    prefilter's whole value is that survivors track true matches
+    //    plus the false-positive allowance, not corpus size).
+    //  - e2c ABSOLUTE wire (verdict item 3's second half): verify work per
+    //    MODEL-EXPECTED true pair. E_f = f · Σ_baseTruth 1-(1-p^planes_f)^8
+    //    (rotation preserves within-copy inner products, so the true-pair
+    //    structure replicates per copy and truth(f) = f·truth(1) by
+    //    construction). Wires: found_f ≥ 0.5·E_f (the lane's half-
+    //    expectation floor, now also held on the ladder where planes reach
+    //    10) and cand_f/E_f ≤ 3× cand_1/E_1 (verify work per expected true
+    //    pair bounded — distinguishes "more recall = more verified pairs",
+    //    where E grows in lockstep, from a verify/banding regression,
+    //    where candidates grow without it).
+    if (want("r20")) {
+      import graft.operators.Similarity
+      import graft.functions.Vectors
+      val embAll = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      // base truth ONCE (quadratic at BASE scale only — 2M pair cosines at
+      // sf0.1): all pairs with rounded cosine ≥ 0.4, the wire's denominator
+      val withNorm = embAll.withColumn("nrm", Vectors.norm2(col("embedding")))
+      val baseTruth = withNorm
+        .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+        .join(withNorm.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), col("a") < col("b"))
+        .withColumn("cosine", round(
+          Vectors.cosine(col("ea"), col("eb"), col("na"), col("nb")), 4))
+        .filter(col("cosine") >= 0.4)
+        .select("a", "b", "cosine").localCheckpoint()
+      val nBaseTruth = baseTruth.count()
+      def expectedHits(planes: Int): Double = baseTruth
+        .agg(coalesce(sum(lit(1.0) - pow(lit(1.0) -
+          pow(lit(1.0) - acos(col("cosine")) / math.Pi, lit(planes)),
+          lit(8))), lit(0.0)))
+        .collect()(0).getDouble(0)
+      // the FIXED eval suite for d7/d7b: the base corpus's %97 slice
+      val evalSuite = all.filter(col("doc_id") % 97 === 0).localCheckpoint()
+      def shingleInv(docs: DataFrame, as: String): DataFrame =
+        docs.select(col("doc_id").as(as),
+            array_distinct(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+          .select(col(as), explode(transform(col("sh"), x => xxhash64(x))).as("h"))
+      val evalInv = shingleInv(evalSuite, "eval_id").localCheckpoint()
+      val evalBloomBytes = {
+        val bf = evalInv.stat.bloomFilter("h", math.max(1L, evalInv.count()), 0.01)
+        val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+      }
+      val rungs = Seq(1, 3, 10, 30).map { f =>
+        val docs = (if (f == 1) all else upscaleDecor(all, f)).localCheckpoint()
+        val emb = (if (f == 1) embAll else upscaleEmb(embAll, f)).localCheckpoint()
+        val nDocs = docs.count(); val nEmb = emb.count()
+        // d5b blocking: 16-perm / 8-band (2-row) MinHash candidates
+        val (d5bc, tD5b) = timed(Dedup.minhashLshCandidates(
+          Dedup.minhashSignatures(docs, "doc_id", "text", 16), "doc_id", 16, 8).count())
+        // d7: train side = everything not in the FIXED eval suite
+        val trainInv = shingleInv(
+          docs.join(evalSuite.select("doc_id"), Seq("doc_id"), "left_anti"),
+          "train_id").localCheckpoint()
+        val nTrainSh = trainInv.count()
+        val (d7m, tD7) = timed(
+          trainInv.join(broadcast(evalInv), Seq("h")).count())
+        val (d7bSurv, tD7b) = timed(trainInv.filter(
+          call_function("bloom_might_contain", col("h"), lit(evalBloomBytes))).count())
+        // d9: corpus-scaled quantizer, Σ C(|cell|,2)
+        val nCells = Similarity.cellsForCorpus(nEmb)
+        val (d9c, tD9) = timed {
+          val sizes = Similarity.assignCells(emb,
+              Similarity.firstNCentroids(embAll, nCells))
+            .groupBy("cell").count()
+          sizes.agg(coalesce(sum(col("count") * (col("count") - lit(1))), lit(0L)))
+            .collect()(0).getLong(0) / 2
+        }
+        // m6: audio-fingerprint pigeonhole candidates
+        val asigs = Multimodal.audioSigs(
+          Multimodal.syntheticPcmTones(docs.select("doc_id"), "doc_id"))
+          .localCheckpoint()
+        val (m6c, tM6) = timed(pigeonholeCandidates(asigs, "media_id", "asig"))
+        // e2c wire inputs: candidates, found pairs, model expectation
+        val planes = Similarity.planesForCorpus(nEmb, 64)
+        val (e2cc, tEc) = timed(e2cCandidates(emb, nEmb))
+        val (e2cf, tEf) = timed(Similarity.cosineNearDupPairsBanded(
+          emb, 0.4, planesPerBand = planes, nBands = 8).count())
+        val eExp = f * expectedHits(planes)
+        println(f"PROBE-R20 x$f%-2d n_docs=$nDocs%6d n_emb=$nEmb%6d " +
+          f"d5b_cand=$d5bc%8d t=$tD5b%5.1fs | " +
+          f"d7_matched=$d7m%6d d7b_surv=$d7bSurv%7d train_sh=$nTrainSh%8d " +
+          f"t=$tD7%5.1fs/$tD7b%5.1fs | d9_pairs=$d9c%8d cells=$nCells%4d " +
+          f"t=$tD9%5.1fs | m6_cand=$m6c%8d t=$tM6%5.1fs | " +
+          f"e2c planes=$planes%2d cand=$e2cc%9d found=$e2cf%6d " +
+          f"exp=$eExp%8.1f t=$tEc%5.1fs/$tEf%6.1fs")
+        (f, nDocs, nEmb, d5bc, d7m, d7bSurv, nTrainSh, d9c, m6c, e2cc, e2cf, eExp)
+      }
+      val d5bExp = fitExponent(rungs.map(r => (r._2, r._4)))
+      val d9Exp = fitExponent(rungs.map(r => (r._3, r._8)))
+      println(f"PROBE-R20 exponents: d5b=$d5bExp%.3f d9=$d9Exp%.3f " +
+        f"base_truth=$nBaseTruth%d")
+      require(d5bExp <= 1.35,
+        f"d5b TRIPWIRE: fitted blocking-candidate exponent $d5bExp%.3f > 1.35 " +
+          "— the 2-row band family no longer ~linear; check the band key width")
+      require(d9Exp <= 1.35,
+        f"d9 TRIPWIRE: fitted cell-pair exponent $d9Exp%.3f > 1.35 — " +
+          "cellsForCorpus no longer pins E[|cell|]; check the quantizer scaling")
+      // d7: matched rows are EVAL-BOUNDED under a fixed suite (decorrelated
+      // copies share no shingle with the unsalted eval slice, so growth
+      // would mean the probe is leaking)
+      val d7Base = math.max(1L, rungs.head._5)
+      for (r <- rungs.tail)
+        require(r._5 <= 2 * d7Base,
+          s"d7 TRIPWIRE at x${r._1}: matched rows ${r._5} > 2x base $d7Base " +
+            "under a FIXED eval suite — contamination join output is no " +
+            "longer eval-bounded")
+      // d7b: Bloom survivors ≤ matches + 2·fpp·train_shingles at every rung
+      for (r <- rungs)
+        require(r._6 <= r._5 + (2 * 0.01 * r._7).toLong,
+          s"d7b TRIPWIRE at x${r._1}: bloom survivors ${r._6} exceed matches " +
+            s"${r._5} + 2*fpp*train_shingles ${(2 * 0.01 * r._7).toLong} — " +
+            "the prefilter no longer tracks true matches + fp allowance")
+      // m6: the m4 discipline — two-rung linear+quadratic fit, gate the
+      // extrapolation rungs
+      val (n1, c1) = (rungs.head._2.toDouble, rungs.head._9.toDouble)
+      val (n2, c2) = (rungs(1)._2.toDouble, rungs(1)._9.toDouble)
+      val bQ = (c2 - c1 * n2 / n1) / (n2 * n2 - n1 * n2)
+      val aL = (c1 - bQ * n1 * n1) / n1
+      val uniB = 4.0 / 65536.0 / 2.0
+      println(f"PROBE-R20 m6 model: A=$aL%.3f B=$bQ%.3e (B/uniform=${bQ / uniB}%.1f)")
+      require(bQ <= 50.0 * uniB,
+        f"m6 TRIPWIRE: quadratic coefficient $bQ%.3e > 50x the uniform " +
+          f"2^16-key model ($uniB%.3e) — the audio band key space has collapsed")
+      for (r <- rungs.drop(2)) {
+        val nD = r._2.toDouble
+        val pred = aL * nD + bQ * nD * nD
+        require(r._9 <= 2.0 * pred && r._9 >= 0.3 * pred,
+          f"m6 TRIPWIRE at x${r._1}%d: candidates ${r._9}%d vs two-rung-fit " +
+            f"prediction $pred%.0f — growth no longer follows the " +
+            "linear+pigeonhole model")
+      }
+      // e2c wires
+      val eRatioBase = rungs.head._10.toDouble / math.max(1.0, rungs.head._12)
+      for (r <- rungs) {
+        require(r._11 >= 0.5 * r._12,
+          f"e2c TRIPWIRE at x${r._1}%d: found pairs ${r._11}%d < half the " +
+            f"model expectation ${r._12}%.1f — banding recall collapsed " +
+            "(the §6.1m failure class, now wired at ladder scale)")
+        val ratio = r._10.toDouble / math.max(1.0, r._12)
+        require(ratio <= 3.0 * eRatioBase,
+          f"e2c TRIPWIRE at x${r._1}%d: verify work per expected true pair " +
+            f"$ratio%.1f > 3x base $eRatioBase%.1f — candidates are growing " +
+            "without the recall to show for it (verify regression, not " +
+            "output growth)")
+      }
     }
 
     // R19S: the streaming exact-dedup gate driven over the ×10 corpus with
@@ -761,7 +966,12 @@ object ScaleProbe {
     //    run B: maxFilesPerTrigger = 2 → 8 bounded batches.
     // Records wall-clock per run, per-batch admitted rows, index growth;
     // `require`s admitted-set AND index-state equality.
-    if (want("r19s")) {
+    // r20s is the same instrument re-run after the round-20 drain-scoped
+    // index cache (Dedup.DedupIndexCache): the bounded drain no longer
+    // re-reads the parquet index per micro-batch, so the record under the
+    // R20S label is the verdict-item-6 before/after measurement.
+    if (want("r19s") || want("r20s")) {
+      val probeTag = if (want("r20s")) "R20S" else "R19S"
       import graft.streaming.StreamingPipeline
       val docs = Tables.documents(spark, sfDir)
         .select("doc_id", "text", "lang", "source")
@@ -799,11 +1009,11 @@ object ScaleProbe {
           .map(r => s"b${r.get(0)}=${r.getLong(1)}").mkString(" ")
         val ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
         val idxRows = spark.read.parquet(s"$idx/fps").count()
-        println(f"PROBE-R19S $tag%-8s files=${parts.length}%2d wall=$wall%7.1fs " +
+        println(f"PROBE-$probeTag%s $tag%-8s files=${parts.length}%2d wall=$wall%7.1fs " +
           f"admitted=${ids.size}%6d index_fps=$idxRows%6d batches: $perBatch")
         (ids, idxRows, wall, perBatch)
       }
-      println(s"PROBE-R19S corpus=$sfDir n_seed=$nSeed n_backlog=$nBacklog")
+      println(s"PROBE-$probeTag corpus=$sfDir n_seed=$nSeed n_backlog=$nBacklog")
       val (idsA, idxA, wallA, _) = drain("oneshot", None)
       val (idsB, idxB, wallB, _) = drain("bounded", Some(2))
       require(idsA == idsB,
@@ -811,7 +1021,7 @@ object ScaleProbe {
           s"(${idsA.size}); symmetric diff ${(idsA diff idsB) ++ (idsB diff idsA)}")
       require(idxA == idxB,
         s"R19S TRIPWIRE: final index fps rows differ: oneshot=$idxA bounded=$idxB")
-      println(f"PROBE-R19S EQUAL admitted=${idsA.size}%d index_fps=$idxA%d " +
+      println(f"PROBE-$probeTag%s EQUAL admitted=${idsA.size}%d index_fps=$idxA%d " +
         f"wall_oneshot=$wallA%.1fs wall_bounded=$wallB%.1fs " +
         f"overhead=${wallB / wallA}%.2fx")
     }

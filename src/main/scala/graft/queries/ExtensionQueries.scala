@@ -332,15 +332,20 @@ object ExtensionQueries {
     // recall_ok against a SCALE-ADAPTIVE floor (round 18 — the fixed 0.15
     // floor was calibrated at the small scales' 4-5 plane budgets and the
     // first sf1 hash check broke it: at 20k vectors planesForCorpus gives
-    // 9 planes/band, the model recall at θ≈0.4 falls to ~0.14, measured
-    // ~0.06. The d2 §6.1h discipline applied: the floor is ONE QUARTER of
-    // the SRP banding expectation Σ 1-(1-p^planes)^bands computed in-plan
-    // over the anchored truth (p = 1 - acos(cosine)/π) — the lane's
-    // measured transfer vs the random-hyperplane model is a stable
-    // 0.41-0.57× across sf0.01/sf0.1/sf1 (the 7-valued lattice planes'
-    // quantization cost), so quarter-expectation trips on banding collapse
-    // or signature regression at every scale with 1.6-2.3× margin and no
-    // constant to re-pin. §6.1k records the calibration.)
+    // 9 planes/band, the model recall at θ≈0.4 falls to ~0.14. The d2
+    // §6.1h discipline applied: the floor is HALF the SRP banding
+    // expectation Σ 1-(1-p^planes)^bands computed in-plan over the
+    // anchored truth (p = 1 - acos(cosine)/π). Round 18 set it at one
+    // QUARTER, sized for the 0.41-0.57× transfer the period-7 plane bug
+    // was depressing (§6.1m falsified the lattice-quantization
+    // attribution); with independent planes measured transfer is
+    // 0.93-1.02× at sf0.01/sf0.1/sf1 (§6.1k round-19 addendum), so the
+    // quarter floor carried ~4× slack and would not have caught a
+    // halved-recall regression. Half-expectation keeps ~2× margin at
+    // every scale with no constant to re-pin and trips on banding
+    // collapse or signature regression. §6.1k records both calibrations;
+    // the model-independent hit-count pins in SimilaritySpec stay as the
+    // second wire.)
     // Gate shape (revised late round 16): the first gate computed
     // brute-force truth over ALL pairs — verification machinery that was
     // QUADRATIC in the corpus while the operator it verifies is banded
@@ -383,7 +388,7 @@ object ExtensionQueries {
           .as("precision_ok"))
       hits.crossJoin(prec)
         .select(col("n_true_pairs"), col("precision_ok"),
-          (col("_n_hit").cast("double") >= lit(0.25) * col("_exp")).as("recall_ok"))
+          (col("_n_hit").cast("double") >= lit(0.5) * col("_exp")).as("recall_ok"))
     }),
 
     // E2c2 the SRP family's portable witness (d3c discipline): the SAME

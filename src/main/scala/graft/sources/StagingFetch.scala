@@ -61,16 +61,37 @@ object StagingFetch {
     }
   }
 
+  /** Per-basename fetch locks: concurrent [[fetchAll]] workers fetching the
+    * SAME staged name would otherwise interleave on one `.partial/<name>`
+    * file. Striped on the name, never held across the retry sleep's whole
+    * ladder — the lock covers one staged name end to end, which is exactly
+    * the unit of isolation the staging protocol promises.
+    */
+  private val nameLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** One staged fetch. Protocol, in order:
     *
     *  1. If `stagingDir/<name>` exists with the advertised size (or any
-    *     size when the transport has none), REUSE it — the idempotent
-    *     replay path; a stale complete file with the WRONG size is
-    *     re-fetched (the remote was re-uploaded).
+    *     size when the transport has none) AND its provenance sidecar
+    *     (`stagingDir/.src/<name>`, written in step 5) records THIS remote
+    *     URI, REUSE it — the idempotent replay path. A stale complete file
+    *     with the WRONG size is re-fetched (the remote was re-uploaded); a
+    *     staged file whose sidecar records a DIFFERENT remote URI is a
+    *     basename COLLISION and fails loudly — two remote directories
+    *     shipping the same filename must not silently alias one staged
+    *     copy (round-20 advice item 3); a staged file with NO sidecar
+    *     (crash between steps 4 and 5) has unknown provenance and is
+    *     re-fetched.
     *  2. Download to `stagingDir/.partial/<name>` — the dot-dir is
     *     invisible to `report_*` scan globs at every crash point.
     *  3. Verify byte count against the transport's advertised size.
     *  4. ATOMIC_MOVE into `stagingDir/<name>`.
+    *  5. Write the provenance sidecar.
+    *
+    * The staged name is the URI's basename, REQUIRED to resolve inside
+    * `stagingDir`: a URI path ending in `..` (or an empty/root path) would
+    * otherwise escape the staging dir (round-20 advice item 3).
     *
     * Retries the download+verify `attempts` times total with
     * `retryDelayMs` between tries (the reference's 3-attempt/60 s shape;
@@ -86,52 +107,97 @@ object StagingFetch {
       case p if p != null && p.nonEmpty => p
       case _ => remoteUri
     }).getFileName.toString
-    val staged = Paths.get(stagingDir, name)
-    val expected = transport.size(remoteUri)
-    if (Files.exists(staged) && expected.forall(_ == Files.size(staged)))
-      return staged // idempotent replay: already fetched, size verified
-    val partialDir = Paths.get(stagingDir, ".partial")
-    Files.createDirectories(partialDir)
-    val partial = partialDir.resolve(name)
-    var lastErr: Option[IOException] = None
-    for (attempt <- 1 to attempts) {
-      try {
-        val in = transport.open(remoteUri)
-        try Files.copy(in, partial, StandardCopyOption.REPLACE_EXISTING)
-        finally in.close()
-        val got = Files.size(partial)
-        expected.filter(_ != got).foreach { want =>
-          throw new IOException(
-            s"short fetch of $remoteUri: got $got bytes, remote advertises $want")
+    val root = Paths.get(stagingDir).toAbsolutePath.normalize()
+    val staged = root.resolve(name).normalize()
+    if (staged.getParent != root)
+      throw new IOException(
+        s"unsafe staged name '$name' from $remoteUri: resolves outside $root")
+    val lock = nameLocks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      val srcDir = root.resolve(".src")
+      val sidecar = srcDir.resolve(name)
+      def provenance: Option[String] =
+        if (Files.exists(sidecar))
+          Some(new String(Files.readAllBytes(sidecar), "UTF-8"))
+        else None
+      val expected = transport.size(remoteUri)
+      if (Files.exists(staged)) {
+        provenance match {
+          case Some(uri) if uri != remoteUri =>
+            throw new IOException(
+              s"staged basename collision: $name already staged from $uri, " +
+                s"refusing to alias it for $remoteUri")
+          case Some(_) if expected.forall(_ == Files.size(staged)) =>
+            return staged // idempotent replay: same source, size verified
+          case _ => () // wrong size (re-uploaded) or no sidecar: re-fetch
         }
-        // same-volume rename: the staged name appears complete or not at all
-        Files.move(partial, staged, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        return staged
-      } catch {
-        case e: IOException =>
-          lastErr = Some(e)
-          if (attempt < attempts && retryDelayMs > 0) Thread.sleep(retryDelayMs)
       }
+      val partialDir = root.resolve(".partial")
+      Files.createDirectories(partialDir)
+      Files.createDirectories(srcDir)
+      val partial = partialDir.resolve(name)
+      var lastErr: Option[IOException] = None
+      for (attempt <- 1 to attempts) {
+        try {
+          val in = transport.open(remoteUri)
+          try Files.copy(in, partial, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          val got = Files.size(partial)
+          expected.filter(_ != got).foreach { want =>
+            throw new IOException(
+              s"short fetch of $remoteUri: got $got bytes, remote advertises $want")
+          }
+          // same-volume rename: the staged name appears complete or not at all
+          Files.move(partial, staged, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.write(sidecar, remoteUri.getBytes("UTF-8"))
+          return staged
+        } catch {
+          case e: IOException =>
+            lastErr = Some(e)
+            if (attempt < attempts && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+        }
+      }
+      throw new IOException(
+        s"fetch of $remoteUri failed after $attempts attempts: " +
+          lastErr.map(_.getMessage).getOrElse("no attempt ran"), lastErr.orNull)
     }
-    throw new IOException(
-      s"fetch of $remoteUri failed after $attempts attempts: " +
-        lastErr.map(_.getMessage).getOrElse("no attempt ran"), lastErr.orNull)
   }
 
-  /** Fetch a batch of remote files into staging; per-file isolation like
-    * the reference's per-file subflows — one bad remote must not sink the
-    * day's other files. Returns (staged paths, (uri, error) failures); the
-    * caller records failures under the 2-day retry horizon.
+  /** Fetch a batch of remote files into staging on a bounded worker pool —
+    * the reference dispatcher's max_workers=2 fan-out
+    * (flows/orchestrator_flow.py:14) — with per-file isolation like the
+    * reference's per-file subflows: one bad remote must not sink the day's
+    * other files. Returns (staged paths, (uri, error) failures) in input
+    * order; the caller records failures under the 2-day retry horizon.
+    * Non-IOException failures (programming errors, not remote weather)
+    * still propagate, exactly as they did sequentially.
     */
   def fetchAll(transport: Transport, remoteUris: Seq[String],
                stagingDir: String, attempts: Int = 3,
-               retryDelayMs: Long = 60000L): (Seq[Path], Seq[(String, String)]) = {
-    val results = remoteUris.map { uri =>
-      try Left(fetchToStaging(transport, uri, stagingDir, attempts, retryDelayMs))
-      catch { case e: IOException => Right(uri -> e.getMessage) }
-    }
-    (results.collect { case Left(p) => p },
-      results.collect { case Right(f) => f })
+               retryDelayMs: Long = 60000L,
+               maxWorkers: Int = 2): (Seq[Path], Seq[(String, String)]) = {
+    require(maxWorkers >= 1, s"maxWorkers must be >= 1, got $maxWorkers")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxWorkers)
+    try {
+      val futures = remoteUris.map { uri =>
+        uri -> pool.submit(new java.util.concurrent.Callable[Path] {
+          override def call(): Path =
+            fetchToStaging(transport, uri, stagingDir, attempts, retryDelayMs)
+        })
+      }
+      val results = futures.map { case (uri, f) =>
+        try Left(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Option(e.getCause).getOrElse(e) match {
+              case io: IOException => Right(uri -> io.getMessage)
+              case other => throw other
+            }
+        }
+      }
+      (results.collect { case Left(p) => p },
+        results.collect { case Right(f) => f })
+    } finally pool.shutdown()
   }
 }

@@ -353,14 +353,38 @@ object StreamingPipeline {
   def dedupGateStream(docs: DataFrame, indexDir: String, outDir: String,
                       checkpointDir: String, idCol: String = "doc_id",
                       textCol: String = "text",
-                      threshold: Double = 0.5): StreamingQuery =
-    docs.writeStream
+                      threshold: Double = 0.5): StreamingQuery = {
+    // Drain-scoped index cache (round-19 verdict item 6): the parquet index
+    // is read + decoded ONCE; each micro-batch gates against checkpointed
+    // blocks and admits its survivors into the cache in lockstep with the
+    // disk append. The r19s probe measured the per-batch re-read as a 2.12×
+    // wall overhead on a bounded 8-batch drain vs the one-shot drain.
+    val spark = docs.sparkSession
+    val cache = new graft.operators.Dedup.DedupIndexCache(spark, indexDir)
+    val query = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold)
+        dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold,
+          Some(cache))
       }
       .start()
+    // release the cache's blocks when THIS query terminates — an
+    // AvailableNow drain is bounded, but a caller that drains repeatedly
+    // (the daily gate) must not accumulate one cached index per drain
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          cache.close()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
 
   /** One idempotent micro-batch of the dedup gate. Replay protocol, in
     * order, so an at-least-once replay of batch N re-emits rather than
@@ -382,7 +406,8 @@ object StreamingPipeline {
     */
   def dedupGateBatch(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
                      idCol: String = "doc_id", textCol: String = "text",
-                     threshold: Double = 0.5): Unit = {
+                     threshold: Double = 0.5,
+                     cache: Option[graft.operators.Dedup.DedupIndexCache] = None): Unit = {
     import graft.operators.Dedup
     val exactKeepers = Dedup.exactByFingerprint(batch, textCol, idCol).select(idCol)
     val selfExact = batch.join(exactKeepers, Seq(idCol), "left_semi")
@@ -390,10 +415,19 @@ object StreamingPipeline {
       .minhashLshPortable(selfExact, idCol, textCol, threshold = threshold)
       .select(col("b").as(idCol)).distinct()
     val selfDeduped = selfExact.join(nearSelfDrop, Seq(idCol), "left_anti")
-    // survivors feed two sinks (output + index append); compute once
-    val survivors = Dedup.incrementalSurvivorsIndexed(
-      indexDir, selfDeduped, idCol, textCol, threshold = threshold,
-      excludeIds = Some(selfDeduped.select(idCol))).localCheckpoint()
+    // survivors feed two sinks (output + index append); compute once.
+    // With a drain-scoped cache the corpus side comes from checkpointed
+    // blocks instead of a per-batch parquet re-read — same gate arithmetic
+    // ([[graft.operators.Dedup.incrementalSurvivorsFrames]] is the shared
+    // core), same exclusion-based replay protocol.
+    val excl = Some(selfDeduped.select(idCol))
+    val survivors = cache.fold(
+      Dedup.incrementalSurvivorsIndexed(
+        indexDir, selfDeduped, idCol, textCol, threshold = threshold,
+        excludeIds = excl))(c =>
+      Dedup.incrementalSurvivorsFrames(
+        c.sets, c.bandSigs, c.fps, selfDeduped, idCol, textCol,
+        threshold = threshold, excludeIds = excl)).localCheckpoint()
     survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_committed/batch-$batchId")
     val fs = marker.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
@@ -401,6 +435,9 @@ object StreamingPipeline {
       Dedup.appendToDedupIndex(survivors, idCol, textCol, indexDir)
       fs.mkdirs(marker)
     }
+    // mirror the append into the drain cache (duplicate admissions on a
+    // marker-skip replay are harmless — see DedupIndexCache's contract)
+    cache.foreach(_.admit(survivors, idCol, textCol))
     // release the per-batch snapshot: a long-lived stream otherwise pins
     // one checkpointed RDD per micro-batch (the Centrality/Bpe leak class)
     graft.operators.Checkpoints.drop(survivors)

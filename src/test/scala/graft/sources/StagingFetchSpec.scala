@@ -99,6 +99,82 @@ class StagingFetchSpec extends AnyFunSuite {
     assert(failed.map(_._1) == Seq(missing), s"failures: $failed")
   }
 
+  test("fetchAll runs fetches on a bounded concurrent pool with failure isolation intact") {
+    // Both transports BLOCK until two opens are in flight at once: a
+    // sequential fetchAll deadlocks into the await timeout, so a green run
+    // PROVES max_workers=2 concurrency (the reference dispatcher's fan-out,
+    // flows/orchestrator_flow.py:14). A third, failing URI shows per-file
+    // isolation still holds under concurrency.
+    val staging = tmpDir("sf_staging")
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val concurrent = new Transport {
+      override def open(uri: String): InputStream = {
+        gate.countDown()
+        if (!gate.await(5, java.util.concurrent.TimeUnit.SECONDS))
+          throw new IOException("no concurrent peer arrived: fetchAll is sequential")
+        if (uri.endsWith("bad.txt")) throw new IOException("remote gone")
+        new java.io.ByteArrayInputStream("ok".getBytes("UTF-8"))
+      }
+      override def size(uri: String): Option[Long] = Some(2L)
+    }
+    val (ok, failed) = StagingFetch.fetchAll(concurrent,
+      Seq("sftp://host/a/report_p.txt", "sftp://host/a/report_q.txt",
+        "sftp://host/a/bad.txt"),
+      staging, attempts = 1, retryDelayMs = 0)
+    assert(ok.map(_.getFileName.toString).toSet == Set("report_p.txt", "report_q.txt"))
+    assert(failed.map(_._1) == Seq("sftp://host/a/bad.txt"), s"failures: $failed")
+  }
+
+  test("basename collision from a different remote dir is refused, not silently aliased") {
+    val staging = tmpDir("sf_staging")
+    def fixed(content: String) = new Transport {
+      override def open(uri: String): InputStream =
+        new java.io.ByteArrayInputStream(content.getBytes("UTF-8"))
+      override def size(uri: String): Option[Long] = Some(content.length.toLong)
+    }
+    val first = StagingFetch.fetchToStaging(fixed("from dir1"),
+      "sftp://host/dir1/report_h.txt", staging, 1, 0)
+    assert(Files.readString(first) == "from dir1")
+    // same basename, same byte count, DIFFERENT remote dir: before the
+    // provenance sidecar this silently reused dir1's bytes for dir2
+    val e = intercept[IOException] {
+      StagingFetch.fetchToStaging(fixed("from dir2"),
+        "sftp://host/dir2/report_h.txt", staging, 1, 0)
+    }
+    assert(e.getMessage.contains("collision"), e.getMessage)
+    assert(Files.readString(first) == "from dir1", "collision clobbered the original")
+    // the original URI still replays idempotently after the refusal
+    val again = StagingFetch.fetchToStaging(fixed("from dir1"),
+      "sftp://host/dir1/report_h.txt", staging, 1, 0)
+    assert(again == first)
+  }
+
+  test("a URI resolving outside the staging dir is refused") {
+    val staging = tmpDir("sf_staging")
+    val t = new Transport {
+      override def open(uri: String): InputStream =
+        new java.io.ByteArrayInputStream("x".getBytes("UTF-8"))
+      override def size(uri: String): Option[Long] = None
+    }
+    val e = intercept[IOException] {
+      StagingFetch.fetchToStaging(t, "sftp://host/reports/..", staging, 1, 0)
+    }
+    assert(e.getMessage.contains("resolves outside"), e.getMessage)
+    // refused before any transport/filesystem work: staging stayed empty
+    assert(Files.list(Paths.get(staging)).count() == 0)
+  }
+
+  test("a staged file with no provenance sidecar (pre-sidecar residue) is re-fetched") {
+    val remote = tmpDir("sf_remote"); val staging = tmpDir("sf_staging")
+    val uri = writeRemote(remote, "report_i.txt", "fresh copy")
+    // unknown-origin staged file of exactly the advertised size
+    Files.writeString(Paths.get(staging, "report_i.txt"), "stale orig")
+    val staged = StagingFetch.fetchToStaging(
+      new HadoopFsTransport(conf), uri, staging, 1, 0)
+    assert(Files.readString(staged) == "fresh copy",
+      "sidecar-less staged file was trusted instead of re-fetched")
+  }
+
   test("crash residue in .partial is invisible to scan globs and overwritten by the next fetch") {
     val remote = tmpDir("sf_remote"); val staging = tmpDir("sf_staging")
     // simulate a crashed earlier attempt: half-file parked under .partial

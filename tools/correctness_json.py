@@ -151,6 +151,17 @@ def main():
         finally:
             if timer:
                 timer.cancel()
+                # cancel() does not close the race: the timer can fire in the
+                # window between fetchdf() returning and done.set(), and inside
+                # the timer lambda between done.is_set() and con.interrupt() —
+                # either leaves a pending interrupt on the SHARED connection
+                # that would spuriously abort the NEXT query (round-20 advice
+                # item 2). Drain it with a throwaway query: if an orphaned
+                # interrupt is pending it aborts THIS no-op instead.
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
         row["rows_match"] = len(spark_df) == len(ora_df)
         row["schema_match"] = sorted(map(str.lower, spark_df.columns)) == \
             sorted(map(str.lower, ora_df.columns))
