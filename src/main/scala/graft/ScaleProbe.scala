@@ -931,19 +931,32 @@ object ScaleProbe {
             f"prediction $pred%.0f — growth no longer follows the " +
             "linear+pigeonhole model")
       }
-      // e2c wires
-      val eRatioBase = rungs.head._10.toDouble / math.max(1.0, rungs.head._12)
+      // e2c wires. Wire A: found ≥ half the replicated-base expectation —
+      // recall collapse (the §6.1m failure class) at ladder scale. E_f
+      // UNDERCOUNTS the rung's truth (rotation-stable vectors make genuine
+      // cross-copy pairs — found(×3) measured 3.2× E_3 — so the floor is
+      // conservative in the safe direction). Wire B: verify work per FOUND
+      // pair vs the DESIGN model's work per EXPECTED pair at the SAME
+      // plane budget — (cand/found) ≤ 3 × (designCeiling/E). Both sides
+      // carry the rung's own banding recall, so the ratio is stable under
+      // the plane-budget recall decay (a raw cand/E bound grows r_1/r_f ≈
+      // 5× from 5 to 10 planes on HEALTHY code — the confound this form
+      // divides out), and it reads 10×+ exactly when candidates outgrow
+      // the design or found pairs collapse below the model: verify
+      // regression, not output growth.
       for (r <- rungs) {
         require(r._11 >= 0.5 * r._12,
           f"e2c TRIPWIRE at x${r._1}%d: found pairs ${r._11}%d < half the " +
             f"model expectation ${r._12}%.1f — banding recall collapsed " +
             "(the §6.1m failure class, now wired at ladder scale)")
-        val ratio = r._10.toDouble / math.max(1.0, r._12)
-        require(ratio <= 3.0 * eRatioBase,
-          f"e2c TRIPWIRE at x${r._1}%d: verify work per expected true pair " +
-            f"$ratio%.1f > 3x base $eRatioBase%.1f — candidates are growing " +
-            "without the recall to show for it (verify regression, not " +
-            "output growth)")
+        val measured = r._10.toDouble / math.max(1L, r._11)
+        val ceiling = r._3.toDouble * 64 * 8 / 2
+        val modeled = ceiling / math.max(1.0, r._12)
+        require(measured <= 3.0 * modeled,
+          f"e2c TRIPWIRE at x${r._1}%d: verify work per found pair " +
+            f"$measured%.1f > 3x the design model's work per expected pair " +
+            f"$modeled%.1f — candidates are growing without the recall to " +
+            "show for it (verify regression, not output growth)")
       }
     }
 
