@@ -1037,6 +1037,27 @@ object ScaleProbe {
       println(f"PROBE-$probeTag%s EQUAL admitted=${idsA.size}%d index_fps=$idxA%d " +
         f"wall_oneshot=$wallA%.1fs wall_bounded=$wallB%.1fs " +
         f"overhead=${wallB / wallA}%.2fx")
+      // R20S only: the drain-scoped-cache EXPERIMENTAL arm — the identical
+      // bounded drain with graft.gate.cache=on, read against the same-host
+      // same-hour default (the §6.1l timing-noise lesson: never compare
+      // walls across rounds). This experiment is why the cache is NOT the
+      // default: the first r20s control measured cached 60.8 s vs uncached
+      // 48.4 s (cache_effect 0.80× — a pessimization; vectorized parquet
+      // scans beat row-format checkpointed-block unions). Equality is
+      // required across all three drains; walls are printed, not gated
+      // (single-shot times — a regression call needs min-of-N).
+      if (want("r20s")) {
+        sys.props("graft.gate.cache") = "on"
+        val (idsC, idxC, wallC, _) =
+          try drain("bounded_c", Some(2))
+          finally sys.props.remove("graft.gate.cache")
+        require(idsC == idsB && idxC == idxB,
+          s"R20S TRIPWIRE: cached experimental drain differs — admitted " +
+            s"${idsC.size} vs ${idsB.size}, index fps $idxC vs $idxB")
+        println(f"PROBE-R20S CONTROL wall_bounded_uncached=$wallB%.1fs " +
+          f"wall_bounded_cached=$wallC%.1fs cache_effect=${wallB / wallC}%.2fx " +
+          f"overhead_uncached=${wallB / wallA}%.2fx overhead_cached=${wallC / wallA}%.2fx")
+      }
     }
 
     // R17: the d2 weak-band (J < 0.5) LSH recall s-curve, measured against

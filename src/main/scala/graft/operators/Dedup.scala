@@ -311,9 +311,18 @@ object Dedup {
   /** Drain-scoped in-memory view of a persisted dedup index: the three
     * sub-indexes as localCheckpointed increments, so a bounded multi-batch
     * streaming drain reads the parquet index ONCE and each micro-batch
-    * gates against executor-memory blocks (round-19 verdict item 6 — the
-    * r19s probe measured the per-batch parquet re-read as a 2.12× overhead
-    * over the one-shot drain).
+    * gates against block-manager blocks.
+    *
+    * EXPERIMENTAL ARM, not the default (round 20): round-19 verdict item 6
+    * hypothesized the bounded drain's 2.12× overhead was the per-batch
+    * parquet re-read; the r20s same-session control FALSIFIED it — the
+    * cached drain read 60.8 s vs 48.4 s uncached on the identical ×10
+    * backlog (cache_effect 0.80×, a pessimization: vectorized column-pruned
+    * parquet scans beat row-format checkpointed-block unions, the same
+    * codegen-first reasoning as the engine's no-UDF rule). Enabled only by
+    * `graft.gate.cache=on` so the probe can keep re-reading the experiment;
+    * the gate's default stays the columnar re-read, which is also the only
+    * shape that survives 100 TB (a session-pinned index does not).
     *
     * Consistency contract: [[admit]] mirrors every
     * [[appendToDedupIndex]] the drain performs, so the cached view equals

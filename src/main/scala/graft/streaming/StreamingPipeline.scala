@@ -354,35 +354,47 @@ object StreamingPipeline {
                       checkpointDir: String, idCol: String = "doc_id",
                       textCol: String = "text",
                       threshold: Double = 0.5): StreamingQuery = {
-    // Drain-scoped index cache (round-19 verdict item 6): the parquet index
-    // is read + decoded ONCE; each micro-batch gates against checkpointed
-    // blocks and admits its survivors into the cache in lockstep with the
-    // disk append. The r19s probe measured the per-batch re-read as a 2.12×
-    // wall overhead on a bounded 8-batch drain vs the one-shot drain.
+    // Per-batch parquet index reads are the DEFAULT — measured, not assumed
+    // (round-19 verdict item 6 hypothesized the bounded drain's 2.12×
+    // overhead was the per-batch index re-read and prescribed a drain-scoped
+    // cache; the round-20 same-session control FALSIFIED it: cached 60.8 s
+    // vs uncached 48.4 s on the identical ×10 drain — cache_effect 0.80×.
+    // A vectorized, column-pruned parquet scan beats row-format
+    // checkpointed-block unions, and the residual bounded-drain overhead
+    // (1.95× uncached) is per-batch fixed work — delta-side recompute,
+    // micro-batch planning — not index I/O. At 100 TB a session-pinned
+    // index is the wrong shape anyway: executor-side columnar reads are
+    // the scale path. ScaleProbe r20s records the experiment; the cache
+    // stays behind graft.gate.cache=on as its experimental arm.)
     val spark = docs.sparkSession
-    val cache = new graft.operators.Dedup.DedupIndexCache(spark, indexDir)
+    val cache =
+      if (sys.props.getOrElse("graft.gate.cache", "off") == "on")
+        Some(new graft.operators.Dedup.DedupIndexCache(spark, indexDir))
+      else None
     val query = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold,
-          Some(cache))
+          cache)
       }
       .start()
     // release the cache's blocks when THIS query terminates — an
     // AvailableNow drain is bounded, but a caller that drains repeatedly
     // (the daily gate) must not accumulate one cached index per drain
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          cache.close()
-          spark.streams.removeListener(this)
-        }
+    cache.foreach { c =>
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            c.close()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
     }
-    spark.streams.addListener(listener)
     query
   }
 

@@ -218,6 +218,16 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterAll {
     assert(oneShot == expected, s"one-shot drain admitted $oneShot")
     assert(boundedIdx == oneShotIdx,
       s"index diverged: bounded $boundedIdx rows vs one-shot $oneShotIdx")
+    // the drain-scoped index cache (graft.gate.cache=on — the measured-and-
+    // rejected experimental arm, see DedupIndexCache's scaladoc) must be
+    // answer-identical to the default per-batch columnar re-read
+    sys.props("graft.gate.cache") = "on"
+    val (cached, cachedIdx, cachedBatches) =
+      try drain(Some(1)) finally sys.props.remove("graft.gate.cache")
+    assert(cachedBatches == fileDocs.size)
+    assert(cached == expected, s"cached drain admitted $cached")
+    assert(cachedIdx == oneShotIdx,
+      s"cached index diverged: $cachedIdx rows vs one-shot $oneShotIdx")
   }
 
   test("dedup gate replay re-emits survivors instead of re-filtering (at-least-once safety)") {
