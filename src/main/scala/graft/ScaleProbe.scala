@@ -1030,10 +1030,10 @@ object ScaleProbe {
       val (idsA, idxA, wallA, _) = drain("oneshot", None)
       val (idsB, idxB, wallB, _) = drain("bounded", Some(2))
       require(idsA == idsB,
-        s"R19S TRIPWIRE: bounded-batch admitted set (${idsB.size}) != one-shot " +
+        s"$probeTag TRIPWIRE: bounded-batch admitted set (${idsB.size}) != one-shot " +
           s"(${idsA.size}); symmetric diff ${(idsA diff idsB) ++ (idsB diff idsA)}")
       require(idxA == idxB,
-        s"R19S TRIPWIRE: final index fps rows differ: oneshot=$idxA bounded=$idxB")
+        s"$probeTag TRIPWIRE: final index fps rows differ: oneshot=$idxA bounded=$idxB")
       println(f"PROBE-$probeTag%s EQUAL admitted=${idsA.size}%d index_fps=$idxA%d " +
         f"wall_oneshot=$wallA%.1fs wall_bounded=$wallB%.1fs " +
         f"overhead=${wallB / wallA}%.2fx")

@@ -365,8 +365,15 @@ object Dedup {
         .select(col(idCol), Text.fingerprint(col(textCol)).as("fp")).localCheckpoint()
       parts = (aSets, aBands, aFps) :: parts
     }
-    def close(): Unit = parts.foreach { case (a, b, c) =>
-      Checkpoints.drop(a); Checkpoints.drop(b); Checkpoints.drop(c)
+    /** Idempotent: the gate's failure path, its termination listener, and
+      * its post-start isActive recheck may each call this.
+      */
+    def close(): Unit = {
+      val toDrop = parts
+      parts = Nil
+      toDrop.foreach { case (a, b, c) =>
+        Checkpoints.drop(a); Checkpoints.drop(b); Checkpoints.drop(c)
+      }
     }
   }
 

@@ -63,9 +63,16 @@ object StagingFetch {
 
   /** Per-basename fetch locks: concurrent [[fetchAll]] workers fetching the
     * SAME staged name would otherwise interleave on one `.partial/<name>`
-    * file. Striped on the name, never held across the retry sleep's whole
-    * ladder — the lock covers one staged name end to end, which is exactly
-    * the unit of isolation the staging protocol promises.
+    * file. Striped on the name and held for the WHOLE fetch — including the
+    * retry ladder's sleeps — deliberately: one staged name is the unit of
+    * isolation, and a second worker overlapping a retrying first would race
+    * the very `.partial` file the retry is about to rewrite. Liveness cost:
+    * a same-name peer blocks up to attempts×retryDelay (~2 min at the
+    * defaults) — the reference's dispatcher never fetches one file twice
+    * concurrently, so this path only matters on operator error. Entries are
+    * one small Object per distinct basename, bounded by the day's file
+    * names (lock-free removal cannot be made race-safe with
+    * computeIfAbsent alone, and is not worth it at that cardinality).
     */
   private val nameLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -103,10 +110,13 @@ object StagingFetch {
                      stagingDir: String, attempts: Int = 3,
                      retryDelayMs: Long = 60000L): Path = {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
-    val name = Paths.get(new java.net.URI(remoteUri).getPath match {
+    val name = Option(Paths.get(new java.net.URI(remoteUri).getPath match {
       case p if p != null && p.nonEmpty => p
       case _ => remoteUri
-    }).getFileName.toString
+    }).getFileName).map(_.toString).getOrElse(
+      // a root/empty URI path ("sftp://host/") has NO basename — fail as a
+      // per-file IOException so fetchAll isolation holds, not an NPE
+      throw new IOException(s"no staged basename derivable from $remoteUri"))
     val root = Paths.get(stagingDir).toAbsolutePath.normalize()
     val staged = root.resolve(name).normalize()
     if (staged.getParent != root)
@@ -150,7 +160,14 @@ object StagingFetch {
           // same-volume rename: the staged name appears complete or not at all
           Files.move(partial, staged, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
-          Files.write(sidecar, remoteUri.getBytes("UTF-8"))
+          // the sidecar gets the same temp+rename discipline as the data
+          // file: a crash mid-write must leave NO sidecar (unknown
+          // provenance → re-fetch), never a truncated URI that would read
+          // as a permanent bogus "collision" on every future replay
+          val sidecarTmp = partialDir.resolve(name + ".src")
+          Files.write(sidecarTmp, remoteUri.getBytes("UTF-8"))
+          Files.move(sidecarTmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
           return staged
         } catch {
           case e: IOException =>
@@ -192,7 +209,13 @@ object StagingFetch {
           case e: java.util.concurrent.ExecutionException =>
             Option(e.getCause).getOrElse(e) match {
               case io: IOException => Right(uri -> io.getMessage)
-              case other => throw other
+              case other =>
+                // programming error, not remote weather: stop the queued and
+                // in-flight fetches too — plain shutdown() would leave them
+                // downloading (and sleeping through retry ladders) detached
+                // from any result collection
+                pool.shutdownNow()
+                throw other
             }
         }
       }

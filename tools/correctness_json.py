@@ -156,8 +156,13 @@ def main():
                 # the timer lambda between done.is_set() and con.interrupt() —
                 # either leaves a pending interrupt on the SHARED connection
                 # that would spuriously abort the NEXT query (round-20 advice
-                # item 2). Drain it with a throwaway query: if an orphaned
-                # interrupt is pending it aborts THIS no-op instead.
+                # item 2). join() first: cancel() does not wait for a RUNNING
+                # callback, so draining before the callback finishes could
+                # still leave its interrupt pending; join returns promptly
+                # for a cancelled-unfired timer and waits out a running one.
+                timer.join()
+                # Now any orphaned interrupt is already issued — drain it
+                # with a throwaway query that absorbs the abort.
                 try:
                     con.execute("SELECT 1").fetchall()
                 except Exception:
