@@ -92,9 +92,13 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(p => col(s"mh_$p")): _*).as("sig"))
     }
+    // materialized: both sides of the candidate self-join consume `banded`,
+    // and Spark re-executes the (expensive) signature aggregation per side —
+    // the r21 baseline plans show zero ReusedExchange across the self-joins
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bd"))
       .select(col(idCol), col("bd.band").as("band"), col("bd.sig").as("sig"))
+      .localCheckpoint()
     val l = banded.select(col("band"), col("sig"), col(idCol).as("a"))
     val r = banded.select(col("band"), col("sig"), col(idCol).as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -174,7 +178,11 @@ object Dedup {
                          numPerms: Int = 16, bands: Int = 8, threshold: Double = 0.05): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val sets = portableSets(df, idCol, textCol)
-    val banded = portableBandSigs(sets, idCol, numPerms, bands)
+    // materialized: the candidate self-join consumes `banded` on BOTH sides
+    // and each side re-ran the 16-way md5 min aggregation (no cross-branch
+    // CSE, no exchange reuse in the r21 baseline plans) — one checkpoint
+    // halves the sig computation for every portable-LSH lane
+    val banded = portableBandSigs(sets, idCol, numPerms, bands).localCheckpoint()
     val cands = banded.select(col("band"), col("sig"), col(idCol).as("a"))
       .join(banded.select(col("band"), col("sig"), col(idCol).as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
@@ -1127,15 +1135,22 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, saltBuckets: Int = 16): (DataFrame, Int) = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    // `pairs` is typically the caller's most expensive subtree (a full LSH
+    // band join + Jaccard verify in d6/c1/sl2/e2e1). nodes and edges used to
+    // be two SEPARATE eager checkpoints, each re-executing that subtree
+    // (plus the final label join reading nodes again) — materialize the two
+    // endpoint columns ONCE and derive both frames from the materialized
+    // rows instead (r21 guide §2.4: don't compute the same thing twice).
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
     // every node that appears in `pairs` gets a label, including a node
     // whose only pair is a self-pair (no connectivity — labeled itself)
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id")))
+    val nodes = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id")))
       .distinct().localCheckpoint()
     // canonical (hi, lo) directed edges; self-loops carry no connectivity
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
+    var edges = p
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
 

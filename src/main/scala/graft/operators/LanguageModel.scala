@@ -127,13 +127,19 @@ object LanguageModel {
           (coalesce(col("cu"), lit(0L)) + lit(k) * col("v"))).as("lp"))
     val ppl = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(exp(-avg(col("lp"))), 4).as("ppl"))
+    // materialized: the sliced ranker passes over its input three times
+    // (boundaries, slice sizes, the sort) — without the checkpoint each pass
+    // re-ran the whole scoring-join + perplexity aggregation chain (the r21
+    // baseline plan held 102 Exchanges, three copies of the scoring DAG)
     val base = sc.select(col(idCol), col(langCol)).join(ppl, Seq(idCol))
+      .localCheckpoint()
     val ranked = ScalableWindow.rowNumber(base, langCol, "ppl", idCol, as = "_rnk")
-    val nLang = base.groupBy(col(langCol)).agg(count(lit(1)).as("_n_lang"))
-    ranked.join(nLang, Seq(langCol))
+    // the ranker already returns the per-part group size as `_n` — the old
+    // separate nLang aggregate + join recomputed exactly that number
+    ranked
       .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
-        when(col("_rnk") * 3 <= col("_n_lang"), lit("head"))
-          .when(col("_rnk") * 3 <= col("_n_lang") * 2, lit("middle"))
+        when(col("_rnk") * 3 <= col("_n"), lit("head"))
+          .when(col("_rnk") * 3 <= col("_n") * 2, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
 

@@ -28,6 +28,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to DISK-backed: every read/write through
+  // an Input/OutputStream wraps it in a FileCache stream that spills the
+  // payload to a temp file first — one file create+write+delete per image.
+  // The media lanes decode thousands of sub-KB PNGs per run, so the codec
+  // path was fs-bound before it was CPU-bound. Memory-cached streams decode
+  // and encode byte-identically; only the staging medium changes. Runs in
+  // the object initializer so every JVM that touches a codec op (driver or
+  // executor — the mapPartitions closures reference this object) flips it
+  // before the first decode.
+  ImageIO.setUseCache(false)
+
   /** Metadata carried next to every media payload. Struct field order is
     * the contract [[resizeImages]] relies on when rewriting metadata.
     */
@@ -130,11 +141,18 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
+      // bulk row reads: BufferedImage.getRGB(x,y,w,h,...) applies the SAME
+      // per-pixel ColorModel→sRGB conversion as the scalar getRGB, so sums
+      // are bit-identical — it just amortizes the raster/bounds bookkeeping
+      // over a scanline instead of paying it per pixel (a row buffer, not a
+      // whole-image buffer, so memory stays O(width) for any image size)
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
           x += 1
         }
@@ -330,25 +348,31 @@ object Multimodal {
       if (w < 9 || h < 8) None
       else {
         val means = Array.ofDim[Long](8, 9)
+        // bulk scanline-segment reads (same conversion as scalar getRGB —
+        // see decodeImage): one raster call per (block, scanline) instead
+        // of one per pixel; the shared row buffer bounds memory at O(width)
+        val rowBuf = new Array[Int](w)
         var by = 0
         while (by < 8) {
           var bx = 0
           while (bx < 9) {
             val x0 = bx * w / 9; val x1 = (bx + 1) * w / 9
             val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+            val seg = x1 - x0
             var sum = 0L
             var y = y0
             while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val rgb = img.getRGB(x, y)
+              img.getRGB(x0, y, seg, 1, rowBuf, 0, seg)
+              var i = 0
+              while (i < seg) {
+                val rgb = rowBuf(i)
                 sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
                   + 114L * (rgb & 0xff)) / 1000L
-                x += 1
+                i += 1
               }
               y += 1
             }
-            means(by)(bx) = sum / ((x1 - x0).toLong * (y1 - y0))
+            means(by)(bx) = sum / (seg.toLong * (y1 - y0))
             bx += 1
           }
           by += 1

@@ -1332,9 +1332,13 @@ object ExtensionQueries {
       // sorts NULLS FIRST while DuckDB's quality DESC puts them last, so
       // engine defaults would diverge the quota the day a null-text doc
       // enters the corpus (round-15 review finding; c6 same)
+      // materialized: the sliced ranker passes over `scored` three times
+      // (boundaries, slice sizes, sort) and each pass re-ran the tokenizer
+      // behind qualityFrame — checkpoint the narrow 4-column projection once
       val scored = qualityFrame(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), col("quality"))
         .withColumn("negq", -coalesce(col("quality"), lit(-1.0e9)))
+        .localCheckpoint()
       graft.operators.ScalableWindow.rowNumber(scored, "source", "negq", "doc_id", as = "pos")
         .filter(col("pos") <= ceil(lit(0.3) * col("_n")).cast("long"))
         .select("source", "doc_id", "quality", "pos")
@@ -1386,9 +1390,11 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d)
       val keep = Dedup.exactByFingerprint(docs, "text", "doc_id").select("doc_id")
       val deduped = docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+      // materialized for the same three-pass ranker reason as c5
       val scored = qualityFrame(deduped)
         .select(col("doc_id"), col("source"), col("quality"))
         .withColumn("negq", -coalesce(col("quality"), lit(-1.0e9)))
+        .localCheckpoint()
       val kept = graft.operators.ScalableWindow
         .rowNumber(scored, "source", "negq", "doc_id", as = "qpos")
         .filter(col("qpos") <= ceil(lit(0.3) * col("_n")).cast("long"))
@@ -1796,10 +1802,21 @@ object ExtensionQueries {
         toMediaId(col("a")).as("ma"), toMediaId(col("b")).as("mb"),
         col("a"), col("b"), col("jaccard"))
       val hard = txtInImg.join(imgPairs, Seq("ma", "mb"), "left_anti")
-      hard.select(col("a").as("anchor_doc"), col("mb").as("neg_media_id"),
-          col("jaccard"))
-        .unionAll(hard.select(col("b").as("anchor_doc"),
-          col("ma").as("neg_media_id"), col("jaccard")))
+      // both directions from ONE pass over `hard`: the old
+      // unionAll(select, select) consumed the whole MinHash+dHash+anti-join
+      // subtree TWICE (Spark has no cross-branch CSE; the r21-baseline plan
+      // shows the full chain duplicated under the union — this lane read
+      // 2.5x its pin). explode emits the same two rows per pair; output is
+      // unique on (anchor_doc, neg_media_id), so the final orderBy makes
+      // the result set-identical to the union form.
+      hard.select(explode(array(
+          struct(col("a").as("anchor_doc"), col("mb").as("neg_media_id"),
+            col("jaccard")),
+          struct(col("b").as("anchor_doc"), col("ma").as("neg_media_id"),
+            col("jaccard")))).as("_dir"))
+        .select(col("_dir.anchor_doc").as("anchor_doc"),
+          col("_dir.neg_media_id").as("neg_media_id"),
+          col("_dir.jaccard").as("jaccard"))
         .orderBy("anchor_doc", "neg_media_id")
     }),
 
@@ -2037,11 +2054,17 @@ object ExtensionQueries {
     // in SQL.
     "sl2_component_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // pairs feeds componentSplit's CC AND the leak audit below; asg feeds
+      // the leak join twice (a-side, b-side) plus the n_docs rollup — the
+      // r21 baseline plan re-executed the split subtree three times and the
+      // LSH chain once more on top of CC's own consumption. Materialize each
+      // once (guide §2.4).
       val pairs = Dedup.minhashLshPortable(docs, "doc_id", "text",
-        numPerms = 16, bands = 8, threshold = 0.05)
+        numPerms = 16, bands = 8, threshold = 0.05).localCheckpoint()
       val asg = graft.operators.Splits.componentSplit(docs, "doc_id", pairs,
           "a", "b", "sl2", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+        .localCheckpoint()
       val leaked = pairs
         .join(asg.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
         .join(asg.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
