@@ -833,9 +833,13 @@ object ScaleProbe {
         .collect()(0).getDouble(0)
       // the FIXED eval suite for d7/d7b: the base corpus's %97 slice
       val evalSuite = all.filter(col("doc_id") % 97 === 0).localCheckpoint()
+      // two-projection form (the Dedup.shingleArrays discipline — round-20
+      // advice): inlining shingles3(tokens(text)) in ONE expression re-runs
+      // the tokenizer per shingle element (no CSE inside higher-order
+      // functions) — probe wall-time only, results unaffected
       def shingleInv(docs: DataFrame, as: String): DataFrame =
-        docs.select(col("doc_id").as(as),
-            array_distinct(Text.shingles3(Text.tokens(col("text")))).as("sh"))
+        docs.select(col("doc_id").as(as), Text.tokens(col("text")).as("toks"))
+          .select(col(as), array_distinct(Text.shingles3(col("toks"))).as("sh"))
           .select(col(as), explode(transform(col("sh"), x => xxhash64(x))).as("h"))
       val evalInv = shingleInv(evalSuite, "eval_id").localCheckpoint()
       val evalBloomBytes = {

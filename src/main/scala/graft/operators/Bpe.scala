@@ -417,6 +417,46 @@ object Bpe {
         // on e.g. merges [(a,b),(b,c),(a,b)] (round-15 review finding;
         // loadMerges also rejects duplicates outright)
         val rank = rankArr.zipWithIndex.reverse.toMap
+        // per-task word→count memo: the merge loop is a pure function of the
+        // word, and corpus text repeats words heavily, so most occurrences
+        // hit the memo instead of re-running the per-character merge loop.
+        // Size-capped (new words past the cap just compute uncached) so task
+        // memory stays bounded on an adversarially diverse 100 TB partition;
+        // results are identical either way — the memo only short-circuits
+        // recomputation of the same pure function.
+        val memo = new java.util.HashMap[String, Long](1 << 12)
+        val memoCap = 1 << 16
+        def bpeCount(w: String): Long = {
+          val cached = memo.getOrDefault(w, 0L)
+          if (cached != 0L) return cached
+          val syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
+          var done = false
+          while (!done && syms.length > 1) {
+            // lowest-rank pair present
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val (l, r) = rankArr(best)
+              // greedy left-to-right, resume after each merged pair
+              var j = 0
+              while (j < syms.length - 1) {
+                if (syms(j) == l && syms(j + 1) == r) {
+                  syms(j) = l + r
+                  syms.remove(j + 1)
+                }
+                j += 1
+              }
+            }
+          }
+          val n = syms.length.toLong // >= 1, so 0 stays the "absent" sentinel
+          if (memo.size < memoCap) memo.put(w, n)
+          n
+        }
         it.flatMap { case (id, text) =>
           val words =
             if (text == null) Array.empty[String]
@@ -425,33 +465,7 @@ object Bpe {
             // fails [a-z0-9]) — the Bench.scala locale discipline
             else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
           var total = 0L
-          words.foreach { w =>
-            val syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
-            var done = false
-            while (!done && syms.length > 1) {
-              // lowest-rank pair present
-              var best = Int.MaxValue
-              var i = 0
-              while (i < syms.length - 1) {
-                rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
-                i += 1
-              }
-              if (best == Int.MaxValue) done = true
-              else {
-                val (l, r) = rankArr(best)
-                // greedy left-to-right, resume after each merged pair
-                var j = 0
-                while (j < syms.length - 1) {
-                  if (syms(j) == l && syms(j + 1) == r) {
-                    syms(j) = l + r
-                    syms.remove(j + 1)
-                  }
-                  j += 1
-                }
-              }
-            }
-            total += syms.length
-          }
+          words.foreach { w => total += bpeCount(w) }
           // token-free docs are ABSENT, matching the chain form's explode
           if (words.isEmpty) None else Some((id, total))
         }

@@ -554,8 +554,11 @@ object Dedup {
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("toks")) - window),
         i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(window)))))).as("wh"))
-    val perDoc = wins.groupBy(col(idCol), col("wh"))
-      .agg(count(lit(1)).as("k"))
+    // materialized: `global` re-aggregates perDoc and the join below reads
+    // it again — without the barrier the corpus-sized window explode and
+    // its first aggregation ran twice (no cross-branch CSE)
+    val perDoc = materialize(wins.groupBy(col(idCol), col("wh"))
+      .agg(count(lit(1)).as("k")))
     val global = perDoc.groupBy(col("wh")).agg(sum(col("k")).as("c"))
     perDoc.join(global, "wh")
       .groupBy(col(idCol))

@@ -1720,8 +1720,11 @@ object ExtensionQueries {
       val keepers = Dedup.exactByFingerprint(docs, "text", "doc_id")
         .select("doc_id")
       val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      // materialized: the decon probe AND the anti-join below both consume
+      // `cands`, each re-running the fingerprint-dedup join otherwise
       val cands = docs.join(keepers, "doc_id")
         .filter(col("doc_id") % 97 =!= 0)
+        .localCheckpoint()
       val contaminated = Dedup.contaminationPairs(
           cands, evalDocs, "doc_id", "text", minShared = 2)
         .select(col("train_id").as("doc_id")).distinct()

@@ -164,7 +164,14 @@ object StagingFetch {
           // file: a crash mid-write must leave NO sidecar (unknown
           // provenance → re-fetch), never a truncated URI that would read
           // as a permanent bogus "collision" on every future replay
-          val sidecarTmp = partialDir.resolve(name + ".src")
+          // namespaced AWAY from data partials (round-20 advice): a remote
+          // file literally named "<name>.src" writes its DATA partial at
+          // .partial/<name>.src under a DIFFERENT name lock, so sharing that
+          // path could interleave two writers and stage corrupted bytes;
+          // .partial/.src/<name> is reachable by no data partial
+          val sidecarTmpDir = partialDir.resolve(".src")
+          Files.createDirectories(sidecarTmpDir)
+          val sidecarTmp = sidecarTmpDir.resolve(name)
           Files.write(sidecarTmp, remoteUri.getBytes("UTF-8"))
           Files.move(sidecarTmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)

@@ -371,14 +371,22 @@ object StreamingPipeline {
       if (sys.props.getOrElse("graft.gate.cache", "off") == "on")
         Some(new graft.operators.Dedup.DedupIndexCache(spark, indexDir))
       else None
-    val query = docs.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold,
-          cache)
-      }
-      .start()
+    // close-on-start-failure (round-20 advice): the cache eagerly
+    // localCheckpoints the whole index at construction; if start() throws,
+    // no termination listener ever registers and the blocks would leak for
+    // the session — the exact class the close() path exists to prevent
+    val query = try {
+      docs.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          dedupGateBatch(batch, batchId, indexDir, outDir, idCol, textCol, threshold,
+            cache)
+        }
+        .start()
+    } catch {
+      case t: Throwable => cache.foreach(_.close()); throw t
+    }
     // release the cache's blocks when THIS query terminates — an
     // AvailableNow drain is bounded, but a caller that drains repeatedly
     // (the daily gate) must not accumulate one cached index per drain
