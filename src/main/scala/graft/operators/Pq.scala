@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -274,13 +273,11 @@ object Pq {
                          rerankFactor: Int): DataFrame = {
     require(k >= 1 && nProbe >= 1 && rerankFactor >= 1,
       s"k=$k nProbe=$nProbe rerankFactor=$rerankFactor")
-    val cents = centroids.select(col("cell"), col("cvec"))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
-    val queryCells = queries.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= nProbe)
+    // probe cut via the shared topk_struct heap (Similarity.probeCells):
+    // ≤ nProbe rows per query cross the probe exchange instead of a full
+    // |queries|·nCells window sort — identical probed-cell set (csim ties
+    // by cell, the assignCells chain)
+    val queryCells = Similarity.probeCells(queries, centroids, nProbe)
       .select(col("cell"), col("vec_id").as("a_id"),
         adcTablesCol(col("embedding"), model).as("tables"))
     // ADC pass: only (cell, vec_id, codes) rows flow here — never raw floats.
@@ -293,22 +290,20 @@ object Pq {
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("approx", round(adcScoreCol(col("codes"), col("tables")), 6))
       .select("a_id", "b_id", "approx").distinct()
-      .withColumn("arn", row_number().over(
-        Window.partitionBy(col("a_id")).orderBy(desc("approx"), col("b_id"))))
-      .filter(col("arn") <= k * rerankFactor)
+    // shortlist cut as a bounded heap: ≤ k·rerankFactor rows per query ship
+    // through the exchange, no per-query full sort of the ADC candidates
+    val shortlistIds = Similarity
+      .topKCut(shortlist, "approx", k * rerankFactor, Seq("b_id"))
       .select("a_id", "b_id")
     val qRaw = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       .withColumn("norm_a", Vectors.norm2(col("ea")))
     val reranked = rawExtent
       .select(col("vec_id").as("b_id"), col("embedding").as("eb"),
         col("nrm").as("norm_b"))
-      .join(broadcast(shortlist), Seq("b_id"))
+      .join(broadcast(shortlistIds), Seq("b_id"))
       .join(broadcast(qRaw), Seq("a_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    reranked.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "cosine")
+    Similarity.topKCut(reranked, "cosine", k, Seq("b_id", "cosine"))
   }
 }

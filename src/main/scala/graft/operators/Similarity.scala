@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -40,11 +39,53 @@ object Similarity {
     val scored = c.join(broadcast(q), col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "cosine")
+    topKCut(scored, "cosine", k, Seq("b_id", "cosine"))
   }
+
+  /** The per-query exact top-k cut shared by every search lane here and by
+    * [[graft.operators.Pq.searchCore]]: row-identical to
+    * `row_number().over(partitionBy(a_id).orderBy(desc(scoreCol), b_id)) <= k`
+    * — (scoreCol, b_id) is a strict total order within a query because b_id
+    * is unique per group — but through the `topk_struct` bounded-heap
+    * aggregate (w1b pins the window ≡ heap equivalence), so map-side combine
+    * ships at most k rows per (query, partition) into the shuffle and no
+    * task ever sorts a query's full candidate extent (guide §2.3: aggregate
+    * before you shuffle). The old window form shuffled and fully sorted
+    * every scored candidate row.
+    * Output: (a_id, rn, <payload...>) in rank order.
+    */
+  private[operators] def topKCut(scored: DataFrame, scoreCol: String, k: Int,
+                                 payload: Seq[String]): DataFrame =
+    scored.groupBy(col("a_id"))
+      .agg(call_function("topk_struct",
+        struct(col(scoreCol), (-col("b_id")).as("_neg_id")),
+        struct(payload.map(col): _*), lit(k)).as("_top"))
+      .select(col("a_id"), posexplode(col("_top")))
+      .select(col("a_id") +: ((col("pos") + 1).cast("int").as("rn")) +:
+        payload.map(c => col(s"col.$c").as(c)): _*)
+
+  /** Query → nProbe nearest cells, the probe cut shared by [[ivfProbeScore]]
+    * and [[graft.operators.Pq.searchCore]]: row-identical to the old
+    * `row_number().over(partitionBy(vec_id).orderBy(desc(csim), cell)) <= nProbe`
+    * window — cells are unique per query, so (csim, -cell) is a strict total
+    * order — but as a `topk_struct` bounded heap, so the probe exchange
+    * carries ≤ nProbe rows per query instead of shuffling and sorting all
+    * |queries|·nCells scored rows (guide §2.3). The query embedding rides in
+    * the payload (constant per group) so consumers need no join-back.
+    * Output: (vec_id, cell, embedding), one row per probed cell.
+    */
+  private[operators] def probeCells(queries: DataFrame, centroids: DataFrame,
+                                    nProbe: Int): DataFrame =
+    queries.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids.select(col("cell"), col("cvec"))))
+      .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
+      .groupBy(col("vec_id"))
+      .agg(call_function("topk_struct",
+        struct(col("csim"), (-col("cell")).as("_negcell")),
+        struct(col("cell"), col("embedding")), lit(nProbe)).as("_top"))
+      .select(col("vec_id"), explode(col("_top")).as("_c"))
+      .select(col("vec_id"), col("_c.cell").as("cell"),
+        col("_c.embedding").as("embedding"))
 
   /** Hard-negative mining — the contrastive-training shape: for each query
     * vector, the top-k most-similar corpus vectors with a DIFFERENT label
@@ -66,10 +107,7 @@ object Similarity {
         col("a_id") =!= col("b_id") && col("_label_a") =!= col("neg_label"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "neg_label", "cosine")
+    topKCut(scored, "cosine", k, Seq("b_id", "neg_label", "cosine"))
   }
 
   /** [[hardNegatives]] on the 100 TB lane: candidates from the [[lshTopK]]
@@ -93,10 +131,7 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id") && col("_label_a") =!= col("neg_label"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "neg_label", "cosine")
+    topKCut(scored, "cosine", k, Seq("b_id", "neg_label", "cosine"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket.
@@ -113,10 +148,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "cosine", "bucket")
+    topKCut(scored, "cosine", k, Seq("b_id", "cosine", "bucket"))
   }
 
   /** Multi-probe LSH top-k: like [[lshTopK]], but each query also probes
@@ -144,10 +176,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "cosine")
+    topKCut(scored, "cosine", k, Seq("b_id", "cosine"))
   }
 
   /** The trivially-deterministic coarse quantizer (first `nCells` corpus
@@ -341,16 +370,10 @@ object Similarity {
     */
   private def ivfProbeScore(queries: DataFrame, corpusCells: DataFrame,
                             centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val cents = centroids.select(col("cell"), col("cvec"))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
     val bSide = corpusCells
       .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("eb"),
         col("nrm").as("norm_b"))
-    val queryCells = queries.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= nProbe)
+    val queryCells = probeCells(queries, centroids, nProbe)
       .select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("ea"))
       .withColumn("norm_a", Vectors.norm2(col("ea")))
     val scored = bSide.join(broadcast(queryCells), Seq("cell"))
@@ -358,11 +381,8 @@ object Similarity {
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
     // a (query, corpus) pair can meet in several probed cells — dedup first
-    val w = Window.partitionBy(col("a_id")).orderBy(desc("cosine"), col("b_id"))
-    scored.select("a_id", "b_id", "cosine").distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("a_id", "rn", "b_id", "cosine")
+    topKCut(scored.select("a_id", "b_id", "cosine").distinct(),
+      "cosine", k, Seq("b_id", "cosine"))
   }
 
   /** Production IVF ANN: [[ivfTopKWithCentroids]] over sampled spherical
@@ -514,13 +534,23 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell"), col("cvec"))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(desc("csim"), col("cell"))
+    // argmax as ONE max(struct) aggregate instead of the old
+    // row_number(partitionBy vec_id, orderBy desc(csim), cell) === 1 window:
+    // the window shuffled and sorted |corpus| x nCells scored rows; the max
+    // aggregate partial-combines map-side, so the exchange carries ONE row
+    // per vector. Row-identical: cells are unique per vector, so
+    // (csim, -cell) is a strict total order — the struct max is exactly the
+    // window's (desc csim, asc cell) winner, including the null/NaN corners
+    // (struct ordering puts a null csim smallest = the window's
+    // desc-nulls-last loser; NaN largest = desc-first winner, same pick).
     corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
       .withColumn("csim", round(Vectors.cosine(col("embedding"), col("cvec")), 4))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") === 1)
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("_negcell"),
+        col("cell"), col("embedding"))).as("_best"))
+      .select(col("_best.cell").as("cell"), col("vec_id"),
+        col("_best.embedding").as("embedding"))
   }
 
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
