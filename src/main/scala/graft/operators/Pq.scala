@@ -257,7 +257,11 @@ object Pq {
     val codes = assigned
       .withColumn("codes", encodeCol(col("embedding"), model))
       .select(col("cell"), col("vec_id"), col("codes"))
-    searchCore(queries, codes, assigned, centroids, model, k, nProbe, rerankFactor)
+    // dedupPairs = false: the codes extent derives from assignCells'
+    // groupBy(vec_id) output — one code row per vector, so the ADC stream
+    // is duplicate-free and the shortlist skips a whole exchange
+    searchCore(queries, codes, assigned, centroids, model, k, nProbe,
+      rerankFactor, dedupPairs = false)
   }
 
   /** The probe → ADC-score → shortlist → exact-re-rank chain shared by the
@@ -266,11 +270,18 @@ object Pq {
     * IVF and IVF-PQ probe identical cells); candidates are the probed
     * cells' code rows; the raw extent is touched ONLY by the shortlist
     * join (broadcast — |queries|·k·rerankFactor rows by construction).
+    *
+    * `dedupPairs`: a code row's vector lives in exactly one cell, so the
+    * ADC stream is duplicate-free UNLESS `codesExtent` is the persisted
+    * `codes` extent, whose append crash window tolerates duplicate rows
+    * (the [[Similarity.compactSemanticIndex]] contract) — the indexed
+    * entry keeps the distinct, the inline entry skips the exchange.
     */
   private def searchCore(queries: DataFrame, codesExtent: DataFrame,
                          rawExtent: DataFrame, centroids: DataFrame,
                          model: PqModel, k: Int, nProbe: Int,
-                         rerankFactor: Int): DataFrame = {
+                         rerankFactor: Int,
+                         dedupPairs: Boolean = true): DataFrame = {
     require(k >= 1 && nProbe >= 1 && rerankFactor >= 1,
       s"k=$k nProbe=$nProbe rerankFactor=$rerankFactor")
     // probe cut via the shared topk_struct heap (Similarity.probeCells):
@@ -282,14 +293,15 @@ object Pq {
         adcTablesCol(col("embedding"), model).as("tables"))
     // ADC pass: only (cell, vec_id, codes) rows flow here — never raw floats.
     // approx is rounded to 6 decimals so the shortlist cut is reproducible;
-    // a pair meeting in several probed cells scores identically (codes and
-    // tables are cell-independent), so distinct() collapses it exactly.
-    val shortlist = codesExtent
+    // duplicate extent rows score identically (codes and tables are
+    // cell-independent), so the indexed path's distinct() collapses exactly.
+    val scored = codesExtent
       .select(col("cell"), col("vec_id").as("b_id"), col("codes"))
       .join(broadcast(queryCells), Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("approx", round(adcScoreCol(col("codes"), col("tables")), 6))
-      .select("a_id", "b_id", "approx").distinct()
+      .select("a_id", "b_id", "approx")
+    val shortlist = if (dedupPairs) scored.distinct() else scored
     // shortlist cut as a bounded heap: ≤ k·rerankFactor rows per query ship
     // through the exchange, no per-query full sort of the ADC candidates
     val shortlistIds = Similarity

@@ -345,7 +345,10 @@ object Similarity {
     val corpusCells = assignCells(corpus.select(col("vec_id"), col("embedding")),
         centroids)
       .withColumn("nrm", Vectors.norm2(col("embedding")))
-    ivfProbeScore(queries, corpusCells, centroids, k, nProbe)
+    // dedupPairs = false: assignCells ends in a groupBy(vec_id), so the
+    // inline corpus side is one-row-per-vector by construction
+    ivfProbeScore(queries, corpusCells, centroids, k, nProbe,
+      dedupPairs = false)
   }
 
   /** IVF search over a PERSISTED corpus assignment
@@ -367,9 +370,19 @@ object Similarity {
     * queries probe their nProbe nearest cells, score only those inverted
     * lists, rounded cosine, ties by id. `corpusCells` carries
     * (cell, vec_id, embedding, nrm) — the index row layout.
+    *
+    * `dedupPairs`: a corpus vector lives in exactly ONE cell, so a
+    * (query, corpus) pair meets at most once and the scored stream is
+    * duplicate-free — EXCEPT when `corpusCells` is a persisted extent,
+    * whose append-then-marker crash window tolerates duplicate ROWS
+    * (search stays exact via this distinct — the documented contract).
+    * Inline callers pass false (one-row-per-vector guaranteed by
+    * assignCells' groupBy) and skip a whole exchange of the scored
+    * candidates; the indexed entry point keeps true.
     */
   private def ivfProbeScore(queries: DataFrame, corpusCells: DataFrame,
-                            centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+                            centroids: DataFrame, k: Int, nProbe: Int,
+                            dedupPairs: Boolean = true): DataFrame = {
     val bSide = corpusCells
       .select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("eb"),
         col("nrm").as("norm_b"))
@@ -380,8 +393,8 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cosine", round(
         Vectors.cosine(col("ea"), col("eb"), col("norm_a"), col("norm_b")), 4))
-    // a (query, corpus) pair can meet in several probed cells — dedup first
-    topKCut(scored.select("a_id", "b_id", "cosine").distinct(),
+      .select("a_id", "b_id", "cosine")
+    topKCut(if (dedupPairs) scored.distinct() else scored,
       "cosine", k, Seq("b_id", "cosine"))
   }
 
