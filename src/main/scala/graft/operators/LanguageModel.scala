@@ -182,6 +182,19 @@ object LanguageModel {
       test, idCol, textCol, labelCol, k)
   }
 
+  /** [[naiveBayesClassify]] scoring from PRECOMPUTED per-(id, word) test
+    * counts (see [[scoreNbFromCounts]]) — training still reads `train`.
+    */
+  private[graft] def naiveBayesClassifyFromCounts(
+      train: DataFrame, testWords: DataFrame, idCol: String,
+      textCol: String, labelCol: String, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val (wc, stats) = trainNb(train, textCol, labelCol)
+    scoreNbFromCounts(wc,
+      classesFrame(stats, totalsFrame(wc, stats), labelCol),
+      testWords, idCol, labelCol, k)
+  }
+
   /** The NB training core shared by [[naiveBayesClassify]] (inline) and
     * [[buildNbModel]] (persisted) — ONE source of the training arithmetic
     * so the two paths cannot drift. Returns (wc, stats): the distributed
@@ -236,10 +249,24 @@ object LanguageModel {
     */
   private def scoreNb(wc: DataFrame, classes: DataFrame, test: DataFrame,
                       idCol: String, textCol: String, labelCol: String,
-                      k: Double): DataFrame = {
-    val testWords = spread(test.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+                      k: Double): DataFrame =
+    scoreNbFromCounts(wc, classes,
+      spread(test.select(col(idCol), col(textCol)))
+        .select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+        .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt")),
+      idCol, labelCol, k)
+
+  /** [[scoreNb]] over PRECOMPUTED per-(id, word) counts — the entry point
+    * for composed lanes (c4) that already paid the tokenize+count pass for
+    * another consumer ([[importanceWeightsFromCounts]]): the corpus text is
+    * tokenized ONCE and both operators aggregate from the same
+    * materialized frame (guide §1.2 step 1: don't compute the same thing
+    * twice). `testWords` must be exactly (idCol, w, cnt) as the inline
+    * form's groupBy produces.
+    */
+  private[graft] def scoreNbFromCounts(wc: DataFrame, classes: DataFrame,
+                                       testWords: DataFrame, idCol: String,
+                                       labelCol: String, k: Double): DataFrame = {
     val scored = testWords
       .crossJoin(broadcast(classes)) // |classes| rows
       .join(wc, Seq(labelCol, "w"), "left")
@@ -317,17 +344,36 @@ object LanguageModel {
     *         (downstream samplers would exclude a null/zero weight anyway).
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        isTarget: Column, k: Double = 0.5): DataFrame = {
-    require(k > 0, s"smoothing k must be positive, got $k")
-    // the raw token stream is shuffled ONCE, into per-(doc, word) counts
-    // (the scoring join's left side); both corpus models and the totals
-    // re-aggregate from that much smaller frame — exact integer sums, so
-    // only the shuffle volume changes
-    val docWords = spread(docs.select(col(idCol), col(textCol), isTarget.as("tgt")))
+                        isTarget: Column, k: Double = 0.5): DataFrame =
+    importanceWeightsFromCounts(
+      docWordCounts(docs, idCol, textCol, isTarget)
+        .localCheckpoint(), // feeds word counts, corpus totals AND doc scoring
+      idCol, k)
+
+  /** The per-(id, isTarget, word) count frame both [[importanceWeights]]
+    * and (projected to (id, w, cnt) — tgt is constant per doc, so the
+    * groups coincide) [[scoreNbFromCounts]] aggregate from. Composed lanes
+    * materialize THIS once and feed both consumers, so the corpus text is
+    * tokenized a single time.
+    */
+  private[graft] def docWordCounts(docs: DataFrame, idCol: String,
+                                   textCol: String, isTarget: Column): DataFrame =
+    spread(docs.select(col(idCol), col(textCol), isTarget.as("tgt")))
       .select(col(idCol), col("tgt"), explode(Text.tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("tgt"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds word counts, corpus totals AND doc scoring
+
+  /** [[importanceWeights]] over a PRECOMPUTED (and, if shared,
+    * materialized) [[docWordCounts]] frame. The raw token stream is
+    * shuffled ONCE, into per-(doc, word) counts (the scoring join's left
+    * side); both corpus models and the totals re-aggregate from that much
+    * smaller frame — exact integer sums, so only the shuffle volume
+    * changes.
+    */
+  private[graft] def importanceWeightsFromCounts(docWords: DataFrame,
+                                                 idCol: String,
+                                                 k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
     // one groupBy(word) carries BOTH models: target hits as a conditional
     // sum riding the raw count's shuffle
     val wcnt = docWords.groupBy(col("w")).agg(

@@ -1308,12 +1308,21 @@ object ExtensionQueries {
       // two classifier consumers (train split + scoring) and the weight
       // pass all read the deduped frame — materialize once
       val deduped = docs.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
-      val en = LanguageModel.naiveBayesClassify(
-          deduped.filter(col("doc_id") % 2 === 0), deduped, "doc_id", "text", "lang")
+      // NB scoring and the DSIR weights both aggregate from per-(doc, word)
+      // counts over the SAME deduped corpus — tokenize it once and share
+      // the materialized count frame (tgt is constant per doc, so the
+      // (doc, tgt, word) groups ARE the (doc, word) groups; r21, guide
+      // §1.2 step 1)
+      val docWords = LanguageModel.docWordCounts(
+          deduped, "doc_id", "text", col("lang") === "en")
+        .localCheckpoint()
+      val en = LanguageModel.naiveBayesClassifyFromCounts(
+          deduped.filter(col("doc_id") % 2 === 0),
+          docWords.select(col("doc_id"), col("w"), col("cnt")),
+          "doc_id", "text", "lang")
         .filter(col("pred_lang") === "en")
         .select("doc_id")
-      val w = LanguageModel.importanceWeights(
-        deduped, "doc_id", "text", col("lang") === "en")
+      val w = LanguageModel.importanceWeightsFromCounts(docWords, "doc_id")
       graft.operators.Splits.weightedSample(
         w.join(en, Seq("doc_id"), "left_semi"), "doc_id", "c4", col("weight"), k = 30)
     }),

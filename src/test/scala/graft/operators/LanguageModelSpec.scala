@@ -94,6 +94,24 @@ class LanguageModelSpec extends SparkSpec {
     assert(again == inline)
   }
 
+  test("shared docWordCounts frame reproduces both inline consumers exactly") {
+    // c4 tokenizes the corpus ONCE into docWordCounts and feeds NB scoring
+    // and the DSIR weights from the same frame (r21 optimization); pin that
+    // the shared-counts entry points are row-identical to the inline forms
+    // on real data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect().toSeq
+    val docWords = LanguageModel.docWordCounts(docs, "doc_id", "text", $"lang" === "en")
+      .localCheckpoint()
+    assert(rows(LanguageModel.importanceWeightsFromCounts(docWords, "doc_id"))
+      == rows(LanguageModel.importanceWeights(docs, "doc_id", "text", $"lang" === "en")))
+    val train = docs.filter($"doc_id" % 2 === 0)
+    assert(rows(LanguageModel.naiveBayesClassifyFromCounts(train,
+        docWords.select($"doc_id", $"w", $"cnt"), "doc_id", "text", "lang"))
+      == rows(LanguageModel.naiveBayesClassify(train, docs, "doc_id", "text", "lang")))
+  }
+
   test("rounded scores are partitioning-invariant on real data") {
     // the oracle hash-compare assumes the 4/6-decimal rounding absorbs
     // float-summation-order noise; prove it on the real corpus by running
