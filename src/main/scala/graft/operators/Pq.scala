@@ -104,16 +104,27 @@ object Pq {
       val subs = pts.map(_.slice(s * subDim, (s + 1) * subDim))
       val k = math.min(ksub, subs.length)
       var cents: Array[Array[Double]] = subs.take(k).map(_.clone())
+      // The argmin scan is iters·|subs|·k·subDim mult-adds (268M at c8's
+      // 8·2048·256·4·16-subspace budget) and dominated wall, not the Spark
+      // side — flatten the codebook into ONE row-major array (no per-access
+      // double indirection) and early-exit the accumulation: d is a sum of
+      // squares, monotone nondecreasing in i, so breaking at d >= bestD
+      // skips work without ever changing the argmin or any tie outcome.
+      val flat = new Array[Double](k * subDim)
       for (_ <- 0 until iters) {
+        var c = 0
+        while (c < k) {
+          System.arraycopy(cents(c), 0, flat, c * subDim, subDim); c += 1
+        }
         val sums = Array.fill(k)(new Array[Double](subDim))
         val counts = new Array[Int](k)
         subs.foreach { p =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < k) {
-            var d = 0.0; var i = 0
-            while (i < subDim) {
-              val t = p(i) - cents(c)(i); d += t * t; i += 1
+            var d = 0.0; var i = 0; val off = c * subDim
+            while (i < subDim && d < bestD) {
+              val t = p(i) - flat(off + i); d += t * t; i += 1
             }
             if (d < bestD) { bestD = d; best = c }
             c += 1
