@@ -62,23 +62,40 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
     acc
   }
 
+  // The loop is emitted as its OWN small generated method and the call
+  // site is one line. Inlining it instead (the original form) let a
+  // projection with many dots — the SRP banding expressions carry 40-80 —
+  // compose into a single >8 KB-bytecode generated method, which HotSpot
+  // refuses to JIT (DontCompileHugeMethods, limit 8000 bytes): the whole
+  // stage then ran in the bytecode interpreter, measured ~15 µs per
+  // 64-dim dot vs ~0.1 µs compiled. Per-expression methods stay a few
+  // hundred bytes each, so every dot loop compiles no matter how many a
+  // projection carries. The null flag rides a per-expression mutable
+  // field because a Java method can't return (value, isNull) without
+  // boxing; generated code is single-threaded per partition, so the
+  // field is race-free.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
+      val isNullF = ctx.addMutableState("boolean", "dotF32IsNull")
+      val fname = ctx.freshName("dotF32")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+           |private double $fname(org.apache.spark.sql.catalyst.util.ArrayData x,
+           |    org.apache.spark.sql.catalyst.util.ArrayData y) {
+           |  int n = x.numElements();
+           |  if (n != y.numElements()) { $isNullF = true; return 0.0; }
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    if (x.isNullAt(i) || y.isNullAt(i)) { $isNullF = true; return 0.0; }
+           |    acc += (double) x.getFloat(i) * (double) y.getFloat(i);
+           |  }
+           |  return acc;
+           |}
+         """.stripMargin)
       s"""
-         |int $n = $x.numElements();
-         |if ($n != $y.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
-         |  }
-         |  ${ev.value} = $acc;
-         |}
+         |$isNullF = false;
+         |${ev.value} = $fn($x, $y);
+         |${ev.isNull} = $isNullF;
        """.stripMargin
     })
 

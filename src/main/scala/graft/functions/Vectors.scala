@@ -99,11 +99,14 @@ object Vectors {
         planeComponentLong(idx + 1L, (firstPlane + j).toLong).toFloat
       }
       val d = dot(emb, typedLit(plane))
-      // two-sided when: a NULL projection (null element inside the array,
-      // which DuckDB's SUM would silently skip) propagates to a NULL bit
-      // and thus a NULL bucket that drops out of the band equi-join —
-      // never a silent collision into bit 0
-      when(d >= 0, lit(1L << j)).when(d < 0, lit(0L))
+      // (d >= 0)::long * bit — value-identical to the old two-sided when
+      // (d ≥ 0 → bit; d < 0 → 0; NULL projection → NULL bit, so a null
+      // element — which DuckDB's SUM would silently skip — still nulls the
+      // bucket out of the band equi-join, never a silent collision into
+      // bit 0) but evaluates the projection ONCE: CaseWhen branch
+      // conditions are exempt from codegen subexpression elimination, so
+      // the when-form ran every dot twice (r21).
+      (d >= 0).cast("long") * lit(1L << j)
     }
     // explicit width guard: a mismatched-length dot must null the bucket,
     // not land in bucket 0 — null buckets drop out of equi-joins instead
@@ -137,12 +140,14 @@ object Vectors {
         zip_with(emb, typedLit(plane),
           (x, c) => floor(x.cast("double") * lit(unit)).cast("long") * c),
         lit(0L), (acc, v) => acc + v)
-      // two-sided when (same contract as lshBucketFast): a null embedding
-      // element nulls the zip_with fold, and that NULL must become a NULL
-      // bucket — the DuckDB witness's SUM skips NULL terms, so mapping the
-      // null fold to bit 0 here could disagree with the oracle's bucket for
-      // such rows; a NULL bucket drops out of the band join on BOTH engines
-      when(proj >= 0, lit(1L << j)).when(proj < 0, lit(0L))
+      // (proj >= 0)::long * bit — same single-eval rewrite (and null
+      // contract) as lshBucketFast: a null embedding element nulls the
+      // zip_with fold, and that NULL must become a NULL bucket — the
+      // DuckDB witness's SUM skips NULL terms, so mapping the null fold to
+      // bit 0 here could disagree with the oracle's bucket for such rows;
+      // a NULL bucket drops out of the band join on BOTH engines. The old
+      // two-sided when ran the interpreted fold twice per plane.
+      (proj >= 0).cast("long") * lit(1L << j)
     }
     when(size(emb) === dims, bits.reduce(_ + _)).otherwise(lit(null).cast("long"))
   }
