@@ -592,7 +592,17 @@ object Dedup {
                      window: Int = 10): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val toks = spanToks(df, idCol, textCol)
-    val wins = spanWins(toks, idCol, window)
+    removeDupSpansFromWins(toks, spanWins(toks, idCol, window), idCol, window)
+  }
+
+  /** [[removeDupSpans]] over PRECOMPUTED (materialized) [[spanToks]] /
+    * [[spanWins]] frames — the entry point for a caller that also builds
+    * the span index from the SAME corpus slice (d12b), so the tokenize +
+    * window explode run once instead of once per consumer (r21, guide
+    * §1.2 step 1).
+    */
+  private[graft] def removeDupSpansFromWins(toks: DataFrame, wins: DataFrame,
+                                            idCol: String, window: Int): DataFrame = {
     val dups = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("c"),
         min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
@@ -665,10 +675,24 @@ object Dedup {
     */
   def spanIndexFrame(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 10): DataFrame =
-    spanWins(spanToks(df, idCol, textCol), idCol, window)
-      .groupBy(col("wh"))
+    spanIndexFromWins(spanWins(spanToks(df, idCol, textCol), idCol, window), idCol)
+
+  /** [[spanIndexFrame]] over a precomputed [[spanWins]] frame (see
+    * [[removeDupSpansFromWins]]).
+    */
+  private[graft] def spanIndexFromWins(wins: DataFrame, idCol: String): DataFrame =
+    wins.groupBy(col("wh"))
       .agg(min(struct(col(idCol).as("id"), col("p").as("p"))).as("canon"))
       .select(col("wh"), col("canon.id").as(idCol), col("canon.p").as("p"))
+
+  /** The materialized (toks, wins) pair for one corpus slice — what the
+    * from-wins entry points consume.
+    */
+  private[graft] def spanPrepared(df: DataFrame, idCol: String, textCol: String,
+                                  window: Int): (DataFrame, DataFrame) = {
+    val toks = spanToks(df, idCol, textCol)
+    (toks, spanWins(toks, idCol, window))
+  }
 
   /** [[removeDupSpans]]'s DAILY-INGEST form (the d8/d6b/d9b discipline —
     * closes the r15 verdict's missing item 3): clean a DELTA against a

@@ -1380,8 +1380,12 @@ object ExtensionQueries {
       val half = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
       val b1 = docs.filter(col("doc_id") <= half)
       val b2 = docs.filter(col("doc_id") > half)
-      val idx = Dedup.spanIndexFrame(b1, "doc_id", "text", window = 10).localCheckpoint()
-      Dedup.removeDupSpans(b1, "doc_id", "text", window = 10)
+      // batch 1's tokenize + window explode feed BOTH the index build and
+      // its own whole-corpus clean — prepare the (toks, wins) pair once
+      // (r21; each side re-ran the explode before)
+      val (toksB1, winsB1) = Dedup.spanPrepared(b1, "doc_id", "text", window = 10)
+      val idx = Dedup.spanIndexFromWins(winsB1, "doc_id").localCheckpoint()
+      Dedup.removeDupSpansFromWins(toksB1, winsB1, "doc_id", window = 10)
         .unionAll(Dedup.removeDupSpansIncremental(idx, b2, "doc_id", "text", window = 10))
         .orderBy("doc_id")
     }),
